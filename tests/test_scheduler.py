@@ -1,0 +1,129 @@
+"""DDIM schedule correctness: tables, round-trips, fast schedules."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from theatergen_tpu.config import SchedulerConfig
+from theatergen_tpu.ops import scheduler as S
+
+
+CFG = SchedulerConfig()
+
+
+def test_beta_table_endpoints():
+    betas = S.betas_for_schedule(CFG)
+    assert betas.shape == (1000,)
+    np.testing.assert_allclose(betas[0], 0.00085, rtol=1e-6)
+    np.testing.assert_allclose(betas[-1], 0.012, rtol=1e-6)
+    acp = S.alphas_cumprod_for(CFG)
+    assert acp[0] > acp[-1] > 0
+
+
+def test_uniform_timesteps_match_diffusers_leading():
+    # diffusers DDIM, 50 steps, steps_offset=1: [981, 961, ..., 21, 1]
+    ts = S.uniform_timesteps(CFG, 50)
+    assert ts[0] == 981 and ts[-1] == 1
+    assert len(ts) == 50
+    assert np.all(np.diff(ts) == -20)
+
+
+def test_alpha_prev_table_aligns_with_next_position():
+    sched = S.make_schedule(CFG, 10)
+    # alpha_prod_prev[i] must equal alphas_cumprod[timesteps[i+1]]
+    np.testing.assert_allclose(
+        np.asarray(sched.alpha_prod_prev[:-1]),
+        np.asarray(sched.alphas_cumprod)[np.asarray(sched.timesteps[1:])],
+    )
+    # final prev = alphas_cumprod[0] (set_alpha_to_one=False)
+    np.testing.assert_allclose(
+        np.asarray(sched.alpha_prod_prev[-1]), np.asarray(sched.alphas_cumprod[0])
+    )
+
+
+def _final_target(sched, x0, noise):
+    """With set_alpha_to_one=False the loop terminates at alpha_cumprod[0]
+    (≈0.99915), not 1 — exactly diffusers' behavior for the reference config
+    (generate.py:73)."""
+    a0 = np.asarray(sched.alphas_cumprod[0])
+    return np.sqrt(a0) * np.asarray(x0) + np.sqrt(1 - a0) * np.asarray(noise)
+
+
+def test_ddim_step_denoises_perfect_epsilon():
+    """If model_output is the exact noise used at t, stepping over the whole
+    schedule from the noised sample must land on the analytic endpoint."""
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    noise = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    sched = S.make_schedule(CFG, 25)
+    t0 = sched.timesteps[0]
+    x = S.add_noise(sched, x0, noise, t0)
+    for i in range(sched.num_steps):
+        x = S.ddim_step(sched, noise, jnp.int32(i), x)
+    np.testing.assert_allclose(
+        np.asarray(x), _final_target(sched, x0, noise), atol=2e-3
+    )
+
+
+def test_inversion_round_trip():
+    """invert (with perfect epsilon) then denoise recovers x0."""
+    rng = np.random.RandomState(1)
+    x0 = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    eps = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    inv = S.make_inversion_schedule(CFG, 20)
+    fwd = S.make_schedule(CFG, 20)
+    x = x0
+    for i in range(inv.num_steps):
+        x = S.ddim_inverse_step(inv, eps, jnp.int32(i), x)
+    for i in range(fwd.num_steps):
+        x = S.ddim_step(fwd, eps, jnp.int32(i), x)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-3)
+
+
+def test_fast_schedule_subsamples_tail():
+    ts_full = S.uniform_timesteps(CFG, 20)
+    ts_fast = S.fast_timesteps(CFG, 20, fast_after_steps=10, fast_rate=2)
+    np.testing.assert_array_equal(ts_fast[:10], ts_full[:10])
+    np.testing.assert_array_equal(ts_fast[10:], ts_full[11::2])
+    # degenerate case: fast_after >= len-1 returns full schedule
+    np.testing.assert_array_equal(
+        S.fast_timesteps(CFG, 20, fast_after_steps=19, fast_rate=2), ts_full
+    )
+
+
+def test_fast_schedule_still_denoises():
+    rng = np.random.RandomState(2)
+    x0 = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    noise = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    sched = S.make_schedule(CFG, 50, fast_after_steps=10, fast_rate=4)
+    assert sched.num_steps == 10 + len(range(11, 50, 4))
+    x = S.add_noise(sched, x0, noise, sched.timesteps[0])
+    for i in range(sched.num_steps):
+        x = S.ddim_step(sched, noise, jnp.int32(i), x)
+    np.testing.assert_allclose(
+        np.asarray(x), _final_target(sched, x0, noise), atol=2e-3
+    )
+
+
+def test_add_noise_vectorized_timesteps():
+    """Per-step frozen-latent targets noise one sample at *all* schedule
+    timesteps at once (reference models/pipelines.py:617-631)."""
+    rng = np.random.RandomState(3)
+    sched = S.make_schedule(CFG, 8)
+    x0 = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    noise = jnp.asarray(rng.randn(8, 4, 8, 8), jnp.float32)
+    out = S.add_noise(sched, x0, noise, sched.timesteps)  # [8,4,8,8]
+    assert out.shape == (8, 4, 8, 8)
+    one = S.add_noise(sched, x0[0], noise[3], sched.timesteps[3])
+    np.testing.assert_allclose(np.asarray(out[3]), np.asarray(one), rtol=1e-5)
+
+
+@pytest.mark.parametrize("eta", [0.0, 0.5])
+def test_ddim_step_eta_requires_noise(eta):
+    sched = S.make_schedule(CFG, 4)
+    x = jnp.zeros((1, 4, 8, 8))
+    if eta > 0:
+        with pytest.raises(ValueError):
+            S.ddim_step(sched, x, jnp.int32(0), x, eta=eta)
+    else:
+        S.ddim_step(sched, x, jnp.int32(0), x, eta=eta)

@@ -1,0 +1,295 @@
+"""Shared flax building blocks for the diffusion model zoo.
+
+Everything uses NHWC layout (TPU-native; the reference's torch stack is
+NCHW) and bf16-friendly compute with fp32 normalization statistics.
+Parameter names deliberately mirror diffusers' module names (``to_q``,
+``proj_attn``, ``time_emb_proj`` …) so :mod:`..models.weights` can port
+safetensors checkpoints by path mapping.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import attention as attn_ops
+
+
+def get_dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[name]
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, diffusers convention (SD1.5 uses
+    flip_sin_to_cos=True, shift=0)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32)
+        / (half - downscale_freq_shift)
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """MLP on the sinusoidal embedding (diffusers ``TimeEmbedding``)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb: jnp.ndarray) -> jnp.ndarray:
+        emb = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(emb)
+        emb = nn.silu(emb)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(emb)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics regardless of compute dtype."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.eps, dtype=jnp.float32,
+            name="norm",
+        )(x.astype(jnp.float32))
+        return out.astype(orig_dtype)
+
+
+class ResnetBlock2D(nn.Module):
+    """Diffusers ResnetBlock2D: GN → silu → conv → (+temb) → GN → silu → conv
+    with 1×1 shortcut on channel change."""
+
+    out_channels: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        residual = x
+        h = GroupNorm(self.groups, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm(self.groups, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                               name="conv_shortcut")(residual)
+        return residual + h
+
+
+class Downsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.channels, (3, 3), strides=2,
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        h = GEGLU(dim * self.mult, dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
+
+
+class CrossAttention(nn.Module):
+    """Projection wrapper around the attention kernels.
+
+    With ``ip_tokens > 0`` and a context longer than ``text_len``, the last
+    ``ip_tokens`` context entries route through separate ``to_k_ip/to_v_ip``
+    projections — the decoupled IP-Adapter attention of the reference
+    (``ip_adapter/attention_processor.py:396-553``), here fused at the op
+    level (:func:`theatergen_tpu.ops.attention.decoupled_attention`).
+    """
+
+    num_heads: int
+    head_dim: int
+    ip_tokens: int = 0
+    text_len: int = 77
+    use_flash: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                       # [B, Lq, C]
+        context: Optional[jnp.ndarray] = None,  # [B, Lk, Ctx]
+        *,
+        ip_scale: jnp.ndarray | float = 1.0,
+        return_probs: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        b, lq, c = x.shape
+        inner = self.num_heads * self.head_dim
+        ctx = x if context is None else context
+        is_ip = self.ip_tokens > 0 and context is not None
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        q = q.reshape(b, lq, self.num_heads, self.head_dim)
+
+        if is_ip:
+            text_ctx = ctx[:, : self.text_len]
+            ip_ctx = ctx[:, self.text_len : self.text_len + self.ip_tokens]
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(text_ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(text_ctx)
+            k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_k_ip")(ip_ctx)
+            v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_v_ip")(ip_ctx)
+            shape = (b, -1, self.num_heads, self.head_dim)
+            out, probs = attn_ops.decoupled_attention(
+                q, k.reshape(shape), v.reshape(shape),
+                k_ip.reshape(shape), v_ip.reshape(shape), ip_scale,
+                return_probs=return_probs, use_flash=self.use_flash,
+            )
+        else:
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+            shape = (b, -1, self.num_heads, self.head_dim)
+            out, probs = attn_ops.multi_head_attention(
+                q, k.reshape(shape), v.reshape(shape),
+                return_probs=return_probs, use_flash=self.use_flash,
+            )
+        out = out.reshape(b, lq, inner)
+        out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
+        return out, probs
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn → cross-attn → FF with pre-LayerNorms (diffusers
+    ``BasicTransformerBlock``; reference fork at ``models/attention.py:25-240``
+    adds attn-probability capture, provided here via ``return_probs`` +
+    ``nn.Module.sow``)."""
+
+    num_heads: int
+    head_dim: int
+    ip_tokens: int = 0
+    use_flash: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray,
+        *,
+        ip_scale: jnp.ndarray | float = 1.0,
+        capture_probs: bool = False,
+    ) -> jnp.ndarray:
+        h, _ = CrossAttention(
+            self.num_heads, self.head_dim, use_flash=self.use_flash,
+            dtype=self.dtype, name="attn1",
+        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
+        x = x + h
+        h, probs = CrossAttention(
+            self.num_heads, self.head_dim, ip_tokens=self.ip_tokens,
+            use_flash=self.use_flash, dtype=self.dtype, name="attn2",
+        )(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context,
+            ip_scale=ip_scale, return_probs=capture_probs,
+        )
+        if capture_probs and probs is not None:
+            # collection "attn": guidance reads cross-attention maps from here
+            # (the reference's save_attn_to_dict machinery,
+            # models/attention_processor.py:440-481).
+            self.sow("attn", "cross_attn_probs", probs,
+                     init_fn=lambda: probs, reduce_fn=lambda _, p: p)
+        x = x + h
+        x = x + FeedForward(dtype=self.dtype, name="ff")(
+            nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        )
+        return x
+
+
+class Transformer2D(nn.Module):
+    """GN → 1×1 proj_in → transformer blocks over flattened space → proj_out.
+
+    ``attn_key`` identifies this layer for guidance capture, mirroring the
+    reference's attn-key stamping (``models/transformer_2d.py:299-304``).
+    """
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    ip_tokens: int = 0
+    groups: int = 32
+    use_flash: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray,
+        *,
+        ip_scale: jnp.ndarray | float = 1.0,
+        capture_probs: bool = False,
+    ) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm(self.groups, name="norm")(x)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, c)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.num_heads, self.head_dim, ip_tokens=self.ip_tokens,
+                use_flash=self.use_flash, dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(x, context, ip_scale=ip_scale,
+              capture_probs=capture_probs and i == 0)
+        x = x.reshape(b, h, w, c)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual

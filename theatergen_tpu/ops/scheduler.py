@@ -1,0 +1,223 @@
+"""DDIM scheduler as pure functions over a static schedule table.
+
+Reference behavior being reproduced (see SURVEY.md §2.1/§2.9):
+
+- SD1.5 betas: ``scaled_linear`` 0.00085 → 0.012 over 1000 train steps,
+  ``clip_sample=False``, ``set_alpha_to_one=False``, ``steps_offset=1``
+  (reference ``generate.py:68-76``).
+- Fast schedule: keep the first ``fast_after_steps`` timesteps, subsample the
+  rest by ``fast_rate`` (reference ``utils/schedule.py:4-8``); the reference
+  then *dynamically adjusts* the scheduler's step size per step
+  (``utils/schedule.py:10-19``).  Here the previous-timestep lookup is simply
+  ``timesteps[i+1]`` — exact for any (possibly non-uniform) schedule, so no
+  dynamic adjustment is needed and the whole loop stays shape-static for
+  ``lax.scan``.
+- DDIM inversion timesteps for ``invert()`` (reference
+  ``models/pipelines.py:524-588``).
+
+Everything is index-based (position ``i`` in the timestep array), never
+value-based, so a denoising loop is ``lax.scan`` over ``i`` with all gathers
+static-shaped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SchedulerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMSchedule:
+    """Static schedule tables. All arrays are host-precomputed numpy/jnp.
+
+    Attributes:
+      timesteps: ``[S]`` int32, descending train-timestep values.
+      alphas_cumprod: ``[T]`` float32 cumulative alpha products.
+      alpha_prod: ``[S]`` float32, ``alphas_cumprod[timesteps]``.
+      alpha_prod_prev: ``[S]`` float32, alpha at the *next* loop position
+        (``timesteps[i+1]``), final entry = final_alpha_cumprod.
+      init_noise_sigma: scalar latent scaling at t=T (DDIM: 1.0).
+    """
+
+    timesteps: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    alpha_prod: jnp.ndarray
+    alpha_prod_prev: jnp.ndarray
+    num_train_timesteps: int
+    init_noise_sigma: float = 1.0
+
+    @property
+    def num_steps(self) -> int:
+        return int(self.timesteps.shape[0])
+
+
+def betas_for_schedule(cfg: SchedulerConfig) -> np.ndarray:
+    if cfg.beta_schedule == "scaled_linear":
+        return (
+            np.linspace(
+                cfg.beta_start**0.5, cfg.beta_end**0.5, cfg.num_train_timesteps,
+                dtype=np.float64,
+            )
+            ** 2
+        )
+    if cfg.beta_schedule == "linear":
+        return np.linspace(
+            cfg.beta_start, cfg.beta_end, cfg.num_train_timesteps, dtype=np.float64
+        )
+    raise ValueError(f"unknown beta schedule {cfg.beta_schedule!r}")
+
+
+def alphas_cumprod_for(cfg: SchedulerConfig) -> np.ndarray:
+    return np.cumprod(1.0 - betas_for_schedule(cfg), axis=0)
+
+
+def uniform_timesteps(cfg: SchedulerConfig, num_steps: int) -> np.ndarray:
+    """Diffusers-style leading-spaced timesteps with ``steps_offset``."""
+    ratio = cfg.num_train_timesteps // num_steps
+    ts = (np.arange(num_steps) * ratio).round()[::-1].astype(np.int64)
+    ts = ts + cfg.steps_offset
+    return np.clip(ts, 0, cfg.num_train_timesteps - 1).astype(np.int32)
+
+
+def fast_timesteps(
+    cfg: SchedulerConfig, num_steps: int, fast_after_steps: int, fast_rate: int
+) -> np.ndarray:
+    """Subsampled schedule: first ``fast_after_steps`` kept, remainder strided.
+
+    Mirrors ``get_fast_schedule`` (reference ``utils/schedule.py:4-8``).
+    """
+    ts = uniform_timesteps(cfg, num_steps)
+    if fast_after_steps >= len(ts) - 1:
+        return ts
+    return np.concatenate([ts[:fast_after_steps], ts[fast_after_steps + 1 :: fast_rate]])
+
+
+def make_schedule(
+    cfg: SchedulerConfig,
+    num_steps: int,
+    *,
+    fast_after_steps: Optional[int] = None,
+    fast_rate: int = 2,
+    timesteps: Optional[np.ndarray] = None,
+) -> DDIMSchedule:
+    acp = alphas_cumprod_for(cfg).astype(np.float32)
+    if timesteps is None:
+        if fast_after_steps is not None:
+            timesteps = fast_timesteps(cfg, num_steps, fast_after_steps, fast_rate)
+        else:
+            timesteps = uniform_timesteps(cfg, num_steps)
+    timesteps = np.asarray(timesteps, dtype=np.int32)
+    final_alpha = np.float32(1.0) if cfg.set_alpha_to_one else acp[0]
+    alpha_prod = acp[timesteps]
+    alpha_prod_prev = np.concatenate([acp[timesteps[1:]], [final_alpha]])
+    return DDIMSchedule(
+        timesteps=jnp.asarray(timesteps),
+        alphas_cumprod=jnp.asarray(acp),
+        alpha_prod=jnp.asarray(alpha_prod),
+        alpha_prod_prev=jnp.asarray(alpha_prod_prev),
+        num_train_timesteps=cfg.num_train_timesteps,
+    )
+
+
+def make_inversion_schedule(cfg: SchedulerConfig, num_steps: int) -> DDIMSchedule:
+    """Ascending timesteps for DDIM inversion.
+
+    The reference inverts over *all* steps with the inverse scheduler
+    (``models/pipelines.py:539-588``, ``get_inverse_timesteps``).  The i-th
+    inverse step maps x_{t_prev} → x_t; so ``alpha_prod`` holds the target
+    (larger-t) alpha and ``alpha_prod_prev`` the source alpha.
+    """
+    acp = alphas_cumprod_for(cfg).astype(np.float32)
+    ts = uniform_timesteps(cfg, num_steps)[::-1].copy()  # ascending
+    # source timestep for position i is the previous (smaller) one; for the
+    # first step the source is "clean" (alpha=final_alpha semantics of
+    # DDIMInverseScheduler with set_alpha_to_one=False → acp[0]).
+    src = np.concatenate([[0], ts[:-1]])
+    alpha_src = np.where(np.arange(len(ts)) == 0, acp[0], acp[src])
+    return DDIMSchedule(
+        timesteps=jnp.asarray(ts),
+        alphas_cumprod=jnp.asarray(acp),
+        alpha_prod=jnp.asarray(acp[ts]),
+        alpha_prod_prev=jnp.asarray(alpha_src.astype(np.float32)),
+        num_train_timesteps=cfg.num_train_timesteps,
+    )
+
+
+def pred_original(
+    sched: DDIMSchedule, model_output: jnp.ndarray, i: jnp.ndarray, sample: jnp.ndarray
+) -> jnp.ndarray:
+    """x0 prediction from epsilon at loop position ``i``."""
+    a_t = sched.alpha_prod[i].astype(sample.dtype)
+    return (sample - jnp.sqrt(1.0 - a_t) * model_output) / jnp.sqrt(a_t)
+
+
+def ddim_step(
+    sched: DDIMSchedule,
+    model_output: jnp.ndarray,
+    i: jnp.ndarray,
+    sample: jnp.ndarray,
+    *,
+    eta: float = 0.0,
+    noise: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """One deterministic DDIM update x_t → x_{t_prev} at loop position ``i``.
+
+    Matches diffusers ``DDIMScheduler.step`` with ``clip_sample=False``,
+    epsilon prediction (the reference's configuration, ``generate.py:68-76``),
+    generalized to arbitrary schedules via the precomputed
+    ``alpha_prod_prev`` table.
+    """
+    dtype = sample.dtype
+    a_t = sched.alpha_prod[i].astype(dtype)
+    a_prev = sched.alpha_prod_prev[i].astype(dtype)
+    x0 = (sample - jnp.sqrt(1.0 - a_t) * model_output) / jnp.sqrt(a_t)
+    if eta > 0.0:
+        var = (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev)
+        sigma = eta * jnp.sqrt(var)
+    else:
+        sigma = jnp.zeros((), dtype)
+    dir_xt = jnp.sqrt(1.0 - a_prev - sigma**2) * model_output
+    prev = jnp.sqrt(a_prev) * x0 + dir_xt
+    if eta > 0.0:
+        if noise is None:
+            raise ValueError("eta > 0 requires noise")
+        prev = prev + sigma * noise
+    return prev
+
+
+def ddim_inverse_step(
+    sched: DDIMSchedule, model_output: jnp.ndarray, i: jnp.ndarray, sample: jnp.ndarray
+) -> jnp.ndarray:
+    """One DDIM inversion update x_{t_src} → x_t (ascending schedule)."""
+    dtype = sample.dtype
+    a_t = sched.alpha_prod[i].astype(dtype)        # target (larger t)
+    a_src = sched.alpha_prod_prev[i].astype(dtype)  # source
+    x0 = (sample - jnp.sqrt(1.0 - a_src) * model_output) / jnp.sqrt(a_src)
+    return jnp.sqrt(a_t) * x0 + jnp.sqrt(1.0 - a_t) * model_output
+
+
+def add_noise(
+    sched: DDIMSchedule, sample: jnp.ndarray, noise: jnp.ndarray, t: jnp.ndarray
+) -> jnp.ndarray:
+    """Forward-process noising at train timestep value ``t`` (may be a vector
+    broadcast over a leading axis of per-step targets, as in the frozen-latent
+    preparation, reference ``models/pipelines.py:617-631``)."""
+    acp = sched.alphas_cumprod.astype(sample.dtype)
+    a = acp[t]
+    a = a.reshape(a.shape + (1,) * (sample.ndim - a.ndim))
+    return jnp.sqrt(a) * sample + jnp.sqrt(1.0 - a) * noise
+
+
+def guidance_step_scale(sched: DDIMSchedule, i: jnp.ndarray) -> jnp.ndarray:
+    """Gradient-descent scale for latent guidance at position ``i``.
+
+    The reference scales the energy gradient by ``(1 - alpha_prod_t)**0.5``
+    for DDIM (``models/pipelines.py:106-119``); equivalently sigma_t**2 for
+    sigma-parameterized schedulers.
+    """
+    return jnp.sqrt(1.0 - sched.alpha_prod[i])
