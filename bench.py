@@ -1,0 +1,85 @@
+"""Benchmark: SD1.5 512×512 50-step DDIM throughput on one chip.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}``.
+
+The baseline target is ≥4 images/sec/chip on v5e (BASELINE.md); the
+reference's own latency metric is wall-clock per 4-turn dialogue
+(``generate.py:263-269``), which this throughput number bounds.
+Weights are random (identical FLOP/byte profile to trained weights),
+materialized host-side to avoid a giant on-device init compile; the
+persistent compilation cache makes repeat runs start fast.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BATCH = 4
+STEPS = 50
+TARGET = 4.0  # images/sec/chip, BASELINE.json
+
+
+def main() -> None:
+    from theatergen_tpu.utils.fastinit import materialize_params, setup_compile_cache
+
+    setup_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from theatergen_tpu.config import sd15_config
+    from theatergen_tpu.models.unet import UNet2DCondition
+    from theatergen_tpu.ops import scheduler as sched_ops
+    from theatergen_tpu.pipelines import sd
+
+    cfg = sd15_config()
+    unet = UNet2DCondition(cfg.unet)
+    lat0 = jax.device_put(
+        jax.random.normal(jax.random.key(0), (BATCH, 64, 64, 4))
+    )
+    t0 = jnp.zeros((1,), jnp.int32)
+    ctx = jax.random.normal(
+        jax.random.key(1),
+        (2 * BATCH, cfg.text.max_length, cfg.unet.cross_attention_dim),
+        jnp.bfloat16,
+    )
+    params = materialize_params(
+        lambda: unet.init(
+            jax.random.key(2), jnp.zeros((1, 64, 64, 4)), t0, ctx[:1]
+        )["params"],
+        dtype=jnp.bfloat16,
+    )
+    sched = sched_ops.make_schedule(cfg.scheduler, STEPS)
+
+    @jax.jit
+    def run(p, lat, context):
+        def unet_apply(x, t, c):
+            return unet.apply({"params": p}, x,
+                              jnp.broadcast_to(t[None], (x.shape[0],)), c)
+
+        final, _ = sd.denoise(unet_apply, sched, lat, context,
+                              cfg.pipeline.guidance_scale)
+        return final
+
+    run(params, lat0, ctx).block_until_ready()  # compile
+
+    times = []
+    for _ in range(3):
+        t_start = time.perf_counter()
+        run(params, lat0, ctx).block_until_ready()
+        times.append(time.perf_counter() - t_start)
+    best = min(times)
+    ips = BATCH / best
+
+    print(json.dumps({
+        "metric": f"SD1.5 512px {STEPS}-step DDIM (CFG) denoise throughput, batch {BATCH}",
+        "value": round(ips, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Mesh sharding + sharded training step on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from theatergen_tpu.config import tiny_config
+from theatergen_tpu.models.unet import UNet2DCondition
+from theatergen_tpu.parallel import mesh as mesh_lib
+from theatergen_tpu.training import diffusion as trainer
+
+
+CFG = tiny_config()
+
+
+def test_virtual_device_count():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    m = mesh_lib.make_mesh(dp=4, tp=2)
+    assert m.shape == {"dp": 4, "tp": 2}
+    m2 = mesh_lib.make_mesh(tp=2)
+    assert m2.shape == {"dp": 4, "tp": 2}
+
+
+def test_param_spec_rules():
+    assert mesh_lib.param_spec("encoder/x/attn1/to_q/kernel") == P(None, "tp")
+    assert mesh_lib.param_spec("mid/x/attn2/to_out_0/kernel") == P("tp", None)
+    assert mesh_lib.param_spec("a/ff/net_0/proj/kernel") == P(None, "tp")
+    assert mesh_lib.param_spec("a/ff/net_2/kernel") == P("tp", None)
+    assert mesh_lib.param_spec("conv_in/kernel") == P()
+
+
+@pytest.fixture(scope="module")
+def unet_setup():
+    unet = UNet2DCondition(CFG.unet)
+    params = unet.init(
+        jax.random.key(0),
+        jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, CFG.text.max_length, CFG.unet.cross_attention_dim)),
+    )["params"]
+    return unet, params
+
+
+def test_sharded_unet_forward_matches_single(unet_setup):
+    """tp=2, dp=4 sharded forward must equal the unsharded one."""
+    unet, params = unet_setup
+    x = jax.random.normal(jax.random.key(1), (4, 8, 8, 4))
+    t = jnp.full((4,), 500, jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (4, CFG.text.max_length, 32))
+    ref = unet.apply({"params": params}, x, t, ctx)
+
+    mesh = mesh_lib.make_mesh(dp=4, tp=2)
+    p_sharded = mesh_lib.shard_params(mesh, params)
+    fn = jax.jit(
+        lambda p, a, b, c: unet.apply({"params": p}, a, b, c),
+        in_shardings=(
+            mesh_lib.param_shardings(mesh, params),
+            mesh_lib.batch_sharding(mesh),
+            mesh_lib.batch_sharding(mesh),
+            mesh_lib.batch_sharding(mesh),
+        ),
+    )
+    out = fn(p_sharded, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_sharded_train_step_runs_and_reduces_loss(unet_setup):
+    unet, params = unet_setup
+    mesh = mesh_lib.make_mesh(dp=4, tp=2)
+    opt = trainer.make_optimizer(lr=1e-3, warmup=0)
+
+    def unet_apply(p, lat, t, ctx):
+        return unet.apply({"params": p}, lat, t, ctx)
+
+    step = trainer.make_train_step(unet_apply, opt, CFG.scheduler)
+    step = trainer.shard_train_step(step, mesh)
+
+    p_sharded = mesh_lib.shard_params(mesh, params)
+    state = trainer.TrainState(
+        params=p_sharded, opt_state=opt.init(p_sharded), step=jnp.int32(0)
+    )
+    lat = jax.random.normal(jax.random.key(3), (8, 8, 8, 4)) * 0.2
+    ctx = jax.random.normal(jax.random.key(4), (8, CFG.text.max_length, 32))
+    losses = []
+    for i in range(5):
+        state, loss = step(state, lat, ctx, jax.random.key(i))
+        losses.append(float(loss))
+    assert int(state.step) == 5
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # overfitting a fixed batch must help
+
+
+def test_trainable_filter_freezes_params(unet_setup):
+    """IP-recipe: only to_k_ip/to_v_ip-style leaves should move."""
+    unet, params = unet_setup
+    opt = trainer.make_optimizer(lr=1e-2, warmup=0)
+
+    def unet_apply(p, lat, t, ctx):
+        return unet.apply({"params": p}, lat, t, ctx)
+
+    step = trainer.make_train_step(
+        unet_apply, opt, CFG.scheduler,
+        trainable_filter=lambda path: "attn2" in path,
+    )
+    state = trainer.TrainState(params=params, opt_state=opt.init(params),
+                               step=jnp.int32(0))
+    lat = jax.random.normal(jax.random.key(3), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(4), (2, CFG.text.max_length, 32))
+    new_state, _ = step(state, lat, ctx, jax.random.key(0))
+
+    def diff(path, a, b):
+        pstr = "/".join(str(getattr(k, "key", k)) for k in path)
+        changed = bool(np.abs(np.asarray(a - b)).max() > 0)
+        if "attn2" not in pstr:
+            assert not changed, f"frozen param moved: {pstr}"
+        return changed
+
+    flags = jax.tree_util.tree_map_with_path(diff, state.params, new_state.params)
+    assert any(jax.tree_util.tree_leaves(flags))  # something did train

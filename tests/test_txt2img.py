@@ -1,0 +1,81 @@
+"""End-to-end tiny txt2img: the minimum slice of SURVEY.md §7."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from theatergen_tpu.config import tiny_config
+from theatergen_tpu.pipelines import sd
+from theatergen_tpu.pipelines.bundle import init_bundle
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return init_bundle(tiny_config(), jax.random.key(0))
+
+
+def test_txt2img_runs_and_is_deterministic(bundle):
+    pipe = sd.Text2Img(bundle, num_steps=3)
+    img1 = pipe(jax.random.key(1), "a red apple on a table")
+    img2 = pipe(jax.random.key(1), "a red apple on a table")
+    img3 = pipe(jax.random.key(2), "a red apple on a table")
+    assert img1.shape == (1, 16, 16, 3)  # tiny cfg: 8×8 latent, VAE scale 2
+    assert float(img1.min()) >= 0.0 and float(img1.max()) <= 1.0
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    assert np.abs(np.asarray(img1) - np.asarray(img3)).max() > 1e-6
+
+
+def test_denoise_trajectory_stacking(bundle):
+    """Trajectory ys must be [S+1, B, h, w, 4] with traj[0] == initial noise
+    (the reference's latents_all contract, models/pipelines.py:375-381)."""
+    cfg = bundle.cfg
+    sched_obj = __import__(
+        "theatergen_tpu.ops.scheduler", fromlist=["make_schedule"]
+    ).make_schedule(cfg.scheduler, 4)
+    lat = sd.seeded_latents(jax.random.key(0), 1, 8, 8)
+    ctx = jax.random.normal(
+        jax.random.key(1), (2, cfg.text.max_length, cfg.unet.cross_attention_dim)
+    )
+
+    def unet_apply(x, t, c):
+        return bundle.unet.apply(
+            {"params": bundle.unet_params}, x,
+            jnp.broadcast_to(t[None], (x.shape[0],)), c,
+        )
+
+    final, traj = sd.denoise(unet_apply, sched_obj, lat, ctx, 7.5,
+                             collect_trajectory=True)
+    assert traj.shape == (5, 1, 8, 8, 4)
+    np.testing.assert_array_equal(np.asarray(traj[0]), np.asarray(lat))
+    np.testing.assert_array_equal(np.asarray(traj[-1]), np.asarray(final))
+
+
+def test_encode_decode_roundtrip_scale(bundle):
+    img = jax.random.uniform(jax.random.key(0), (1, 16, 16, 3)) * 2 - 1
+    z = sd.encode_image(bundle, img)
+    assert z.shape == (1, 8, 8, 4)
+    out = sd.decode_latents(bundle, z)
+    assert out.shape == (1, 16, 16, 3)
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+
+def test_invert_then_denoise_consistency(bundle):
+    """Inversion produces a trajectory of the right shape; denoising the
+    inverted latents with the same context returns near the original
+    (exact for a perfect model; here we check shape/finiteness only since
+    weights are random)."""
+    cfg = bundle.cfg
+    z = jax.random.normal(jax.random.key(0), (1, 8, 8, 4)) * 0.2
+    ctx = jax.random.normal(
+        jax.random.key(1), (2, cfg.text.max_length, cfg.unet.cross_attention_dim)
+    )
+    noised, traj = sd.invert(bundle, z, ctx, num_steps=4)
+    assert traj.shape == (5, 1, 8, 8, 4)
+    assert np.isfinite(np.asarray(noised)).all()
+
+
+def test_cfg_combine():
+    eps = jnp.stack([jnp.zeros((2, 2)), jnp.ones((2, 2))])
+    out = sd.cfg_combine(eps.reshape(2, 2, 2), 7.5)
+    np.testing.assert_allclose(np.asarray(out), 7.5)

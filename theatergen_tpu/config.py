@@ -191,14 +191,15 @@ class PipelineConfig:
     fast_after_steps: Optional[int] = None
     fast_rate: int = 2
     max_objects: int = 8                # static pad for jit (SURVEY §7 hard parts)
+    vae_scale: int = 8                  # spatial down-factor of the VAE
 
     @property
     def latent_height(self) -> int:
-        return self.height // 8
+        return self.height // self.vae_scale
 
     @property
     def latent_width(self) -> int:
-        return self.width // 8
+        return self.width // self.vae_scale
 
 
 @dataclasses.dataclass(frozen=True)
@@ -266,8 +267,8 @@ def tiny_config(latent_size: int = 8) -> TheaterConfig:
         resampler_queries=4,
     )
     pipe = PipelineConfig(
-        height=latent_size * 8, width=latent_size * 8, num_steps=4,
-        max_objects=3,
+        height=latent_size * 2, width=latent_size * 2, num_steps=4,
+        max_objects=3, vae_scale=2,
     )
     return TheaterConfig(
         unet=unet, vae=vae, text=text, vision=vision,

@@ -57,11 +57,16 @@ class UNetEncoder(nn.Module):
         *,
         ip_scale=1.0,
         capture_keys: Tuple[AttnKey, ...] = (),
+        cond_hint: Optional[jnp.ndarray] = None,
     ):
         cfg = self.cfg
         dtype = get_dtype(cfg.dtype)
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dtype,
                     name="conv_in")(sample)
+        if cond_hint is not None:
+            # ControlNet hint injection right after conv_in (diffusers
+            # ControlNetModel semantics).
+            h = h + cond_hint.astype(h.dtype)
         skips = [h]
         for i, ch in enumerate(cfg.block_out_channels):
             has_attn = cfg.attention_levels[i]

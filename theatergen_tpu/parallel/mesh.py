@@ -1,0 +1,95 @@
+"""Device mesh + sharding rules.
+
+The reference has no distributed runtime at all (SURVEY.md §2.11: single
+process, single GPU; SDXL's manual ``.to('cuda:N')`` placement is not
+parallelism).  The TPU-native design is SPMD from the start:
+
+- ``dp`` axis shards the benchmark batch — dialogues are the DP unit, since
+  a dialogue's 4 turns are sequentially dependent (``generate.py:180-269``);
+- ``tp`` axis shards attention head / FFN projections Megatron-style; SD1.5
+  (859M params) fits per chip, so tp matters for SDXL and for latency
+  scaling.
+
+XLA GSPMD inserts the collectives (all-reduce over ``tp`` after row-sharded
+matmuls, gradient all-reduce over ``dp``) from the shardings alone.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = -1, tp: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a ('dp', 'tp') mesh. ``dp=-1`` → use all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp == -1:
+        assert n % tp == 0, (n, tp)
+        dp = n // tp
+    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
+    arr = np.array(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# (regex over 'path/to/param', PartitionSpec) — first match wins.
+# Dense kernels are [in, out]; "column" sharding puts the output dim on tp,
+# "row" sharding the input dim (followed by an XLA-inserted all-reduce).
+_TP_RULES = [
+    # attention projections: q/k/v column-sharded, out row-sharded
+    (re.compile(r".*/(to_q|to_k|to_v|to_k_ip|to_v_ip)/kernel$"), P(None, "tp")),
+    (re.compile(r".*/(q_proj|k_proj|v_proj)/kernel$"), P(None, "tp")),
+    (re.compile(r".*/to_out_0/kernel$"), P("tp", None)),
+    (re.compile(r".*/out_proj/kernel$"), P("tp", None)),
+    # transformer FFN: GEGLU proj column, net_2 row
+    (re.compile(r".*/ff/net_0/proj/kernel$"), P(None, "tp")),
+    (re.compile(r".*/ff/net_2/kernel$"), P("tp", None)),
+    (re.compile(r".*/mlp/fc1/kernel$"), P(None, "tp")),
+    (re.compile(r".*/mlp/fc2/kernel$"), P("tp", None)),
+    # time-embedding MLP (large: 1280×1280)
+    (re.compile(r".*/time_embedding/linear_1/kernel$"), P(None, "tp")),
+    (re.compile(r".*/time_embedding/linear_2/kernel$"), P("tp", None)),
+]
+
+
+def param_spec(path: str) -> P:
+    for rx, spec in _TP_RULES:
+        if rx.match(path):
+            return spec
+    return P()  # replicate
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """Pytree of NamedShardings for a flax param tree."""
+
+    def one(path, leaf):
+        pstr = "/".join(str(getattr(k, "key", k)) for k in path)
+        spec = param_spec(pstr)
+        if any(s is not None for s in spec):
+            # guard: uneven dims fall back to replication
+            tp = mesh.shape["tp"]
+            for dim, axis in enumerate(spec):
+                if axis == "tp" and leaf.shape[dim] % tp != 0:
+                    return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dim over dp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    """Device-put a param tree according to the tp rules."""
+    return jax.device_put(params, param_shardings(mesh, params))

@@ -1,0 +1,158 @@
+"""Model bundle: modules + parameters + tokenizer, one object to thread
+through pipelines.
+
+The reference assembles its model zoo at import time in ``generate.py:55-147``
+(SD pipe, ControlNet pipe, IP-Adapter, DINO, SAM).  Here the equivalent is
+:func:`init_bundle` (random weights — architecture tests / benchmarking) and
+:func:`theatergen_tpu.models.weights.load_bundle` (ported checkpoints).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TheaterConfig
+from ..models.clip import CLIPTextEncoder, CLIPVisionEncoder
+from ..models.unet import UNet2DCondition
+from ..models.vae import AutoencoderKL
+from ..utils.tokenizer import load_tokenizer
+
+
+@dataclasses.dataclass
+class Bundle:
+    """Everything the pipelines need. ``*_params`` are flax param pytrees."""
+
+    cfg: TheaterConfig
+    tokenizer: Any
+
+    unet: UNet2DCondition
+    unet_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+    text: CLIPTextEncoder
+    text_params: Any
+
+    # IP-Adapter-equipped UNet shares most params with `unet_params` but adds
+    # to_k_ip/to_v_ip leaves; populated by with_ip_adapter().
+    unet_ip: Optional[UNet2DCondition] = None
+    unet_ip_params: Any = None
+
+    vision: Optional[CLIPVisionEncoder] = None
+    vision_params: Any = None
+
+    image_proj: Any = None          # models.ip_adapter.ImageProjModel
+    image_proj_params: Any = None
+
+    controlnet: Any = None          # models.controlnet.ControlNet
+    controlnet_params: Any = None
+
+    sam: Any = None                 # perception.sam.SAMLite
+    sam_params: Any = None
+
+    def text_embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        hidden, _ = self.text.apply({"params": self.text_params}, input_ids)
+        return hidden
+
+
+def init_bundle(
+    cfg: TheaterConfig,
+    rng: jax.Array,
+    *,
+    with_ip: bool = False,
+    with_controlnet: bool = False,
+    with_vision: bool = False,
+    with_sam: bool = False,
+    tokenizer_assets: Optional[str] = None,
+) -> Bundle:
+    """Random-init bundle (benchmark / test path — no weights shipped in
+    this environment; see models/weights.py for checkpoint porting)."""
+    keys = jax.random.split(rng, 8)
+    H = W = cfg.unet.sample_size
+    img_h, img_w = cfg.pipeline.height, cfg.pipeline.width
+
+    unet = UNet2DCondition(cfg.unet)
+    unet_params = unet.init(
+        keys[0],
+        jnp.zeros((1, H, W, cfg.unet.in_channels)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim)),
+    )["params"]
+
+    vae = AutoencoderKL(cfg.vae)
+    vae_params = vae.init(
+        keys[1], jnp.zeros((1, img_h, img_w, cfg.vae.in_channels))
+    )["params"]
+
+    text = CLIPTextEncoder(cfg.text)
+    text_params = text.init(
+        keys[2], jnp.zeros((1, cfg.text.max_length), jnp.int32)
+    )["params"]
+
+    b = Bundle(
+        cfg=cfg,
+        tokenizer=load_tokenizer(tokenizer_assets, cfg.text.vocab_size),
+        unet=unet, unet_params=unet_params,
+        vae=vae, vae_params=vae_params,
+        text=text, text_params=text_params,
+    )
+
+    if with_ip or with_controlnet:
+        import dataclasses as dc
+
+        if with_ip:
+            from ..models.ip_adapter import ImageProjModel
+
+            ip_unet_cfg = dc.replace(
+                cfg.unet, ip_num_tokens=cfg.ip_adapter.num_tokens
+            )
+            b.unet_ip = UNet2DCondition(ip_unet_cfg)
+            ctx_len = cfg.text.max_length + cfg.ip_adapter.num_tokens
+            b.unet_ip_params = b.unet_ip.init(
+                keys[3],
+                jnp.zeros((1, H, W, cfg.unet.in_channels)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, ctx_len, cfg.unet.cross_attention_dim)),
+            )["params"]
+            proj = ImageProjModel(cfg.ip_adapter)
+            b.image_proj = proj
+            b.image_proj_params = proj.init(
+                keys[4], jnp.zeros((1, cfg.ip_adapter.clip_embeddings_dim))
+            )["params"]
+
+        if with_controlnet:
+            from ..models.controlnet import ControlNet
+
+            cn = ControlNet(cfg.controlnet)
+            b.controlnet = cn
+            b.controlnet_params = cn.init(
+                keys[5],
+                jnp.zeros((1, H, W, cfg.unet.in_channels)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim)),
+                jnp.zeros((1, img_h, img_w, cfg.controlnet.conditioning_channels)),
+            )["params"]
+
+    if with_vision:
+        vis = CLIPVisionEncoder(cfg.vision)
+        b.vision = vis
+        b.vision_params = vis.init(
+            keys[6],
+            jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+        )["params"]
+
+    if with_sam:
+        from ..perception.sam import SAMLite
+
+        sam = SAMLite(cfg.sam)
+        b.sam = sam
+        b.sam_params = sam.init(
+            keys[7],
+            jnp.zeros((1, cfg.sam.image_size, cfg.sam.image_size, 3)),
+            jnp.zeros((1, 1, 4)),
+        )["params"]
+
+    return b
