@@ -14,10 +14,12 @@ persistent compilation cache makes repeat runs start fast.
 from __future__ import annotations
 
 import json
+import os
 import time
 
-BATCH = 4
-STEPS = 50
+BATCH = int(os.environ.get("THEATERGEN_BENCH_BATCH", "4"))
+STEPS = int(os.environ.get("THEATERGEN_BENCH_STEPS", "50"))
+USE_FLASH = os.environ.get("THEATERGEN_BENCH_FLASH", "1") == "1"
 TARGET = 4.0  # images/sec/chip, BASELINE.json
 
 
@@ -34,8 +36,11 @@ def main() -> None:
     from theatergen_tpu.ops import scheduler as sched_ops
     from theatergen_tpu.pipelines import sd
 
+    import dataclasses
+
     cfg = sd15_config()
-    unet = UNet2DCondition(cfg.unet)
+    ucfg = dataclasses.replace(cfg.unet, flash_attention=USE_FLASH)
+    unet = UNet2DCondition(ucfg)
     lat0 = jax.device_put(
         jax.random.normal(jax.random.key(0), (BATCH, 64, 64, 4))
     )

@@ -1,0 +1,116 @@
+"""Perception: SAMLite, mask selection, lineart."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from theatergen_tpu.config import tiny_config
+from theatergen_tpu.ops import lineart as LA
+from theatergen_tpu.perception import detector as D
+from theatergen_tpu.perception import sam as SM
+
+
+CFG = tiny_config()
+
+
+@pytest.fixture(scope="module")
+def sam_and_params():
+    sam = SM.SAMLite(CFG.sam)
+    img = jnp.zeros((1, CFG.sam.image_size, CFG.sam.image_size, 3))
+    boxes = jnp.zeros((1, 1, 4))
+    params = sam.init(jax.random.key(0), img, boxes)["params"]
+    return sam, params
+
+
+def test_samlite_shapes(sam_and_params):
+    sam, params = sam_and_params
+    s = CFG.sam.image_size
+    n = s // CFG.sam.patch_size
+    img = jax.random.uniform(jax.random.key(1), (1, s, s, 3))
+    boxes = jnp.array([[[0.2, 0.2, 0.8, 0.8], [0.0, 0.0, 0.5, 0.5]]])
+    masks, iou = sam.apply({"params": params}, img, boxes)
+    assert masks.shape == (1, 2, CFG.sam.num_mask_outputs, 4 * n, 4 * n)
+    assert iou.shape == (1, 2, CFG.sam.num_mask_outputs)
+    # different boxes → different masks
+    assert np.abs(np.asarray(masks[0, 0] - masks[0, 1])).max() > 1e-6
+
+
+def test_select_mask_rules():
+    h = w = 8
+    big = jnp.ones((h, w))
+    mid = jnp.zeros((h, w)).at[:4].set(1.0)
+    small = jnp.zeros((h, w)).at[:2, :2].set(1.0)
+    masks = jnp.stack([small, mid, big])
+    # all confident → largest wins
+    assert int(SM.select_mask(masks, jnp.array([0.9, 0.9, 0.9]))) == 2
+    # largest below confidence → next largest
+    assert int(SM.select_mask(masks, jnp.array([0.9, 0.9, 0.1]))) == 1
+    # coarse-iou penalty: coarse mask matches `mid` only
+    idx = SM.select_mask(masks, jnp.array([0.9, 0.9, 0.9]), coarse_mask=mid,
+                         min_coarse_iou=0.6)
+    assert int(idx) == 1
+
+
+def test_refine_mask_removes_specks():
+    m = np.zeros((16, 16), np.float32)
+    m[4:12, 4:12] = 1.0
+    m[0, 0] = 1.0  # single-pixel speck
+    out = np.asarray(SM.refine_mask(jnp.asarray(m)))
+    assert out[0, 0] == 0.0          # speck eroded away
+    assert out[6:10, 6:10].min() == 1.0   # body survives
+
+
+def test_segment_with_box(sam_and_params):
+    sam, params = sam_and_params
+    s = CFG.sam.image_size
+    img = jax.random.uniform(jax.random.key(1), (s, s, 3))
+    (m64, m512), conf = SM.segment_with_box(
+        sam, params, img, jnp.array([0.2, 0.2, 0.8, 0.8]),
+        out_sizes=(8, 64),
+    )
+    assert m64.shape == (8, 8) and m512.shape == (64, 64)
+    assert set(np.unique(np.asarray(m64))) <= {0.0, 1.0}
+
+
+def test_attention_detect_localizes():
+    heads, side, T = 2, 8, 5
+    attn = np.full((heads, side * side, T), 1e-5, np.float32)
+    # concentrate token-3 attention bottom-right
+    for y in range(5, 8):
+        for x in range(5, 8):
+            attn[:, y * side + x, 3] = 1.0
+    det = D.attention_detect([jnp.asarray(attn)], jnp.int32(3))
+    assert bool(det.ok)
+    box = np.asarray(det.box)
+    assert box[0] > 0.4 and box[1] > 0.4  # bottom-right quadrant
+
+
+def test_attention_detect_rejects_diffuse():
+    heads, side, T = 2, 8, 5
+    attn = np.random.RandomState(0).uniform(
+        0.4, 0.6, (heads, side * side, T)).astype(np.float32)
+    det = D.attention_detect([jnp.asarray(attn)], jnp.int32(3))
+    # diffuse attention → large box, low inside-mass concentration is not
+    # required, but the box should cover most of the canvas
+    box = np.asarray(det.box)
+    assert (box[2] - box[0]) > 0.8
+
+
+def test_dog_lineart_edges():
+    img = np.zeros((32, 32, 3), np.float32)
+    img[:, 16:] = 1.0  # vertical edge
+    lines = np.asarray(LA.dog_lineart(jnp.asarray(img)))
+    assert lines.shape == (32, 32, 3)
+    edge_col = lines[:, 14:18, 0].mean()
+    flat_col = lines[:, 2:6, 0].mean()
+    assert edge_col > flat_col + 0.1  # bright lines at the edge
+
+
+def test_lineart_net_shapes():
+    net = LA.LineartNet(base=8, n_res=1)
+    img = jax.random.uniform(jax.random.key(0), (1, 32, 32, 3))
+    params = net.init(jax.random.key(1), img)["params"]
+    out = net.apply({"params": params}, img)
+    assert out.shape == (1, 32, 32, 3)
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0

@@ -270,10 +270,18 @@ def tiny_config(latent_size: int = 8) -> TheaterConfig:
         height=latent_size * 2, width=latent_size * 2, num_steps=4,
         max_objects=3, vae_scale=2,
     )
+    guidance = GuidanceConfig(
+        # tiny UNet has layers_per_block=1 → up blocks carry 2 attentions
+        attn_keys=(("mid", 0, 0, 0), ("up", 1, 0, 0), ("up", 1, 1, 0)),
+        max_iter=(2, 2, 2, 2),
+        guidance_steps=2,
+    )
     return TheaterConfig(
         unet=unet, vae=vae, text=text, vision=vision,
-        controlnet=ControlNetConfig(unet=unet),
-        ip_adapter=ip, sam=sam, pipeline=pipe,
+        # one stride-2 stage to match the tiny VAE's scale-2 latents
+        controlnet=ControlNetConfig(unet=unet,
+                                    conditioning_embed_channels=(8, 16)),
+        ip_adapter=ip, sam=sam, pipeline=pipe, guidance=guidance,
     )
 
 

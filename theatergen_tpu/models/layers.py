@@ -159,7 +159,6 @@ class CrossAttention(nn.Module):
     num_heads: int
     head_dim: int
     ip_tokens: int = 0
-    text_len: int = 77
     use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -181,8 +180,12 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, lq, self.num_heads, self.head_dim)
 
         if is_ip:
-            text_ctx = ctx[:, : self.text_len]
-            ip_ctx = ctx[:, self.text_len : self.text_len + self.ip_tokens]
+            # context layout: [text tokens ; ip_tokens image tokens]
+            # (reference splits at end_pos = L - num_tokens,
+            # ip_adapter/attention_processor.py:466-471)
+            text_len = ctx.shape[1] - self.ip_tokens
+            text_ctx = ctx[:, :text_len]
+            ip_ctx = ctx[:, text_len:]
             k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(text_ctx)
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(text_ctx)
             k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,

@@ -39,6 +39,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_head_dim(d: int) -> int:
+    """Pad the head dim to a Mosaic-friendly lane width: 64 for small heads
+    (SD1.5's d=40 — padding to 128 would waste 3.2× MXU work on QK^T),
+    otherwise the next 128 multiple."""
+    return 64 if d <= 64 else _round_up(d, 128)
+
+
 def supported(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     """Whether the flash kernel applies to these BSHD shapes."""
     sq, sk = q.shape[1], k.shape[1]
@@ -77,7 +84,7 @@ def flash_attention(
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    dp = _round_up(d, LANE)
+    dp = _pad_head_dim(d)
     bq = min(q_block, _round_up(sq, LANE))
     sq_p = _round_up(sq, bq)
 

@@ -1,0 +1,161 @@
+"""Per-character generation: IP-conditioned DDIM with optional latent
+guidance and reference-attention capture.
+
+Equivalent of the reference's ``generate_semantic_guidance``
+(``models/pipelines.py:175-490``) — the per-character denoise that:
+- conditions on an IP-Adapter image prompt from the character database
+  (scale 0.4 on DB hit, 0.0 on miss — ``:183-199``; here ``ip_scale`` is a
+  traced scalar so one compiled program serves both);
+- runs the latent-guidance energy step (the reference's dormant
+  ``latent_backward_guidance``, §3.3 — a required feature here);
+- stacks the full per-step latent trajectory on device (the reference
+  offloads to CPU every step, ``:449-453``);
+- captures the guidance-key cross-attention maps of the character's word
+  token each step, for the attention-transfer loss in the final pass
+  (``utils/guidance.py:150-242``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GuidanceConfig
+from ..ops import scheduler as sched_ops
+from ..ops.scheduler import DDIMSchedule
+from . import sd
+from .bundle import Bundle
+from .guidance import GuidanceInputs, guidance_update, make_energy_fn
+
+
+@dataclasses.dataclass
+class CharacterResult:
+    latents: jnp.ndarray                 # [1, h, w, 4] final
+    trajectory: jnp.ndarray              # [S+1, 1, h, w, 4]
+    ref_attn: Optional[Tuple[jnp.ndarray, ...]]  # per key [S, heads, HW]
+
+
+jax.tree_util.register_dataclass(
+    CharacterResult, data_fields=["latents", "trajectory", "ref_attn"],
+    meta_fields=[],
+)
+
+
+def ip_context(
+    bundle: Bundle,
+    text_context: jnp.ndarray,          # [2, 77, C] uncond ++ cond
+    image_embeds: jnp.ndarray,          # [1, D_clip] CLIP image embedding
+) -> jnp.ndarray:
+    """Append IP tokens to the text context: cond row gets the projected
+    image tokens, uncond row the projection of zeros
+    (reference ``IPAdapter.get_image_embeds`` + concat,
+    ``ip_adapter/ip_adapter.py:142-153``, ``models/pipelines.py:246-247``)."""
+    proj = lambda e: bundle.image_proj.apply(
+        {"params": bundle.image_proj_params}, e
+    )
+    cond_tokens = proj(image_embeds)
+    uncond_tokens = proj(jnp.zeros_like(image_embeds))
+    ip_tokens = jnp.concatenate([uncond_tokens, cond_tokens], axis=0)
+    return jnp.concatenate([text_context, ip_tokens.astype(text_context.dtype)],
+                           axis=1)
+
+
+def encode_ip_image(bundle: Bundle, image: jnp.ndarray) -> jnp.ndarray:
+    """RGB [0,1] NHWC → CLIP image embedding for the IP projector."""
+    # CLIP normalization
+    mean = jnp.array([0.48145466, 0.4578275, 0.40821073])
+    std = jnp.array([0.26862954, 0.26130258, 0.27577711])
+    size = bundle.cfg.vision.image_size
+    img = jax.image.resize(image, (image.shape[0], size, size, 3), "bilinear")
+    img = (img - mean) / std
+    embeds, _, _ = bundle.vision.apply({"params": bundle.vision_params}, img)
+    return embeds
+
+
+def make_character_pipeline(
+    bundle: Bundle,
+    num_steps: int,
+    *,
+    use_ip: bool = True,
+    guided: bool = False,
+    capture_ref_attn: bool = False,
+    guidance_scale: Optional[float] = None,
+):
+    """Build the jitted per-character runner.
+
+    Returns ``run(unet_params, input_latents, context, ip_scale, gin)
+    -> CharacterResult`` (pass ``gin=None`` when ``guided=False``).
+    Params are explicit args (never closed over — multi-GB constants).
+    """
+    cfg = bundle.cfg
+    gcfg = cfg.guidance
+    unet = bundle.unet_ip if use_ip else bundle.unet
+    sched = sched_ops.make_schedule(
+        cfg.scheduler, num_steps,
+        fast_after_steps=cfg.pipeline.fast_after_steps,
+        fast_rate=cfg.pipeline.fast_rate,
+    )
+    gs = cfg.pipeline.guidance_scale if guidance_scale is None else guidance_scale
+    text_len = cfg.text.max_length
+
+    def run(unet_params, input_latents, context, ip_scale,
+            gin: Optional[GuidanceInputs] = None) -> CharacterResult:
+        def unet_apply(x, t, ctx, capture=False):
+            kwargs = dict(ip_scale=ip_scale) if use_ip else {}
+            if capture:
+                return unet.apply(
+                    {"params": unet_params}, x,
+                    jnp.broadcast_to(t[None], (x.shape[0],)), ctx,
+                    capture_keys=gcfg.attn_keys, mutable=["attn"], **kwargs,
+                )
+            return unet.apply(
+                {"params": unet_params}, x,
+                jnp.broadcast_to(t[None], (x.shape[0],)), ctx, **kwargs,
+            )
+
+        if guided:
+            cond_context = context[1:2]
+            energy = make_energy_fn(
+                lambda lat, t, ctx: unet_apply(lat, t, ctx, capture=True)[1]["attn"],
+                gcfg, text_len,
+            )
+
+        def step(lat, i):
+            if guided:
+                lat = jax.lax.cond(
+                    i < gcfg.guidance_steps,
+                    lambda l: guidance_update(
+                        energy, sched, gcfg, l, i, cond_context, gin
+                    )[0],
+                    lambda l: l,
+                    lat,
+                )
+            lat_in = jnp.concatenate([lat, lat], axis=0)
+            t = sched.timesteps[i]
+            if capture_ref_attn:
+                eps, state = unet_apply(lat_in, t, context, capture=True)
+                from ..ops import guidance as guidance_ops
+
+                maps = guidance_ops.attn_collection_to_maps(
+                    state["attn"], gcfg.attn_keys, cond_batch_index=1,
+                    text_len=text_len,
+                )
+                word = gin.word_token[0] if gin is not None else 0
+                ref = tuple(m[:, :, word] for m in maps)  # [heads, HW] each
+            else:
+                eps = unet_apply(lat_in, t, context)
+                ref = None
+            eps = sd.cfg_combine(eps.astype(jnp.float32), gs)
+            nxt = sched_ops.ddim_step(sched, eps, i, lat)
+            return nxt, (lat, ref)
+
+        final, (traj, refs) = jax.lax.scan(
+            step, input_latents, jnp.arange(sched.num_steps)
+        )
+        trajectory = jnp.concatenate([traj, final[None]], axis=0)
+        return CharacterResult(final, trajectory, refs)
+
+    return run, sched

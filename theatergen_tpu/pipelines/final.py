@@ -1,0 +1,125 @@
+"""Final composed-scene pass: ControlNet + IP embeds + frozen-latent
+replacement.
+
+Equivalent of the reference's ``final_image_generation``
+(``models/pipelines.py:592-857``), SD1.5 branch:
+
+- start from the composed trajectory's t=T slot (``latents = latents_all[0]``,
+  ``:602``);
+- each step: ControlNet forward on the collage lineart (text-only context —
+  the reference's ``CNAttnProcessor`` drops IP tokens,
+  ``ip_adapter/attention_processor.py:861-925``) → residuals into the
+  IP-equipped UNet (``:770-816``), CFG, DDIM step;
+- for ``index < frozen_steps``: replace the masked region with the composed
+  trajectory ``latents_all[index+1]`` (``:833-834``) — here a
+  ``jnp.where`` on the step index inside the scan;
+- optional latent guidance on the overall layout (the dormant reference
+  feature, §3.3) with per-character attention transfer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import scheduler as sched_ops
+from . import sd
+from .bundle import Bundle
+from .guidance import GuidanceInputs, guidance_update, make_energy_fn
+
+
+def make_final_pipeline(
+    bundle: Bundle,
+    num_steps: int,
+    *,
+    use_ip: bool = True,
+    use_controlnet: bool = True,
+    guided: bool = False,
+    guidance_scale: Optional[float] = None,
+    controlnet_scale: float = 1.0,
+):
+    """Build the jitted final-pass runner.
+
+    Returns ``run(params, latents_all, frozen_mask, frozen_steps, context,
+    cn_context, cond_image, ip_scale, gin) -> (final_latents, trajectory)``
+    where ``params = (unet_params, controlnet_params)``.
+
+    ``frozen_steps`` is a traced int32 so the frozen ratio can change
+    without recompiling (reference computes it per turn,
+    ``theatergen.py:336-337``).
+    """
+    cfg = bundle.cfg
+    gcfg = cfg.guidance
+    unet = bundle.unet_ip if use_ip else bundle.unet
+    sched = sched_ops.make_schedule(cfg.scheduler, num_steps)
+    gs = cfg.pipeline.guidance_scale if guidance_scale is None else guidance_scale
+    text_len = cfg.text.max_length
+
+    def run(unet_params, controlnet_params, latents_all, frozen_mask,
+            frozen_steps, context, cn_context, cond_image, ip_scale,
+            gin: Optional[GuidanceInputs] = None):
+        fm = jnp.clip(frozen_mask, 0.0, 1.0)[None, :, :, None]  # [1,h,w,1]
+
+        def unet_apply(x, t, ctx, down_res=None, mid_res=None, capture=False):
+            kwargs = dict(ip_scale=ip_scale) if use_ip else {}
+            if down_res is not None:
+                kwargs.update(down_residuals=down_res, mid_residual=mid_res)
+            if capture:
+                return unet.apply(
+                    {"params": unet_params}, x,
+                    jnp.broadcast_to(t[None], (x.shape[0],)), ctx,
+                    capture_keys=gcfg.attn_keys, mutable=["attn"], **kwargs,
+                )
+            return unet.apply(
+                {"params": unet_params}, x,
+                jnp.broadcast_to(t[None], (x.shape[0],)), ctx, **kwargs,
+            )
+
+        if guided:
+            cond_context = context[1:2]
+            energy = make_energy_fn(
+                lambda lat, t, ctx: unet_apply(lat, t, ctx, capture=True)[1]["attn"],
+                gcfg, text_len,
+            )
+
+        cond_pair = jnp.concatenate([cond_image[None]] * 2, axis=0)
+
+        def step(lat, i):
+            if guided:
+                lat = jax.lax.cond(
+                    i < gcfg.guidance_steps,
+                    lambda l: guidance_update(
+                        energy, sched, gcfg, l, i, cond_context, gin
+                    )[0],
+                    lambda l: l,
+                    lat,
+                )
+            t = sched.timesteps[i]
+            lat_in = jnp.concatenate([lat, lat], axis=0)
+            if use_controlnet:
+                down_res, mid_res = bundle.controlnet.apply(
+                    {"params": controlnet_params}, lat_in,
+                    jnp.broadcast_to(t[None], (lat_in.shape[0],)),
+                    cn_context, cond_pair, controlnet_scale,
+                )
+            else:
+                down_res = mid_res = None
+            eps = unet_apply(lat_in, t, context, down_res, mid_res)
+            eps = sd.cfg_combine(eps.astype(jnp.float32), gs)
+            nxt = sched_ops.ddim_step(sched, eps, i, lat)
+            nxt = jnp.where(
+                i < frozen_steps,
+                latents_all[i + 1] * fm + nxt * (1.0 - fm),
+                nxt,
+            )
+            return nxt, lat
+
+        final, traj = jax.lax.scan(
+            step, latents_all[0], jnp.arange(sched.num_steps)
+        )
+        trajectory = jnp.concatenate([traj, final[None]], axis=0)
+        return final, trajectory
+
+    return run, sched
