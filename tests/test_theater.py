@@ -1,0 +1,107 @@
+"""Orchestrator: multi-turn character-consistent generation (tiny config)."""
+
+import jax
+import numpy as np
+import pytest
+
+from theatergen_tpu.config import tiny_config
+from theatergen_tpu.db import CharacterDB
+from theatergen_tpu.pipelines.bundle import init_bundle
+from theatergen_tpu.theater import Theater
+from theatergen_tpu.utils import parse
+
+
+SPEC_T1 = {
+    "prompt": "a knight and a dragon in a forest",
+    "gen_boxes": [("a red knight", (50, 100, 150, 300)),
+                  ("a green dragon", (300, 80, 180, 350))],
+    "bg_prompt": "a forest clearing",
+    "extra_neg_prompt": "",
+    "obj_ids": [0, 1],
+}
+SPEC_T2 = {
+    "prompt": "the knight rides toward a castle",
+    "gen_boxes": [("a red knight", (200, 120, 160, 320))],
+    "bg_prompt": "a castle road",
+    "extra_neg_prompt": "blurry",
+    "obj_ids": [0],
+}
+
+
+@pytest.fixture(scope="module")
+def theater(tmp_path_factory):
+    bundle = init_bundle(
+        tiny_config(), jax.random.key(0),
+        with_ip=True, with_controlnet=True, with_vision=True,
+    )
+    db = CharacterDB(str(tmp_path_factory.mktemp("chardb")))
+    return Theater(bundle, db, num_steps=3)
+
+
+def test_convert_spec():
+    plan = parse.convert_spec(SPEC_T1, 512, 512)
+    assert len(plan.object_plans) == 2
+    # sorted by name: green dragon before red knight? "a green dragon" < "a red knight"
+    assert plan.object_plans[0].phrase == "a green dragon"
+    assert plan.object_plans[0].word == "dragon"
+    assert plan.object_plans[0].prompt == "a forest clearing with a green dragon"
+    assert "a forest clearing with" in plan.overall_prompt
+    x0, y0, x1, y1 = plan.object_plans[1].box
+    np.testing.assert_allclose([x0, y0, x1, y1],
+                               [50 / 512, 100 / 512, 200 / 512, 400 / 512])
+
+
+def test_pluralizer():
+    assert parse.plural_noun("cat") == "cats"
+    assert parse.plural_noun("box") == "boxes"
+    assert parse.plural_noun("puppy") == "puppies"
+    assert parse.plural_noun("wolf") == "wolves"
+    assert parse.plural_noun("woman") == "women"
+    assert parse.number_to_words(3) == "three"
+
+
+def test_convert_spec_duplicate_grouping():
+    spec = {
+        "prompt": "two cats", "bg_prompt": "a room",
+        "gen_boxes": [("a cat", (0, 0, 100, 100)), ("a cat", (200, 0, 100, 100))],
+        "obj_ids": [0, 1],
+    }
+    plan = parse.convert_spec(spec, 512, 512)
+    assert plan.overall_phrases[0][0] == "two cats"
+    assert len(plan.overall_phrases[0][2]) == 2
+
+
+def test_turn_one_generates_and_populates_db(theater):
+    res = theater.run_turn(SPEC_T1, seed=0)
+    H = theater.cfg.pipeline.height
+    assert res.image.shape == (H, H, 3)
+    assert np.isfinite(res.image).all()
+    assert 0.0 <= res.image.min() and res.image.max() <= 1.0
+    assert len(res.so_images) == 2
+    # both characters persisted with embedding sidecars
+    assert theater.db.has(0) and theater.db.has(1)
+    assert theater.db.load_embedding(0) is not None
+    assert res.seconds > 0
+
+
+def test_turn_two_reuses_character_identity(theater):
+    """Turn 2 must hit the DB for obj 0 (IP conditioning path)."""
+    img_before = theater.db.load_image(0).copy()
+    res = theater.run_turn(SPEC_T2, seed=1)
+    assert res.image.shape[0] == theater.cfg.pipeline.height
+    # DB hit must NOT overwrite the stored identity image
+    np.testing.assert_array_equal(theater.db.load_image(0), img_before)
+
+
+def test_turn_determinism(theater):
+    r1 = theater.run_turn(SPEC_T2, seed=7)
+    r2 = theater.run_turn(SPEC_T2, seed=7)
+    np.testing.assert_array_equal(r1.image, r2.image)
+
+
+def test_background_only_turn(theater):
+    spec = {"prompt": "an empty beach", "gen_boxes": [],
+            "bg_prompt": "an empty beach", "obj_ids": []}
+    res = theater.run_turn(spec, seed=3)
+    assert res.image.shape == (theater.cfg.pipeline.height,) * 2 + (3,)
+    assert res.so_images == []

@@ -39,6 +39,9 @@ class UNetConfig:
     # (semantics of ip_adapter/attention_processor.py:466-471).
     ip_num_tokens: int = 0
     flash_attention: bool = True
+    # compute GroupNorms in the model dtype (bf16) instead of fp32 —
+    # matches the reference's fp16 norms and saves activation passes
+    fast_norm: bool = True
     remat: bool = False
     dtype: str = "bfloat16"
 

@@ -57,13 +57,21 @@ class TimestepEmbedding(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with fp32 statistics regardless of compute dtype."""
+    """GroupNorm. ``dtype=None`` computes statistics in fp32 (safe default
+    for tests); passing bf16 keeps the whole norm in compute dtype — the
+    reference runs its UNet normalizations in fp16
+    (``generate.py:77-78`` loads everything fp16), and skipping the
+    fp32 round-trip saves two full activation passes per norm."""
 
     num_groups: int = 32
     eps: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.dtype is not None and x.dtype == self.dtype:
+            return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+                                dtype=self.dtype, name="norm")(x)
         orig_dtype = x.dtype
         out = nn.GroupNorm(
             num_groups=self.num_groups, epsilon=self.eps, dtype=jnp.float32,
@@ -79,11 +87,16 @@ class ResnetBlock2D(nn.Module):
     out_channels: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    fast_norm: bool = False
+
+    @property
+    def _norm_dtype(self):
+        return self.dtype if self.fast_norm else None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         residual = x
-        h = GroupNorm(self.groups, name="norm1")(x)
+        h = GroupNorm(self.groups, dtype=self._norm_dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
@@ -91,7 +104,7 @@ class ResnetBlock2D(nn.Module):
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = GroupNorm(self.groups, name="norm2")(h)
+        h = GroupNorm(self.groups, dtype=self._norm_dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -271,6 +284,7 @@ class Transformer2D(nn.Module):
     groups: int = 32
     use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(
@@ -283,7 +297,9 @@ class Transformer2D(nn.Module):
     ) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        x = GroupNorm(self.groups, name="norm")(x)
+        x = GroupNorm(self.groups,
+                      dtype=self.dtype if self.fast_norm else None,
+                      name="norm")(x)
         x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, c)
         for i in range(self.depth):

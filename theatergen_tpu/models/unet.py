@@ -72,13 +72,14 @@ class UNetEncoder(nn.Module):
             has_attn = cfg.attention_levels[i]
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dtype,
+                                  fast_norm=cfg.fast_norm,
                                   name=f"down_blocks_{i}_resnets_{j}")(h, temb)
                 if has_attn:
                     h = Transformer2D(
                         cfg.num_attention_heads, ch // cfg.num_attention_heads,
                         depth=cfg.transformer_layers_per_block,
                         ip_tokens=cfg.ip_num_tokens,
-                        groups=cfg.norm_num_groups,
+                        groups=cfg.norm_num_groups, fast_norm=cfg.fast_norm,
                         use_flash=cfg.flash_attention, dtype=dtype,
                         name=f"down_blocks_{i}_attentions_{j}",
                     )(h, context, ip_scale=ip_scale,
@@ -101,16 +102,19 @@ class UNetMid(nn.Module):
         dtype = get_dtype(cfg.dtype)
         ch = cfg.block_out_channels[-1]
         h = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dtype,
+                          fast_norm=cfg.fast_norm,
                           name="mid_block_resnets_0")(h, temb)
         h = Transformer2D(
             cfg.num_attention_heads, ch // cfg.num_attention_heads,
             depth=cfg.transformer_layers_per_block,
             ip_tokens=cfg.ip_num_tokens, groups=cfg.norm_num_groups,
+            fast_norm=cfg.fast_norm,
             use_flash=cfg.flash_attention, dtype=dtype,
             name="mid_block_attentions_0",
         )(h, context, ip_scale=ip_scale,
           capture_probs=_captures(capture_keys, "mid", 0, 0))
         h = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dtype,
+                          fast_norm=cfg.fast_norm,
                           name="mid_block_resnets_1")(h, temb)
         return h
 
@@ -173,13 +177,14 @@ class UNet2DCondition(nn.Module):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
                 h = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dtype,
+                                  fast_norm=cfg.fast_norm,
                                   name=f"up_blocks_{idx}_resnets_{j}")(h, temb)
                 if has_attn:
                     h = Transformer2D(
                         cfg.num_attention_heads, ch // cfg.num_attention_heads,
                         depth=cfg.transformer_layers_per_block,
                         ip_tokens=cfg.ip_num_tokens,
-                        groups=cfg.norm_num_groups,
+                        groups=cfg.norm_num_groups, fast_norm=cfg.fast_norm,
                         use_flash=cfg.flash_attention, dtype=dtype,
                         name=f"up_blocks_{idx}_attentions_{j}",
                     )(h, context, ip_scale=ip_scale,
@@ -188,7 +193,9 @@ class UNet2DCondition(nn.Module):
                 h = Upsample2D(ch, dtype=dtype,
                                name=f"up_blocks_{idx}_upsamplers_0")(h)
 
-        h = GroupNorm(cfg.norm_num_groups, name="conv_norm_out")(h)
+        h = GroupNorm(cfg.norm_num_groups,
+                      dtype=dtype if cfg.fast_norm else None,
+                      name="conv_norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dtype,
                     name="conv_out")(h)

@@ -1,0 +1,369 @@
+"""The TheaterGen orchestrator: one turn → one character-consistent image.
+
+Equivalent of the reference's ``theatergen.run`` (``theatergen.py:278-488``)
+plus its helpers ``generate_single_object_with_box`` (``:43-201``) and
+``get_masked_latents_all_list`` (``:204-273``), re-structured for TPU:
+
+- every denoising phase is a pre-built jitted program (compiled once per
+  shape); the host loop only handles dynamic character counts, the
+  database, and the detect-regenerate control flow;
+- per-character outputs (trajectory, masks, ref-attention) stay on device
+  until composition, which is itself one jitted call over padded
+  ``max_objects`` arrays;
+- detection is attention-based by default (the word token's aggregated
+  cross-attention — free, since the guidance keys are captured anyway),
+  with SAM refinement when a segmenter is loaded, mirroring the
+  reference's DINO→SAM chain (``theatergen.py:98-182``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import TheaterConfig
+from .db import CharacterDB
+from .ops import geometry as G
+from .ops import latents as L
+from .ops.lineart import dog_lineart
+from .perception import detector as det
+from .perception import sam as sam_lib
+from .pipelines import sd
+from .pipelines.bundle import Bundle
+from .pipelines.character import (
+    encode_ip_image, ip_context, make_character_pipeline,
+)
+from .pipelines.final import make_final_pipeline
+from .pipelines.guidance import GuidanceInputs
+from .utils import parse
+from .utils.tokenizer import find_phrase_token_indices
+
+MAX_REGEN_ATTEMPTS = 3          # theatergen.py:98-160 retries up to 3 seeds
+ATTN_AGG_START = 10             # theatergen.py:30 attn_aggregation_step_start
+
+
+@dataclasses.dataclass
+class TurnResult:
+    image: np.ndarray                 # [H, W, 3] in [0, 1]
+    so_images: List[np.ndarray]       # per-character renders
+    collage: np.ndarray
+    seconds: float
+    detections: List[bool]
+
+
+class Theater:
+    def __init__(
+        self,
+        bundle: Bundle,
+        db: CharacterDB,
+        *,
+        task: str = "story",
+        num_steps: Optional[int] = None,
+        guided: bool = True,
+        use_controlnet: bool = True,
+    ):
+        assert bundle.unet_ip is not None, "bundle must be built with_ip=True"
+        self.bundle = bundle
+        self.db = db
+        self.task = task
+        cfg = bundle.cfg
+        self.cfg = cfg
+        self.num_steps = num_steps or cfg.pipeline.num_steps
+        self.use_controlnet = use_controlnet and bundle.controlnet is not None
+
+        self.char_run, self.char_sched = make_character_pipeline(
+            bundle, self.num_steps, use_ip=True, guided=guided,
+            capture_ref_attn=True,
+        )
+        self.final_run, self.final_sched = make_final_pipeline(
+            bundle, self.num_steps, use_ip=True,
+            use_controlnet=self.use_controlnet, guided=guided,
+        )
+        self._decode = jax.jit(
+            lambda vp, z: bundle.vae.apply(
+                {"params": vp}, z / cfg.vae.scaling_factor, method="decode"
+            )
+        )
+
+    # ---------------------------------------------------------------- utils
+
+    def _decode_img(self, latents) -> jnp.ndarray:
+        img = self._decode(self.bundle.vae_params, latents)
+        return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+    def _guidance_inputs(
+        self, boxes: List[Tuple[float, float, float, float]],
+        prompts_token_pos: List[List[int]],
+        ref_attn: Optional[List[Tuple[jnp.ndarray, ...]]] = None,
+    ) -> GuidanceInputs:
+        """Pad per-object boxes/token-positions to max_objects."""
+        k = self.cfg.pipeline.max_objects
+        p = max([len(t) for t in prompts_token_pos] + [1])
+        boxes_a = np.zeros((k, 4), np.float32)
+        pos = np.zeros((k, p), np.int32)
+        pos_valid = np.zeros((k, p), bool)
+        valid = np.zeros((k,), bool)
+        word = np.zeros((k,), np.int32)
+        for i, (b, tp) in enumerate(zip(boxes, prompts_token_pos)):
+            if i >= k:
+                break
+            boxes_a[i] = b
+            for j, t in enumerate(tp[:p]):
+                pos[i, j] = t
+                pos_valid[i, j] = True
+            valid[i] = True
+            word[i] = tp[-1] if tp else 0
+        refs = None
+        if ref_attn is not None:
+            # per guidance key: [K, heads, HW]
+            num_keys = len(self.cfg.guidance.attn_keys)
+            refs = []
+            for ki in range(num_keys):
+                maps = []
+                for i in range(k):
+                    if i < len(ref_attn) and ref_attn[i] is not None:
+                        maps.append(np.asarray(ref_attn[i][ki]))
+                    else:
+                        maps.append(None)
+                shape = next(m.shape for m in maps if m is not None)
+                maps = [m if m is not None else np.zeros(shape, np.float32)
+                        for m in maps]
+                refs.append(jnp.asarray(np.stack(maps)))
+            refs = tuple(refs)
+        return GuidanceInputs(
+            boxes=jnp.asarray(boxes_a), token_pos=jnp.asarray(pos),
+            token_valid=jnp.asarray(pos_valid), obj_valid=jnp.asarray(valid),
+            word_token=jnp.asarray(word), ref_attn_maps=refs,
+        )
+
+    def _aggregate_attn(self, ref_attn: Tuple[jnp.ndarray, ...]
+                        ) -> List[jnp.ndarray]:
+        """Mean guidance-key maps over steps >= ATTN_AGG_START
+        (theatergen.py:30: aggregate the late, semantically-stable steps)."""
+        start = min(ATTN_AGG_START, max(self.num_steps - 1, 0))
+        return [jnp.mean(m[start:].astype(jnp.float32), axis=0)
+                for m in ref_attn]
+
+    def _extract_masks(self, agg_maps, image, box_hint):
+        """Character mask at latent + pixel scale: SAM when available,
+        otherwise thresholded aggregated attention
+        (reference sam_refine_attn, models/sam.py:126-174)."""
+        h = self.cfg.pipeline.latent_height
+        H = self.cfg.pipeline.height
+        if self.bundle.sam is not None:
+            size = self.cfg.sam.image_size
+            img_s = G.resize_bilinear(
+                jnp.transpose(image[0], (2, 0, 1)), size, size
+            )
+            img_s = jnp.transpose(img_s, (1, 2, 0))
+            (m_lat, m_pix), _conf = sam_lib.segment_with_box(
+                self.bundle.sam, self.bundle.sam_params, img_s, box_hint,
+                out_sizes=(h, H),
+            )
+            return m_lat, m_pix
+        # attention fallback
+        agg = jnp.zeros((h, h), jnp.float32)
+        for m in agg_maps:
+            mm = jnp.mean(m, axis=0)
+            side = int(round(mm.shape[0] ** 0.5))
+            agg = agg + G.resize_bilinear(mm.reshape(side, side), h, h)
+        agg = agg / (jnp.max(agg) + 1e-8)
+        box_m = G.box_mask(box_hint, h, h)
+        # strong attention anywhere, or moderate attention inside the box
+        m_lat = jnp.maximum((agg > 0.3).astype(jnp.float32),
+                            box_m * (agg > 0.1))
+        m_pix = G.upsample_nearest(m_lat, H, H)
+        return m_lat, m_pix
+
+    # ---------------------------------------------------------- character
+
+    def _generate_character(self, plan: parse.ObjectPlan, extra_neg: str,
+                            rng: jax.Array):
+        """One character with detect-and-regenerate (theatergen.py:43-201)."""
+        b = self.bundle
+        cfg = self.cfg
+        centered = np.asarray(
+            G.centered_box(jnp.asarray(plan.box, jnp.float32)))
+
+        if self.task == "story":
+            so_prompt = f"full-body picture of {plan.phrase}"
+        else:
+            so_prompt = f"single object, {plan.phrase}"
+        neg = parse.DEFAULT_SO_NEGATIVE_PROMPT
+        if extra_neg:
+            neg = f"{extra_neg}, {neg}"
+
+        token_pos = find_phrase_token_indices(
+            b.tokenizer, so_prompt, plan.word, cfg.text.max_length)
+        if not token_pos:
+            so_prompt = f"{so_prompt} | {plan.phrase}"  # guidance.py:33-36
+            token_pos = find_phrase_token_indices(
+                b.tokenizer, so_prompt, plan.word, cfg.text.max_length)
+        text_ctx = sd.encode_prompts(b, so_prompt, neg)
+
+        db_img, db_emb, hit = self.db.lookup(plan.obj_id)
+        if hit and db_emb is None:
+            db_emb = np.asarray(encode_ip_image(
+                b, jnp.asarray(db_img)[None]))[0]
+        if hit:
+            ip_scale, img_embed = cfg.pipeline.ip_scale_hit, jnp.asarray(db_emb)[None]
+        else:
+            ip_scale = 0.0
+            img_embed = jnp.zeros((1, cfg.ip_adapter.clip_embeddings_dim))
+        ctx = ip_context(b, text_ctx, img_embed)
+
+        gin = self._guidance_inputs([tuple(centered)], [token_pos])
+
+        detected_ok = False
+        result = image = None
+        for attempt in range(MAX_REGEN_ATTEMPTS):
+            arng = jax.random.fold_in(rng, attempt)
+            per_obj, _bg = L.input_latents_for_boxes(
+                jax.random.fold_in(arng, 0), jax.random.fold_in(arng, 1),
+                jnp.asarray(centered)[None], cfg.pipeline.latent_height,
+                cfg.pipeline.latent_width,
+                fg_blending_ratio=cfg.pipeline.fg_blending_ratio,
+            )
+            result = self.char_run(
+                b.unet_ip_params, per_obj[0], ctx, jnp.float32(ip_scale), gin)
+            image = self._decode_img(result.latents)
+            agg = self._aggregate_attn(result.ref_attn)
+            detection = det.attention_detect(agg, None)
+            detected_ok = bool(detection.ok)
+            if detected_ok:
+                break
+            # semantic self-healing: reseed and retry (theatergen.py:141-160)
+        agg = self._aggregate_attn(result.ref_attn)
+        det_box = detection.box if detected_ok else jnp.asarray(centered)
+        m_lat, m_pix = self._extract_masks(agg, image, det_box)
+
+        if not hit:
+            emb = np.asarray(encode_ip_image(b, image))[0]
+            self.db.save(plan.obj_id, np.asarray(image[0]), emb)
+            img_embed = jnp.asarray(emb)[None]
+
+        return dict(
+            trajectory=result.trajectory, ref_attn=result.ref_attn,
+            image=image, mask_lat=m_lat, mask_pix=m_pix,
+            detected=detected_ok, token_pos=token_pos,
+            img_embed=img_embed,
+        )
+
+    # --------------------------------------------------------------- turn
+
+    def run_turn(self, spec: dict, seed: int,
+                 frozen_step_ratio: Optional[float] = None) -> TurnResult:
+        t_start = time.time()
+        b = self.bundle
+        cfg = self.cfg
+        plan = parse.convert_spec(spec, cfg.pipeline.height,
+                                  cfg.pipeline.width)
+        extra_neg = spec.get("extra_neg_prompt") or ""
+        ratio = (cfg.pipeline.frozen_step_ratio
+                 if frozen_step_ratio is None else frozen_step_ratio)
+        frozen_steps = int(round(ratio * self.num_steps))
+        rng = jax.random.key(seed)
+
+        # -- per-character generation with dedup (theatergen.py:217-226)
+        cache: Dict[Tuple[str, int], dict] = {}
+        chars = []
+        for idx, oplan in enumerate(plan.object_plans):
+            key = (oplan.prompt, oplan.obj_id)
+            if key in cache:
+                chars.append(cache[key])
+                continue
+            out = self._generate_character(
+                oplan, extra_neg, jax.random.fold_in(rng, idx))
+            cache[key] = out
+            chars.append(out)
+
+        k = cfg.pipeline.max_objects
+        n = min(len(chars), k)
+        if n == 0:
+            # background-only turn: plain txt2img on the overall prompt
+            ctx = sd.encode_prompts(
+                b, plan.overall_prompt or plan.bg_prompt,
+                parse.DEFAULT_OVERALL_NEGATIVE_PROMPT)
+            ctx = ip_context(b, ctx, jnp.zeros(
+                (1, cfg.ip_adapter.clip_embeddings_dim)))
+            lat = sd.seeded_latents(jax.random.fold_in(rng, 99), 1,
+                                    cfg.pipeline.latent_height,
+                                    cfg.pipeline.latent_width)
+            res = self.char_run(b.unet_ip_params, lat, ctx, jnp.float32(0.0),
+                                self._guidance_inputs([(0, 0, 1, 1)], [[1]]))
+            img = self._decode_img(res.latents)
+            return TurnResult(np.asarray(img[0]), [], np.asarray(img[0]),
+                              time.time() - t_start, [])
+
+        # -- padded stacks for composition (stays on device — the reference
+        # round-trips every trajectory through CPU, SURVEY §3.2)
+        h, H = cfg.pipeline.latent_height, cfg.pipeline.height
+        s1 = self.num_steps + 1
+        pad_n = k - n
+        traj = jnp.stack(
+            [chars[i]["trajectory"] for i in range(n)]
+            + [jnp.zeros((s1, 1, h, h, 4))] * pad_n)
+        masks_lat = jnp.stack(
+            [chars[i]["mask_lat"] for i in range(n)]
+            + [jnp.zeros((h, h))] * pad_n)
+        masks_pix = jnp.stack(
+            [chars[i]["mask_pix"] for i in range(n)]
+            + [jnp.zeros((H, H))] * pad_n)
+        images = jnp.stack(
+            [chars[i]["image"][0] for i in range(n)]
+            + [jnp.zeros((H, H, 3))] * pad_n)
+        boxes = jnp.asarray(
+            np.stack([plan.object_plans[i].box for i in range(n)]
+                     + [np.zeros(4, np.float32)] * pad_n))
+        valid = jnp.arange(k) < n
+
+        # -- align to layout boxes, compose, collage
+        traj_j, masks_j, offsets = L.align_with_boxes(traj, masks_lat, boxes)
+        bg_lat = sd.seeded_latents(
+            jax.random.fold_in(rng, 1000), 1, h, h)
+        composed, fgi = L.compose_trajectories(traj_j, masks_j, bg_lat)
+        collage, union = L.collage_images(images, masks_pix, boxes, valid)
+        cond_img = dog_lineart(collage)
+        frozen_mask = (fgi > 0).astype(jnp.float32)  # theatergen.py:442-445
+
+        # -- overall context (+ ip embeds from the first character,
+        #    models/pipelines.py:700-701)
+        neg = parse.DEFAULT_OVERALL_NEGATIVE_PROMPT
+        if extra_neg:
+            neg = f"{extra_neg}, {neg}"
+        overall_ctx = sd.encode_prompts(b, plan.overall_prompt, neg)
+        ctx = ip_context(b, overall_ctx, chars[0]["img_embed"])
+
+        # overall guidance: phrase token positions in the overall prompt
+        token_pos_all, boxes_all, refs = [], [], []
+        for i, oplan in enumerate(plan.object_plans[:k]):
+            tp = find_phrase_token_indices(
+                b.tokenizer, plan.overall_prompt, oplan.word,
+                cfg.text.max_length)
+            token_pos_all.append(tp or [1])
+            boxes_all.append(oplan.box)
+            refs.append(chars[i]["ref_attn"])
+        # per-step refs → use aggregated (host-side mean) reference maps
+        agg_refs = [tuple(self._aggregate_attn(r)) for r in refs]
+        gin = self._guidance_inputs(boxes_all, token_pos_all, agg_refs)
+
+        cn_ctx = overall_ctx  # ControlNet sees text-only context
+        final, _traj = self.final_run(
+            b.unet_ip_params,
+            b.controlnet_params if self.use_controlnet else None,
+            composed, frozen_mask, jnp.int32(frozen_steps), ctx, cn_ctx,
+            cond_img, jnp.float32(cfg.pipeline.ip_scale_final), gin)
+        image = self._decode_img(final)
+
+        return TurnResult(
+            image=np.asarray(image[0]),
+            so_images=[np.asarray(c["image"][0]) for c in chars],
+            collage=np.asarray(collage),
+            seconds=time.time() - t_start,
+            detections=[bool(c["detected"]) for c in chars],
+        )
