@@ -1,0 +1,184 @@
+"""CMIGBench generation driver.
+
+Preserves the reference CLI's flag surface, seed discipline, resume and
+output-tree contract (``generate.py:34-48,155-269``):
+
+- flags: ``--task {story,editing}``, ``--repeats``, ``--regenerate``,
+  ``--force_run_ind``, ``--seed_offset``, ``--sd_version``,
+  ``--database_path_base``, ``--base_save_dir``, ``--dataset_path``,
+  ``--frozen_step_ratio``, ``--freeze_dialogue_seed``;
+- output tree ``{base_save_dir}/{task}/run{N}/{dialogue}/{turn}/img_{r}.png``
+  (``generate.py:168,192,199``; ``utils/vis.py:244-264``);
+- per-dialogue character DB ``{database_path_base}/{task}/{dialogue}/``
+  (``generate.py:186-187``);
+- resume-by-existence: a turn whose directory exists is skipped
+  (``generate.py:193-194``);
+- per-turn error quarantine: failures are logged and the turn skipped
+  (``generate.py:250-259``);
+- per-dialogue wall-clock timing with a running average
+  (``generate.py:190,263-269``).
+
+Seeds: the reference mixes LARGE_CONSTANT offsets into per-turn seeds
+(``generate.py:157-160,236-243``); here the same reproducibility contract
+is a deterministic hash of (seed_offset, dialogue-index-or-frozen-seed,
+turn, repeat), so any (dialogue, turn, repeat) regenerates identically in
+isolation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+import traceback
+from typing import Optional
+
+import numpy as np
+
+
+def turn_seed(seed_offset: int, dialogue_base: int, turn_idx: int,
+              repeat: int) -> int:
+    return (seed_offset * 1_000_003 + dialogue_base * 10_007
+            + turn_idx * 101 + repeat) % (2**31 - 1)
+
+
+def build_spec(turn_data: dict) -> dict:
+    """CMIGBench turn dict → spec (``generate.py:205-226``)."""
+    obj_ids, gen_boxes = [], []
+    for bbox in turn_data.get("objects", []):
+        gen_boxes.append((bbox[0], tuple(bbox[1])))
+        obj_ids.append(bbox[2])
+    return {
+        "prompt": turn_data["caption"],
+        "gen_boxes": gen_boxes,
+        "bg_prompt": turn_data.get("background", ""),
+        "extra_neg_prompt": turn_data.get("negative", ""),
+        "obj_ids": obj_ids,
+    }
+
+
+def save_image(path: str, image: np.ndarray) -> None:
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray((np.clip(image, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def make_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="TheaterGen-TPU benchmark driver")
+    ap.add_argument("--task", default="story", choices=["story", "editing"])
+    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--regenerate", type=int, default=1)
+    ap.add_argument("--force_run_ind", type=int, default=0)
+    ap.add_argument("--seed_offset", type=int, default=0)
+    ap.add_argument("--sd_version", default="1.5", choices=["1.5", "xl"])
+    ap.add_argument("--database_path_base", default="database")
+    ap.add_argument("--base_save_dir", default="img_generations")
+    ap.add_argument("--dataset_path", default="CMIGBench")
+    ap.add_argument("--frozen_step_ratio", type=float, default=0.5)
+    ap.add_argument("--freeze_dialogue_seed", type=int, default=None)
+    ap.add_argument("--num_steps", type=int, default=None)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny random-weight config (smoke runs, no ckpts)")
+    ap.add_argument("--weights", default=None,
+                    help="directory of ported checkpoints (models/weights.py)")
+    ap.add_argument("--no_guidance", action="store_true")
+    ap.add_argument("--max_dialogues", type=int, default=None)
+    ap.add_argument("--profile", action="store_true",
+                    help="emit a jax.profiler trace for the first dialogue")
+    return ap
+
+
+def load_dataset(dataset_path: str, task: str) -> dict:
+    path = os.path.join(dataset_path, f"{task}.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def build_theater(args):
+    import jax
+
+    from ..config import sd15_config, tiny_config
+    from ..db import CharacterDB  # noqa: F401  (used by caller)
+    from ..pipelines.bundle import init_bundle
+    from ..utils.fastinit import setup_compile_cache
+
+    setup_compile_cache()
+    cfg = tiny_config() if args.tiny else sd15_config()
+    if args.weights:
+        from ..models.weights import load_bundle
+
+        bundle = load_bundle(cfg, args.weights)
+    else:
+        bundle = init_bundle(
+            cfg, jax.random.key(0),
+            with_ip=True, with_controlnet=True, with_vision=True,
+        )
+    return bundle
+
+
+def main(argv: Optional[list] = None) -> None:
+    args = make_parser().parse_args(argv)
+    from ..db import CharacterDB
+    from ..theater import Theater
+
+    bundle = build_theater(args)
+    dataset = load_dataset(args.dataset_path, args.task)
+    dialogues = list(dataset)
+    if args.max_dialogues:
+        dialogues = dialogues[: args.max_dialogues]
+
+    save_dir = os.path.join(args.base_save_dir, args.task,
+                            f"run{args.force_run_ind}")
+    print(f"Save dir: {save_dir}")
+    use_time = []
+
+    for regen_ind in range(args.regenerate):
+        for d_idx, dialogue in enumerate(dialogues):
+            db = CharacterDB(os.path.join(
+                args.database_path_base, args.task, str(dialogue)))
+            theater = Theater(
+                bundle, db, task=args.task, num_steps=args.num_steps,
+                guided=not args.no_guidance,
+            )
+            base = (args.freeze_dialogue_seed
+                    if args.freeze_dialogue_seed is not None else d_idx)
+            t0 = time.time()
+            for t_idx in range(4):
+                turn = f"turn {t_idx + 1}"
+                turn_dir = os.path.join(save_dir, str(dialogue), turn)
+                if os.path.exists(turn_dir):
+                    continue  # resume-by-existence (generate.py:193-194)
+                if turn not in dataset[dialogue]:
+                    continue
+                spec = build_spec(dataset[dialogue][turn])
+                for rep in range(args.repeats):
+                    seed = turn_seed(args.seed_offset, base, t_idx, rep)
+                    try:
+                        res = theater.run_turn(
+                            spec, seed,
+                            frozen_step_ratio=args.frozen_step_ratio)
+                    except Exception:
+                        # error quarantine (generate.py:250-259)
+                        print(f"[quarantine] {dialogue}/{turn} rep {rep}:")
+                        traceback.print_exc()
+                        continue
+                    save_image(os.path.join(turn_dir, f"img_{rep}.png"),
+                               res.image)
+                    for i, so in enumerate(res.so_images):
+                        save_image(os.path.join(turn_dir, f"so_{rep}_{i}.png"),
+                                   so)
+            dt = time.time() - t0
+            use_time.append(dt)
+            print(f"dialogue {dialogue}: {dt:.1f}s "
+                  f"(avg {np.mean(use_time):.1f}s, p50 "
+                  f"{np.median(use_time):.1f}s)")
+
+    if use_time:
+        print(f"Total {len(use_time)} dialogues, avg {np.mean(use_time):.1f}s,"
+              f" p50 {np.median(use_time):.1f}s per 4-turn dialogue")
+
+
+if __name__ == "__main__":
+    main()
