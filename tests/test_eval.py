@@ -1,0 +1,105 @@
+"""Evaluation metrics + tree driver."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from theatergen_tpu.eval import metrics as M
+
+
+def test_cosine_and_logit():
+    a = np.array([[1.0, 0.0]])
+    b = np.array([[1.0, 0.0]])
+    c = np.array([[0.0, 1.0]])
+    assert M.cosine_similarity(a, b)[0] == pytest.approx(1.0)
+    assert M.cosine_similarity(a, c)[0] == pytest.approx(0.0)
+    assert M.clip_logit(a, b)[0] == pytest.approx(100.0)
+
+
+def test_frechet_distance_properties():
+    rng = np.random.RandomState(0)
+    x = rng.randn(500, 8)
+    y = rng.randn(500, 8)
+    same = M.frechet_distance(x, x)
+    near = M.frechet_distance(x, y)
+    far = M.frechet_distance(x, y + 5.0)
+    assert abs(same) < 1e-3
+    assert near < far
+    assert far > 25 * 8 * 0.9  # dominated by the mean shift ||5||² per dim
+
+
+def test_sqrtm_newton_schulz():
+    rng = np.random.RandomState(1)
+    a = rng.randn(6, 6)
+    spd = a @ a.T + 6 * np.eye(6)
+    r = M._sqrtm_newton_schulz(spd)
+    np.testing.assert_allclose(r @ r, spd, atol=1e-3)
+
+
+def test_spatial_relation_parsing():
+    assert M.parse_spatial_relation("a cat to the left of a dog") == "left"
+    assert M.parse_spatial_relation("a bird above the house") == "top"
+    assert M.parse_spatial_relation("a ball under the table") == "bottom"
+    assert M.parse_spatial_relation("a vase in the middle of a table") == "middle"
+    assert M.parse_spatial_relation("a cat and a dog") is None
+
+
+def test_check_spatial():
+    left_box = [0.0, 0.2, 0.3, 0.8]
+    right_box = [0.6, 0.2, 0.9, 0.8]
+    assert M.check_spatial("left", left_box, right_box)
+    assert not M.check_spatial("left", right_box, left_box)
+    assert M.check_spatial("right", right_box, left_box)
+    top = [0.2, 0.0, 0.6, 0.3]
+    bot = [0.2, 0.6, 0.6, 0.9]
+    assert M.check_spatial("top", top, bot)
+    assert M.check_spatial("bottom", bot, top)
+
+
+def test_crop_bounds():
+    img = np.arange(64 * 64 * 3, dtype=np.float32).reshape(64, 64, 3)
+    c = M.crop(img, [0.25, 0.25, 0.75, 0.75])
+    assert c.shape == (32, 32, 3)
+    # degenerate box still yields at least ~8px
+    c2 = M.crop(img, [0.5, 0.5, 0.5, 0.5])
+    assert c2.shape[0] >= 1 and c2.shape[1] >= 1
+
+
+def test_evaluate_tree_end_to_end(tmp_path):
+    """Drive the full eval pipeline over a synthetic image tree."""
+    from PIL import Image
+
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.eval.cmig import ClipEmbedder, evaluate_tree
+    from theatergen_tpu.pipelines.bundle import init_bundle
+
+    dataset = {
+        "d0": {
+            "turn 1": {
+                "caption": "a red square to the left of a blue square",
+                "objects": [["a red square", [50, 150, 150, 150], 0],
+                            ["a blue square", [300, 150, 150, 150], 1]],
+            },
+            "turn 2": {
+                "caption": "the red square again",
+                "objects": [["a red square", [200, 150, 150, 150], 0]],
+            },
+        }
+    }
+    rng = np.random.RandomState(0)
+    for turn in ("turn 1", "turn 2"):
+        d = tmp_path / "d0" / turn
+        d.mkdir(parents=True)
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(d / "img_0.png")
+
+    bundle = init_bundle(tiny_config(), jax.random.key(0), with_vision=True)
+    out = evaluate_tree(str(tmp_path), dataset, ClipEmbedder(bundle),
+                        csv_path=str(tmp_path / "scores.csv"))
+    assert set(out) == {"ACCS", "ATIS", "AFID", "spatial", "attribute",
+                        "negative", "numeracy"}
+    assert np.isfinite(out["ATIS"])
+    assert os.path.exists(tmp_path / "scores.csv")

@@ -1,0 +1,237 @@
+"""Checkpoint porting: round-trip our param trees through synthetic
+diffusers-shaped state dicts and verify structural + numeric identity."""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from theatergen_tpu.config import tiny_config
+from theatergen_tpu.models import weights as W
+from theatergen_tpu.models.clip import CLIPTextEncoder
+from theatergen_tpu.models.unet import UNet2DCondition
+from theatergen_tpu.models.vae import AutoencoderKL
+
+
+CFG = tiny_config()
+
+
+def flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(flatten(v, prefix + (k,)))
+        else:
+            out["/".join(prefix + (k,))] = np.asarray(v)
+    return out
+
+
+def unet_path_to_diffusers(path: str, arr: np.ndarray):
+    """Inverse of weights.port_unet's name mapping (test-only)."""
+    p = path
+    p = re.sub(r"^encoder/", "", p)
+    p = re.sub(r"^mid/", "", p)
+    p = re.sub(r"mid_block_(resnets|attentions)_(\d+)", r"mid_block.\1.\2", p)
+    p = re.sub(r"(down|up)_blocks_(\d+)_(resnets|attentions|downsamplers|upsamplers)_(\d+)",
+               r"\1_blocks.\2.\3.\4", p)
+    p = re.sub(r"transformer_blocks_(\d+)", r"transformer_blocks.\1", p)
+    p = p.replace("/norm/scale", ".weight").replace("/norm/bias", ".bias")
+    p = p.replace("net_0/proj", "net.0.proj").replace("net_2", "net.2")
+    p = p.replace("ff/", "ff.")
+    p = p.replace("to_out_0", "to_out.0")
+    p = re.sub(r"(attn\d)/", r"\1.", p)
+    p = p.replace("/kernel", ".weight").replace("/bias", ".bias")
+    p = p.replace("/scale", ".weight")
+    p = p.replace("/", ".")
+
+    if arr.ndim == 4:  # conv kernel flax [kh,kw,I,O] → torch [O,I,kh,kw]
+        if "proj_in" in p or "proj_out" in p:
+            # SD1.5 stores these as 1×1 convs
+            return p, np.transpose(arr, (3, 2, 0, 1))
+        return p, np.transpose(arr, (3, 2, 0, 1))
+    if (arr.ndim == 2 and p.endswith(".weight")
+            and "token_embedding" not in p and "position_embedding" not in p):
+        return p, np.transpose(arr)
+    return p, arr
+
+
+@pytest.fixture(scope="module")
+def unet_and_params():
+    unet = UNet2DCondition(CFG.unet)
+    params = unet.init(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, CFG.text.max_length, CFG.unet.cross_attention_dim)),
+    )["params"]
+    return unet, params
+
+
+def test_port_unet_round_trip(unet_and_params):
+    unet, params = unet_and_params
+    flat = flatten(params)
+    sd = {}
+    for path, arr in flat.items():
+        name, t = unet_path_to_diffusers(path, arr)
+        sd[name] = t
+    ported = W.port_unet(sd)
+    flat_ported = flatten(ported)
+    missing = set(flat) - set(flat_ported)
+    extra = set(flat_ported) - set(flat)
+    assert not missing, f"missing after port: {sorted(missing)[:8]}"
+    assert not extra, f"extra after port: {sorted(extra)[:8]}"
+    for k in flat:
+        np.testing.assert_allclose(flat_ported[k], flat[k], rtol=1e-6,
+                                   err_msg=k)
+    # the ported tree must actually run
+    out = unet.apply(
+        {"params": ported}, jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, CFG.text.max_length, CFG.unet.cross_attention_dim)),
+    )
+    assert out.shape == (1, 8, 8, 4)
+
+
+def test_port_vae_round_trip():
+    vae = AutoencoderKL(CFG.vae)
+    img = jnp.zeros((1, 16, 16, 3))
+    params = vae.init(jax.random.key(0), img)["params"]
+    flat = flatten(params)
+    sd = {}
+    for path, arr in flat.items():
+        p = path
+        p = re.sub(r"(down|up)_blocks_(\d+)_(resnets|downsamplers|upsamplers)_(\d+)",
+                   r"\1_blocks.\2.\3.\4", p)
+        p = re.sub(r"mid_(resnets|attentions)_(\d+)", r"mid_block.\1.\2", p)
+        p = p.replace("/norm/scale", ".weight").replace("/norm/bias", ".bias")
+        p = p.replace("to_out_0", "to_out.0")
+        p = p.replace("/kernel", ".weight").replace("/bias", ".bias")
+        p = p.replace("/scale", ".weight")
+        p = p.replace("encoder/quant_conv", "quant_conv")
+        p = p.replace("decoder/post_quant_conv", "post_quant_conv")
+        p = p.replace("/", ".")
+        if arr.ndim == 4:
+            arr = np.transpose(arr, (3, 2, 0, 1))
+        elif arr.ndim == 2 and p.endswith(".weight"):
+            arr = np.transpose(arr)
+        sd[p] = arr
+    ported = W.port_vae(sd)
+    flat_ported = flatten(ported)
+    assert set(flat_ported) == set(flat), (
+        sorted(set(flat) - set(flat_ported))[:8],
+        sorted(set(flat_ported) - set(flat))[:8])
+    for k in flat:
+        np.testing.assert_allclose(flat_ported[k], flat[k], rtol=1e-6,
+                                   err_msg=k)
+
+
+def test_port_clip_text_round_trip():
+    enc = CLIPTextEncoder(CFG.text)
+    params = enc.init(jax.random.key(0),
+                      jnp.zeros((1, 16), jnp.int32))["params"]
+    flat = flatten(params)
+    sd = {}
+    for path, arr in flat.items():
+        if path == "token_embedding/embedding":
+            sd["text_model.embeddings.token_embedding.weight"] = arr
+            continue
+        if path == "position_embedding":
+            sd["text_model.embeddings.position_embedding.weight"] = arr
+            continue
+        p = path
+        p = re.sub(r"layers_(\d+)", r"encoder.layers.\1", p)
+        p = p.replace("self_attn/", "self_attn.").replace("mlp/", "mlp.")
+        p = p.replace("/kernel", ".weight").replace("/bias", ".bias")
+        p = p.replace("/scale", ".weight")
+        p = p.replace("/", ".")
+        p = "text_model." + p
+        if arr.ndim == 2 and p.endswith(".weight"):
+            arr = np.transpose(arr)
+        sd[p] = arr
+    ported = W.port_clip_text(sd)
+    flat_ported = flatten(ported)
+    assert set(flat_ported) == set(flat), (
+        sorted(set(flat) - set(flat_ported))[:8],
+        sorted(set(flat_ported) - set(flat))[:8])
+    for k in flat:
+        np.testing.assert_allclose(flat_ported[k], flat[k], rtol=1e-6,
+                                   err_msg=k)
+
+
+def test_port_ip_adapter_installs_weights():
+    import dataclasses as dc
+
+    ip_cfg = dc.replace(CFG.unet, ip_num_tokens=4)
+    unet = UNet2DCondition(ip_cfg)
+    ctx_len = CFG.text.max_length + 4
+    params = unet.init(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, ctx_len, CFG.unet.cross_attention_dim)),
+    )["params"]
+    paths = W.cross_attention_paths(params)
+    assert len(paths) > 0
+    # build the reference-style group: indices 2i+1 over processors
+    inner = CFG.unet.num_attention_heads * (
+        CFG.unet.block_out_channels[0] // CFG.unet.num_attention_heads)
+    sd = {}
+    rng = np.random.RandomState(0)
+    for i, path in enumerate(paths):
+        node = params
+        for p in path:
+            node = node[p]
+        d_in = node["to_k_ip"]["kernel"].shape[0]
+        d_out = node["to_k_ip"]["kernel"].shape[1]
+        sd[f"{2 * i + 1}.to_k_ip.weight"] = rng.randn(d_out, d_in).astype(np.float32)
+        sd[f"{2 * i + 1}.to_v_ip.weight"] = rng.randn(d_out, d_in).astype(np.float32)
+    new_params = W.port_ip_adapter(sd, params)
+    node = new_params
+    for p in paths[0]:
+        node = node[p]
+    np.testing.assert_allclose(
+        node["to_k_ip"]["kernel"], sd["1.to_k_ip.weight"].T, rtol=1e-6)
+    # untouched leaves stay identical
+    f_old, f_new = flatten(params), flatten(new_params)
+    changed = [k for k in f_old
+               if not np.array_equal(f_old[k], f_new[k])]
+    assert all("to_k_ip" in c or "to_v_ip" in c for c in changed)
+    assert len(changed) == 2 * len(paths)
+
+
+def test_port_image_proj():
+    from theatergen_tpu.models.ip_adapter import ImageProjModel
+
+    proj = ImageProjModel(CFG.ip_adapter)
+    params = proj.init(jax.random.key(0),
+                       jnp.zeros((1, CFG.ip_adapter.clip_embeddings_dim)))["params"]
+    rng = np.random.RandomState(0)
+    d_out = CFG.ip_adapter.cross_attention_dim * CFG.ip_adapter.num_tokens
+    sd = {
+        "image_proj.proj.weight": rng.randn(
+            d_out, CFG.ip_adapter.clip_embeddings_dim).astype(np.float32),
+        "image_proj.proj.bias": rng.randn(d_out).astype(np.float32),
+        "image_proj.norm.weight": np.ones(
+            CFG.ip_adapter.cross_attention_dim, np.float32),
+        "image_proj.norm.bias": np.zeros(
+            CFG.ip_adapter.cross_attention_dim, np.float32),
+    }
+    ported = W.port_image_proj(sd)
+    out = proj.apply({"params": ported},
+                     jnp.ones((1, CFG.ip_adapter.clip_embeddings_dim)))
+    assert out.shape == (1, CFG.ip_adapter.num_tokens,
+                         CFG.ip_adapter.cross_attention_dim)
+
+
+def test_safetensors_reader(tmp_path):
+    import json
+    import struct
+
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    header = {"x": {"dtype": "F32", "shape": [3, 4],
+                    "data_offsets": [0, 48]}}
+    hb = json.dumps(header).encode()
+    with open(tmp_path / "t.safetensors", "wb") as f:
+        f.write(struct.pack("<Q", len(hb)))
+        f.write(hb)
+        f.write(a.tobytes())
+    out = W.load_safetensors(str(tmp_path / "t.safetensors"))
+    np.testing.assert_array_equal(out["x"], a)

@@ -1,0 +1,234 @@
+"""CMIGBench evaluation driver over a generated image tree.
+
+Port of the reference's two eval CLIs (``CMIGBench/eval/eval.py`` driver at
+``:273-420``; ``eval_extra.py`` at ``:290-381``):
+
+- per dialogue, a **reference registry** stores each character's crop
+  embedding at first appearance (``eval.py:362-366``); later appearances
+  score CCS against it;
+- per turn, every object is detected and scored; TIS scores caption↔image;
+- crop-set FID between generated crops and reference crops;
+- turn-wise extra metrics: spatial (turn 1), attribute (turn 2), negative
+  (turn 3), numeracy (turn 4) — ``eval_extra.py:312-371``;
+- CSV per dialogue + ACCS/ATIS/AFID aggregates (``eval.py:408-420``).
+
+Detection backend: a CLIP sliding-box scorer by default (no GroundingDINO
+weights in this environment); any ``detect(image, phrase) -> (box, ok)``
+callable can be plugged in.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import metrics as M
+
+
+class ClipEmbedder:
+    """Batched image/text embedding via the framework's CLIP towers."""
+
+    def __init__(self, bundle):
+        import jax.numpy as jnp
+
+        self.bundle = bundle
+        self._jnp = jnp
+
+    def embed_images(self, images: List[np.ndarray]) -> np.ndarray:
+        import jax
+
+        from ..pipelines.character import encode_ip_image
+
+        jnp = self._jnp
+        size = self.bundle.cfg.vision.image_size
+        batch = np.stack([
+            np.asarray(jax.image.resize(jnp.asarray(im), (size, size, 3),
+                                        "bilinear"))
+            for im in images
+        ])
+        return np.asarray(encode_ip_image(self.bundle, jnp.asarray(batch)))
+
+    def embed_texts(self, texts: List[str]) -> np.ndarray:
+        ids = self.bundle.tokenizer(texts,
+                                    max_length=self.bundle.cfg.text.max_length)
+        _, pooled = self.bundle.text.apply(
+            {"params": self.bundle.text_params}, self._jnp.asarray(ids))
+        return np.asarray(pooled)
+
+
+class ClipSlidingDetector:
+    """Open-vocab detection by scoring a grid of candidate boxes with CLIP
+    (the DINO stand-in; same interface as ``utils/detector.py:5-21``)."""
+
+    def __init__(self, embedder: ClipEmbedder, threshold: float = 0.5):
+        self.embedder = embedder
+        self.threshold = threshold
+        boxes = []
+        for scale in (0.45, 0.65, 0.9):
+            step = (1 - scale) / 2 if scale < 1 else 0
+            for cy in (step, 0.5, 1 - step) if step else (0.5,):
+                for cx in (step, 0.5, 1 - step) if step else (0.5,):
+                    boxes.append([cx - scale / 2, cy - scale / 2,
+                                  cx + scale / 2, cy + scale / 2])
+        self.candidates = np.clip(np.asarray(boxes, np.float32), 0, 1)
+
+    def __call__(self, image: np.ndarray, phrase: str
+                 ) -> Tuple[np.ndarray, float, bool]:
+        crops = [M.crop(image, b) for b in self.candidates]
+        img_e = self.embedder.embed_images(crops)
+        txt_e = self.embedder.embed_texts([phrase])
+        d = min(img_e.shape[-1], txt_e.shape[-1])
+        sims = M.cosine_similarity(img_e[:, :d], np.repeat(txt_e[:, :d],
+                                                           len(crops), 0))
+        best = int(np.argmax(sims))
+        conf = float(sims[best])
+        return self.candidates[best], conf, conf > self.threshold
+
+
+def evaluate_tree(
+    save_dir: str,
+    dataset: Dict,
+    embedder: ClipEmbedder,
+    detector: Optional[Callable] = None,
+    *,
+    max_dialogues: Optional[int] = None,
+    csv_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Walk ``{save_dir}/{dialogue}/{turn}/img_0.png`` and compute all
+    metrics. Returns the aggregate dict."""
+    from PIL import Image
+
+    detector = detector or ClipSlidingDetector(embedder)
+    rows = []
+    ccs_all, tis_all = [], []
+    gen_crop_feats, ref_crop_feats = [], []
+    extra_hits = {1: [], 2: [], 3: [], 4: []}
+
+    dialogues = list(dataset)
+    if max_dialogues:
+        dialogues = dialogues[:max_dialogues]
+
+    for dialogue in dialogues:
+        registry: Dict = {}   # char id → reference crop embedding
+        for t_idx in range(4):
+            turn = f"turn {t_idx + 1}"
+            if turn not in dataset[dialogue]:
+                continue
+            img_path = os.path.join(save_dir, str(dialogue), turn, "img_0.png")
+            if not os.path.exists(img_path):
+                continue
+            image = np.asarray(Image.open(img_path).convert("RGB"),
+                               np.float32) / 255.0
+            data = dataset[dialogue][turn]
+            caption = data["caption"]
+
+            # TIS
+            img_e = embedder.embed_images([image])
+            txt_e = embedder.embed_texts([caption])
+            d = min(img_e.shape[-1], txt_e.shape[-1])
+            tis = float(M.clip_logit(img_e[:, :d], txt_e[:, :d])[0])
+            tis_all.append(tis)
+
+            det_boxes = {}
+            turn_ccs = []
+            for name, box, cid in data.get("objects", []):
+                dbox, conf, ok = detector(image, name)
+                det_boxes[tuple([name, cid])] = (dbox, ok)
+                if not ok:
+                    continue
+                crop_img = M.crop(image, dbox)
+                crop_e = embedder.embed_images([crop_img])[0]
+                if cid in registry:
+                    ccs = float(M.cosine_similarity(
+                        crop_e[None], registry[cid][None])[0])
+                    turn_ccs.append(ccs)
+                    ccs_all.append(ccs)
+                    gen_crop_feats.append(crop_e)
+                    ref_crop_feats.append(registry[cid])
+                else:
+                    registry[cid] = crop_e  # first appearance (eval.py:362-366)
+
+            # extra metrics by turn index (eval_extra.py:312-371)
+            objs = data.get("objects", [])
+            if t_idx == 0 and len(objs) >= 2:
+                rel = M.parse_spatial_relation(caption)
+                if rel:
+                    (b1, ok1) = det_boxes.get((objs[0][0], objs[0][2]),
+                                              (None, False))
+                    (b2, ok2) = det_boxes.get((objs[1][0], objs[1][2]),
+                                              (None, False))
+                    if ok1 and ok2:
+                        extra_hits[1].append(M.check_spatial(rel, b1, b2))
+                    else:
+                        extra_hits[1].append(False)
+            elif t_idx == 1 and objs:
+                _, _, ok = detector(image, objs[0][0])
+                extra_hits[2].append(bool(ok))
+            elif t_idx == 2:
+                neg = data.get("negative", "")
+                if neg:
+                    _, _, found = detector(image, neg)
+                    extra_hits[3].append(not found)
+            elif t_idx == 3 and objs:
+                names = [o[0] for o in objs]
+                count = sum(int(detector(image, n)[2]) for n in names)
+                extra_hits[4].append(count == len(objs))
+
+            rows.append({
+                "dialogue": dialogue, "turn": turn, "tis": tis,
+                "ccs": float(np.mean(turn_ccs)) if turn_ccs else "",
+            })
+
+    out = {
+        "ACCS": float(np.mean(ccs_all)) if ccs_all else float("nan"),
+        "ATIS": float(np.mean(tis_all)) if tis_all else float("nan"),
+        "AFID": (M.frechet_distance(np.stack(gen_crop_feats),
+                                    np.stack(ref_crop_feats))
+                 if len(gen_crop_feats) >= 2 else float("nan")),
+        "spatial": float(np.mean(extra_hits[1])) if extra_hits[1] else float("nan"),
+        "attribute": float(np.mean(extra_hits[2])) if extra_hits[2] else float("nan"),
+        "negative": float(np.mean(extra_hits[3])) if extra_hits[3] else float("nan"),
+        "numeracy": float(np.mean(extra_hits[4])) if extra_hits[4] else float("nan"),
+    }
+
+    if csv_path:
+        os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
+        with open(csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["dialogue", "turn", "tis", "ccs"])
+            w.writeheader()
+            w.writerows(rows)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="CMIGBench evaluation")
+    ap.add_argument("--save_dir", required=True)
+    ap.add_argument("--dataset_path", required=True)
+    ap.add_argument("--task", default="story")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--csv", default=None)
+    ap.add_argument("--max_dialogues", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from ..config import sd15_config, tiny_config
+    from ..pipelines.bundle import init_bundle
+
+    cfg = tiny_config() if args.tiny else sd15_config()
+    bundle = init_bundle(cfg, jax.random.key(0), with_vision=True)
+    embedder = ClipEmbedder(bundle)
+    with open(os.path.join(args.dataset_path, f"{args.task}.json")) as f:
+        dataset = json.load(f)
+    out = evaluate_tree(args.save_dir, dataset, embedder,
+                        max_dialogues=args.max_dialogues, csv_path=args.csv)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,490 @@
+"""Checkpoint porting: diffusers/HF torch state dicts → flax param trees.
+
+The reference loads (SURVEY.md §2.12): SD1.5 UNet + CLIP ViT-L text encoder
+(``generate.py:58,78``), sd-vae-ft-mse (``:59,77``), IP-Adapter image
+encoder + ``ip-adapter_sd15.bin`` (``:61-62``), ControlNet v1.1 lineart
+(``:63``), SAM (``models/sam.py:15-22``).  This module maps those
+checkpoints onto our module trees:
+
+- torch ``Conv2d`` kernels ``[O, I, kh, kw]`` → flax ``[kh, kw, I, O]``;
+- torch ``Linear`` weights ``[O, I]`` → flax ``[I, O]``;
+- norm ``weight/bias`` → ``scale/bias``;
+- dotted diffusers names → our flattened module paths (rule table below).
+
+The IP-Adapter checkpoint splits into an ``image_proj`` group (the
+:class:`..models.ip_adapter.ImageProjModel`) and an ``ip_adapter`` group of
+per-cross-attention ``to_k_ip/to_v_ip`` weights indexed over the UNet's
+attention-processor order (reference ``ip_adapter/ip_adapter.py:127-140``);
+:func:`port_ip_adapter` walks our UNet's cross-attention layers in the same
+(down, mid, up) order.
+
+File loading supports ``.safetensors`` (via the ``safetensors`` package if
+present, else a minimal built-in reader) and torch ``.bin`` pickles.
+No real checkpoints ship in this environment; the mapping is exercised
+against synthetically-shaped state dicts in ``tests/test_weights.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+# ------------------------------------------------------------------ loading
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Minimal safetensors reader (header: u64 json-size + json + data)."""
+    try:
+        from safetensors.numpy import load_file  # type: ignore
+
+        return dict(load_file(path))
+    except Exception:
+        pass
+    dtypes = {
+        "F32": np.float32, "F16": np.float16, "BF16": None,
+        "I64": np.int64, "I32": np.int32, "U8": np.uint8, "BOOL": np.bool_,
+    }
+    out = {}
+    with open(path, "rb") as f:
+        n = struct.unpack("<Q", f.read(8))[0]
+        header = json.loads(f.read(n))
+        base = 8 + n
+        data = f.read()
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        dt = meta["dtype"]
+        start, end = meta["data_offsets"]
+        raw = data[start:end]
+        if dt == "BF16":
+            u16 = np.frombuffer(raw, np.uint16).astype(np.uint32) << 16
+            arr = u16.view(np.float32)
+        else:
+            arr = np.frombuffer(raw, dtypes[dt])
+        out[name] = arr.reshape(meta["shape"]).copy()
+    return out
+
+
+def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    flat = {}
+
+    def walk(prefix, obj):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                walk(f"{prefix}.{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = obj.float().numpy()
+
+    walk("", sd)
+    return flat
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    if path.endswith(".safetensors"):
+        return load_safetensors(path)
+    return load_torch_bin(path)
+
+
+# ------------------------------------------------------------ tensor layout
+
+def conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def dense_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def set_path(tree: Dict, path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+# --------------------------------------------------------------- UNet rules
+
+_ATTN_INNER = [
+    # (diffusers suffix regex, our suffix, kind)
+    (r"attn(\d)\.to_q\.weight", r"attn\1/to_q/kernel", "dense"),
+    (r"attn(\d)\.to_k\.weight", r"attn\1/to_k/kernel", "dense"),
+    (r"attn(\d)\.to_v\.weight", r"attn\1/to_v/kernel", "dense"),
+    (r"attn(\d)\.to_out\.0\.weight", r"attn\1/to_out_0/kernel", "dense"),
+    (r"attn(\d)\.to_out\.0\.bias", r"attn\1/to_out_0/bias", "bias"),
+    (r"attn(\d)\.processor\.to_k_ip\.weight", r"attn\1/to_k_ip/kernel", "dense"),
+    (r"attn(\d)\.processor\.to_v_ip\.weight", r"attn\1/to_v_ip/kernel", "dense"),
+    (r"ff\.net\.0\.proj\.weight", r"ff/net_0/proj/kernel", "dense"),
+    (r"ff\.net\.0\.proj\.bias", r"ff/net_0/proj/bias", "bias"),
+    (r"ff\.net\.2\.weight", r"ff/net_2/kernel", "dense"),
+    (r"ff\.net\.2\.bias", r"ff/net_2/bias", "bias"),
+    (r"norm(\d)\.weight", r"norm\1/scale", "raw"),
+    (r"norm(\d)\.bias", r"norm\1/bias", "raw"),
+]
+
+
+def _convert_leaf(name: str, w: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "dense":
+        return dense_kernel(w)
+    if kind == "conv":
+        return conv_kernel(w)
+    return w
+
+
+def _map_resnet(suffix: str) -> Optional[tuple]:
+    table = [
+        (r"norm1\.weight", "norm1/norm/scale", "raw"),
+        (r"norm1\.bias", "norm1/norm/bias", "raw"),
+        (r"norm2\.weight", "norm2/norm/scale", "raw"),
+        (r"norm2\.bias", "norm2/norm/bias", "raw"),
+        (r"conv1\.weight", "conv1/kernel", "conv"),
+        (r"conv1\.bias", "conv1/bias", "raw"),
+        (r"conv2\.weight", "conv2/kernel", "conv"),
+        (r"conv2\.bias", "conv2/bias", "raw"),
+        (r"time_emb_proj\.weight", "time_emb_proj/kernel", "dense"),
+        (r"time_emb_proj\.bias", "time_emb_proj/bias", "raw"),
+        (r"conv_shortcut\.weight", "conv_shortcut/kernel", "conv"),
+        (r"conv_shortcut\.bias", "conv_shortcut/bias", "raw"),
+    ]
+    for rx, out, kind in table:
+        if re.fullmatch(rx, suffix):
+            return out, kind
+    return None
+
+
+def _map_transformer(suffix: str) -> Optional[tuple]:
+    if re.fullmatch(r"norm\.weight", suffix):
+        return "norm/norm/scale", "raw"
+    if re.fullmatch(r"norm\.bias", suffix):
+        return "norm/norm/bias", "raw"
+    for proj in ("proj_in", "proj_out"):
+        if suffix == f"{proj}.weight":
+            return f"{proj}/kernel", "auto_conv"
+        if suffix == f"{proj}.bias":
+            return f"{proj}/bias", "raw"
+    m = re.fullmatch(r"transformer_blocks\.(\d+)\.(.+)", suffix)
+    if m:
+        ti, inner = m.groups()
+        for rx, out, kind in _ATTN_INNER:
+            mm = re.fullmatch(rx, inner)
+            if mm:
+                return f"transformer_blocks_{ti}/{mm.expand(out)}", kind
+        # transformer-block layer norms norm1/2/3 (LayerNorm, direct)
+        mm = re.fullmatch(r"norm(\d)\.(weight|bias)", inner)
+        if mm:
+            n, wb = mm.groups()
+            return (f"transformer_blocks_{ti}/norm{n}/"
+                    f"{'scale' if wb == 'weight' else 'bias'}", "raw")
+    return None
+
+
+def port_unet(sd: Dict[str, np.ndarray], *, has_encoder_scope: bool = True
+              ) -> Dict[str, Any]:
+    """Diffusers UNet2DConditionModel state dict → our UNet param tree.
+
+    ``has_encoder_scope``: our UNet nests conv_in/down blocks under
+    ``encoder/`` and mid under ``mid/`` (shared with ControlNet)."""
+    params: Dict[str, Any] = {}
+    enc = "encoder/" if has_encoder_scope else ""
+    mid = "mid/" if has_encoder_scope else ""
+
+    for name, w in sd.items():
+        out = None
+        if name.startswith("conv_in."):
+            leaf = name.split(".")[-1]
+            out = (f"{enc}conv_in/{'kernel' if leaf == 'weight' else 'bias'}",
+                   "conv" if leaf == "weight" else "raw")
+        elif name.startswith("time_embedding."):
+            m = re.fullmatch(r"time_embedding\.linear_(\d)\.(weight|bias)", name)
+            if m:
+                n, wb = m.groups()
+                out = (f"time_embedding/linear_{n}/"
+                       f"{'kernel' if wb == 'weight' else 'bias'}",
+                       "dense" if wb == "weight" else "raw")
+        elif name.startswith("conv_norm_out."):
+            leaf = name.split(".")[-1]
+            out = (f"conv_norm_out/norm/{'scale' if leaf == 'weight' else 'bias'}",
+                   "raw")
+        elif name.startswith("conv_out."):
+            leaf = name.split(".")[-1]
+            out = (f"conv_out/{'kernel' if leaf == 'weight' else 'bias'}",
+                   "conv" if leaf == "weight" else "raw")
+        else:
+            m = re.fullmatch(
+                r"(down|up)_blocks\.(\d+)\.(resnets|attentions|downsamplers|"
+                r"upsamplers)\.(\d+)\.(.+)", name)
+            if m:
+                du, bi, kind_, li, suffix = m.groups()
+                scope = enc if du == "down" else ""
+                base = f"{scope}{du}_blocks_{bi}_{kind_}_{li}"
+                if kind_ == "resnets":
+                    r = _map_resnet(suffix)
+                elif kind_ == "attentions":
+                    r = _map_transformer(suffix)
+                else:  # samplers
+                    if suffix == "conv.weight":
+                        r = ("conv/kernel", "conv")
+                    elif suffix == "conv.bias":
+                        r = ("conv/bias", "raw")
+                    else:
+                        r = None
+                if r:
+                    out = (f"{base}/{r[0]}", r[1])
+            m = re.fullmatch(
+                r"mid_block\.(resnets|attentions)\.(\d+)\.(.+)", name)
+            if m:
+                kind_, li, suffix = m.groups()
+                base = f"{mid}mid_block_{kind_}_{li}"
+                r = (_map_resnet(suffix) if kind_ == "resnets"
+                     else _map_transformer(suffix))
+                if r:
+                    out = (f"{base}/{r[0]}", r[1])
+        if out is None:
+            continue
+        path, kind = out
+        if kind == "auto_conv":
+            # proj_in/out may be Linear (newer) or 1×1 Conv (SD1.5)
+            if w.ndim == 4:
+                w2 = conv_kernel(w)
+            else:
+                w2 = dense_kernel(w)[None, None]
+            set_path(params, path, w2)
+        else:
+            set_path(params, path, _convert_leaf(name, w, kind))
+    return params
+
+
+def port_vae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Diffusers AutoencoderKL state dict → our VAE param tree."""
+    params: Dict[str, Any] = {}
+
+    def vae_attn(suffix):
+        table = [
+            (r"group_norm\.weight", "group_norm/norm/scale", "raw"),
+            (r"group_norm\.bias", "group_norm/norm/bias", "raw"),
+            (r"to_q\.weight", "to_q/kernel", "dense"),
+            (r"to_q\.bias", "to_q/bias", "raw"),
+            (r"to_k\.weight", "to_k/kernel", "dense"),
+            (r"to_k\.bias", "to_k/bias", "raw"),
+            (r"to_v\.weight", "to_v/kernel", "dense"),
+            (r"to_v\.bias", "to_v/bias", "raw"),
+            (r"to_out\.0\.weight", "to_out_0/kernel", "dense"),
+            (r"to_out\.0\.bias", "to_out_0/bias", "raw"),
+        ]
+        for rx, out, kind in table:
+            if re.fullmatch(rx, suffix):
+                return out, kind
+        return None
+
+    for name, w in sd.items():
+        out = None
+        for side in ("encoder", "decoder"):
+            if not name.startswith(side + "."):
+                continue
+            rest = name[len(side) + 1:]
+            if rest.startswith("conv_in."):
+                leaf = rest.split(".")[-1]
+                out = (f"{side}/conv_in/{'kernel' if leaf == 'weight' else 'bias'}",
+                       "conv" if leaf == "weight" else "raw")
+            elif rest.startswith("conv_norm_out."):
+                leaf = rest.split(".")[-1]
+                out = (f"{side}/conv_norm_out/norm/"
+                       f"{'scale' if leaf == 'weight' else 'bias'}", "raw")
+            elif rest.startswith("conv_out."):
+                leaf = rest.split(".")[-1]
+                out = (f"{side}/conv_out/{'kernel' if leaf == 'weight' else 'bias'}",
+                       "conv" if leaf == "weight" else "raw")
+            else:
+                m = re.fullmatch(
+                    r"(down|up)_blocks\.(\d+)\.(resnets|downsamplers|"
+                    r"upsamplers)\.(\d+)\.(.+)", rest)
+                if m:
+                    du, bi, kind_, li, suffix = m.groups()
+                    base = f"{side}/{du}_blocks_{bi}_{kind_}_{li}"
+                    if kind_ == "resnets":
+                        r = _map_resnet(suffix)
+                    else:
+                        r = (("conv/kernel", "conv") if suffix == "conv.weight"
+                             else ("conv/bias", "raw") if suffix == "conv.bias"
+                             else None)
+                    if r:
+                        out = (f"{base}/{r[0]}", r[1])
+                m = re.fullmatch(r"mid_block\.(resnets|attentions)\.(\d+)\.(.+)",
+                                 rest)
+                if m:
+                    kind_, li, suffix = m.groups()
+                    base = f"{side}/mid_{kind_}_{li}"
+                    r = (_map_resnet(suffix) if kind_ == "resnets"
+                         else vae_attn(suffix))
+                    if r:
+                        out = (f"{base}/{r[0]}", r[1])
+        if name.startswith("quant_conv."):
+            leaf = name.split(".")[-1]
+            out = (f"encoder/quant_conv/{'kernel' if leaf == 'weight' else 'bias'}",
+                   "conv" if leaf == "weight" else "raw")
+        if name.startswith("post_quant_conv."):
+            leaf = name.split(".")[-1]
+            out = (f"decoder/post_quant_conv/"
+                   f"{'kernel' if leaf == 'weight' else 'bias'}",
+                   "conv" if leaf == "weight" else "raw")
+        if out is None:
+            continue
+        path, kind = out
+        set_path(params, path, _convert_leaf(name, w, kind))
+    return params
+
+
+def port_clip_text(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """HF CLIPTextModel state dict → our CLIPTextEncoder tree."""
+    params: Dict[str, Any] = {}
+    for name, w in sd.items():
+        name = name.replace("text_model.", "")
+        out = None
+        if name == "embeddings.token_embedding.weight":
+            out = ("token_embedding/embedding", "raw")
+        elif name == "embeddings.position_embedding.weight":
+            out = ("position_embedding", "raw")
+        elif name.startswith("encoder.layers."):
+            m = re.fullmatch(
+                r"encoder\.layers\.(\d+)\.(self_attn\.(?:q|k|v|out)_proj|"
+                r"layer_norm\d|mlp\.fc\d)\.(weight|bias)", name)
+            if m:
+                li, mod, wb = m.groups()
+                mod_path = mod.replace("mlp.", "mlp/").replace(
+                    "self_attn.", "self_attn/")
+                is_dense = "proj" in mod or "fc" in mod
+                leaf = ("kernel" if wb == "weight" else "bias") if is_dense \
+                    else ("scale" if wb == "weight" else "bias")
+                kind = "dense" if (is_dense and wb == "weight") else "raw"
+                out = (f"layers_{li}/{mod_path}/{leaf}", kind)
+        elif name.startswith("final_layer_norm."):
+            leaf = name.split(".")[-1]
+            out = (f"final_layer_norm/{'scale' if leaf == 'weight' else 'bias'}",
+                   "raw")
+        if out is None:
+            continue
+        path, kind = out
+        set_path(params, path, _convert_leaf(name, w, kind))
+    return params
+
+
+def port_image_proj(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """IP-Adapter ``image_proj`` group → ImageProjModel tree
+    (``ip_adapter/ip_adapter.py:127-140`` group split)."""
+    params: Dict[str, Any] = {}
+    table = {
+        "proj.weight": ("proj/kernel", "dense"),
+        "proj.bias": ("proj/bias", "raw"),
+        "norm.weight": ("norm/scale", "raw"),
+        "norm.bias": ("norm/bias", "raw"),
+    }
+    for name, w in sd.items():
+        name = name.replace("image_proj.", "")
+        if name in table:
+            path, kind = table[name]
+            set_path(params, path, _convert_leaf(name, w, kind))
+    return params
+
+
+def cross_attention_paths(unet_params: Dict[str, Any]) -> list:
+    """Our UNet's cross-attention (attn2) module paths in the diffusers
+    attention-processor enumeration order (down blocks, mid, up blocks) —
+    the order the ``ip_adapter`` weight group is indexed by."""
+    paths = []
+
+    def collect(scope_tree, prefix):
+        found = []
+        for key in sorted(scope_tree):
+            m = re.fullmatch(r"(down|up)_blocks_(\d+)_attentions_(\d+)", key)
+            if m:
+                found.append((int(m.group(2)), int(m.group(3)), key))
+        for _, _, key in sorted(found):
+            node = scope_tree[key]
+            for tb in sorted(k for k in node if k.startswith("transformer_blocks_")):
+                if "attn2" in node[tb]:
+                    paths.append(prefix + [key, tb, "attn2"])
+
+    enc = unet_params.get("encoder", {})
+    collect(enc, ["encoder"])
+    mid = unet_params.get("mid", {})
+    if "mid_block_attentions_0" in mid:
+        node = mid["mid_block_attentions_0"]
+        for tb in sorted(k for k in node if k.startswith("transformer_blocks_")):
+            if "attn2" in node[tb]:
+                paths.append(["mid", "mid_block_attentions_0", tb, "attn2"])
+    collect(unet_params, [])
+    return paths
+
+
+def port_ip_adapter(ip_sd: Dict[str, np.ndarray], unet_params: Dict[str, Any]
+                    ) -> Dict[str, Any]:
+    """Install the ``ip_adapter`` weight group (``{idx}.to_k_ip.weight`` …)
+    into an (IP-equipped) UNet param tree; returns the updated tree."""
+    import jax
+
+    tree = jax.tree_util.tree_map(lambda x: x, unet_params)  # shallow copy
+    paths = cross_attention_paths(tree)
+    # group keys like "1.to_k_ip.weight" → processor index 2*i+1
+    by_idx: Dict[int, Dict[str, np.ndarray]] = {}
+    for name, w in ip_sd.items():
+        name = name.replace("ip_adapter.", "")
+        m = re.fullmatch(r"(\d+)\.(to_[kv]_ip)\.weight", name)
+        if m:
+            by_idx.setdefault(int(m.group(1)), {})[m.group(2)] = w
+    order = sorted(by_idx)
+    assert len(order) == len(paths), (len(order), len(paths))
+    for idx, path in zip(order, paths):
+        node = tree
+        for p in path:
+            node = node[p]
+        for kv, w in by_idx[idx].items():
+            node[kv] = {"kernel": dense_kernel(w)}
+    return tree
+
+
+def load_bundle(cfg, weights_dir: str):
+    """Assemble a Bundle from a directory of ported checkpoints:
+
+    ``unet.safetensors``, ``vae.safetensors``, ``text_encoder.safetensors``,
+    ``controlnet.safetensors``, ``ip-adapter_sd15.bin``, tokenizer assets
+    (``merges.txt``/``vocab.json``).  Missing pieces fall back to random
+    init with a warning."""
+    import jax
+
+    from ..pipelines.bundle import init_bundle
+
+    bundle = init_bundle(
+        cfg, jax.random.key(0), with_ip=True, with_controlnet=True,
+        with_vision=True, tokenizer_assets=weights_dir,
+    )
+
+    def maybe(path):
+        p = os.path.join(weights_dir, path)
+        return load_state_dict(p) if os.path.exists(p) else None
+
+    sd = maybe("unet.safetensors")
+    if sd:
+        bundle.unet_params = port_unet(sd)
+    sd = maybe("vae.safetensors")
+    if sd:
+        bundle.vae_params = port_vae(sd)
+    sd = maybe("text_encoder.safetensors")
+    if sd:
+        bundle.text_params = port_clip_text(sd)
+    ip = maybe("ip-adapter_sd15.bin") or maybe("ip-adapter_sd15.safetensors")
+    if ip:
+        bundle.image_proj_params = port_image_proj(
+            {k: v for k, v in ip.items() if k.startswith("image_proj")})
+        if bundle.unet_ip_params is not None:
+            bundle.unet_ip_params = port_ip_adapter(
+                {k: v for k, v in ip.items() if k.startswith("ip_adapter")},
+                bundle.unet_ip_params)
+    return bundle

@@ -58,6 +58,9 @@ def supported(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     )
 
 
+LOG2E = 1.4426950408889634
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0]  # [bq, d]
     k = k_ref[0]  # [S, d]
@@ -65,9 +68,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    logits = logits * scale
+    # softmax in base 2: exp(x) == exp2(x * log2 e); exp2 is the VPU's
+    # native exponential, and at 4096² logits per block the transcendental
+    # throughput is a first-order cost
+    logits = logits * (scale * LOG2E)
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    p = jnp.exp2(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     p = (p / denom).astype(v.dtype)
     o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
@@ -107,6 +113,12 @@ def flash_attention(
         ],
         out_specs=pl.BlockSpec(
             (1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        # both grid dims are embarrassingly parallel (no cross-program
+        # reduction) → the Mosaic scheduler may split them across the two
+        # v5e megacores
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * (b * h) * sq_p * sk * dp,
