@@ -122,3 +122,40 @@ def test_trainable_filter_freezes_params(unet_setup):
 
     flags = jax.tree_util.tree_map_with_path(diff, state.params, new_state.params)
     assert any(jax.tree_util.tree_leaves(flags))  # something did train
+
+
+def test_dp_character_runner_matches_serial():
+    """vmap+pjit character batch over dp must equal per-sample runs."""
+    import jax.numpy as jnp
+
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.parallel import driver as dp_driver
+    from theatergen_tpu.pipelines.bundle import init_bundle
+    from theatergen_tpu.pipelines.character import make_character_pipeline
+
+    cfg = tiny_config()
+    bundle = init_bundle(cfg, jax.random.key(0), with_ip=True)
+    mesh = mesh_lib.make_mesh(dp=8, tp=1)
+    B = 8
+    run_dp, sched = dp_driver.make_dp_character_runner(bundle, 2, mesh)
+    lat = jax.random.normal(jax.random.key(1), (B, 1, 8, 8, 4))
+    ctx = jax.random.normal(
+        jax.random.key(2),
+        (B, 2, cfg.text.max_length + 4, cfg.unet.cross_attention_dim))
+    scales = jnp.linspace(0.0, 0.7, B)
+    res = run_dp(bundle.unet_ip_params, lat, ctx, scales, None)
+    assert res.latents.shape == (B, 1, 8, 8, 4)
+    assert res.trajectory.shape == (B, 3, 1, 8, 8, 4)
+
+    run1, _ = make_character_pipeline(bundle, 2, use_ip=True)
+    ref = run1(bundle.unet_ip_params, lat[3], ctx[3], scales[3], None)
+    np.testing.assert_allclose(
+        np.asarray(res.latents[3]), np.asarray(ref.latents), atol=2e-5)
+
+
+def test_fold_in_batch_unique():
+    from theatergen_tpu.parallel import driver as dp_driver
+
+    keys = dp_driver.fold_in_batch(jax.random.key(0), 4)
+    vals = [jax.random.normal(k, ()) for k in keys]
+    assert len({float(v) for v in vals}) == 4

@@ -30,9 +30,17 @@ class UNetConfig:
     # Which levels carry cross-attention transformers (SD1.5: first three
     # down levels + mid + last three up levels).
     attention_levels: Tuple[bool, ...] = (True, True, True, False)
-    transformer_layers_per_block: int = 1
-    num_attention_heads: int = 8
+    # int, or one entry per level (SDXL: (0, 2, 10))
+    transformer_layers_per_block: "int | Tuple[int, ...]" = 1
+    # int, or one entry per level (SDXL: (5, 10, 20) — head_dim 64)
+    num_attention_heads: "int | Tuple[int, ...]" = 8
     cross_attention_dim: int = 768
+    # SDXL micro-conditioning: "text_time" adds pooled-text + time-ids
+    # embeddings to the timestep embedding (diffusers addition_embed_type)
+    addition_embed_type: Optional[str] = None
+    addition_time_embed_dim: int = 256
+    # pooled_text_dim + 6 * addition_time_embed_dim (SDXL: 2816)
+    projection_class_embeddings_input_dim: int = 2816
     norm_num_groups: int = 32
     time_embed_mult: int = 4  # time_embed_dim = block_out_channels[0] * 4
     # Extra context tokens appended for IP-Adapter decoupled attention
@@ -45,9 +53,13 @@ class UNetConfig:
     remat: bool = False
     dtype: str = "bfloat16"
 
-    @property
-    def head_dim_at(self) -> Tuple[int, ...]:
-        return tuple(c // self.num_attention_heads for c in self.block_out_channels)
+    def heads_at(self, level: int) -> int:
+        h = self.num_attention_heads
+        return h[level] if isinstance(h, tuple) else h
+
+    def depth_at(self, level: int) -> int:
+        d = self.transformer_layers_per_block
+        return d[level] if isinstance(d, tuple) else d
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +87,9 @@ class CLIPTextConfig:
     num_heads: int = 12
     max_length: int = 77
     layer_norm_eps: float = 1e-5
+    act: str = "quick_gelu"        # OpenCLIP bigG (SDXL enc 2) uses "gelu"
+    projection_dim: int = 768      # text_projection dim (pooled output)
+    use_text_projection: bool = False   # SDXL encoders project the pooled
     dtype: str = "float32"
 
 
@@ -195,6 +210,7 @@ class PipelineConfig:
     fast_rate: int = 2
     max_objects: int = 8                # static pad for jit (SURVEY §7 hard parts)
     vae_scale: int = 8                  # spatial down-factor of the VAE
+    scheduler_type: str = "ddim"        # "ddim" | "euler_ancestral" (XL)
 
     @property
     def latent_height(self) -> int:
@@ -222,6 +238,8 @@ class TheaterConfig:
     unet: UNetConfig = dataclasses.field(default_factory=UNetConfig)
     vae: VAEConfig = dataclasses.field(default_factory=VAEConfig)
     text: CLIPTextConfig = dataclasses.field(default_factory=CLIPTextConfig)
+    # second text tower for SDXL (None for SD1.5)
+    text2: Optional[CLIPTextConfig] = None
     vision: CLIPVisionConfig = dataclasses.field(default_factory=CLIPVisionConfig)
     controlnet: ControlNetConfig = dataclasses.field(default_factory=ControlNetConfig)
     ip_adapter: IPAdapterConfig = dataclasses.field(default_factory=IPAdapterConfig)
@@ -254,7 +272,7 @@ def tiny_config(latent_size: int = 8) -> TheaterConfig:
     )
     text = CLIPTextConfig(
         vocab_size=1024, hidden_size=32, intermediate_size=64,
-        num_layers=2, num_heads=2, max_length=16,
+        num_layers=2, num_heads=2, max_length=16, projection_dim=32,
     )
     vision = CLIPVisionConfig(
         image_size=32, patch_size=16, hidden_size=32, intermediate_size=64,
@@ -288,6 +306,62 @@ def tiny_config(latent_size: int = 8) -> TheaterConfig:
     )
 
 
+def tiny_xl_config(latent_size: int = 8) -> TheaterConfig:
+    """Miniature SDXL-shaped config: per-level depths/heads, text_time
+    micro-conditioning, dual text towers, EulerAncestral."""
+    base = tiny_config(latent_size)
+    unet = dataclasses.replace(
+        base.unet,
+        block_out_channels=(32, 64),
+        attention_levels=(False, True),
+        transformer_layers_per_block=(0, 2),
+        num_attention_heads=(2, 4),
+        addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=32 + 6 * 8,
+    )
+    text2 = dataclasses.replace(
+        base.text, hidden_size=48, num_heads=2, intermediate_size=96,
+        act="gelu", projection_dim=32, use_text_projection=True,
+    )
+    pipe = dataclasses.replace(base.pipeline,
+                               scheduler_type="euler_ancestral")
+    return dataclasses.replace(base, unet=unet, text2=text2, pipeline=pipe,
+                               controlnet=ControlNetConfig(
+                                   unet=unet,
+                                   conditioning_embed_channels=(8, 16)))
+
+
 def sd15_config() -> TheaterConfig:
     """Full-size SD1.5 stack (the reference's main path)."""
     return TheaterConfig()
+
+
+def sdxl_config() -> TheaterConfig:
+    """SDXL base stack (the reference's --sd_version xl branch,
+    ``generate.py:103-133``): 1024×1024, EulerAncestral 30 steps,
+    T2I-Adapter conditioning, IP-Adapter XL."""
+    unet = UNetConfig(
+        sample_size=128,
+        block_out_channels=(320, 640, 1280),
+        layers_per_block=2,
+        attention_levels=(False, True, True),
+        transformer_layers_per_block=(0, 2, 10),
+        num_attention_heads=(5, 10, 20),   # head_dim 64 at every level
+        cross_attention_dim=2048,
+        addition_embed_type="text_time",
+        projection_class_embeddings_input_dim=2816,
+    )
+    # text encoder 2 (OpenCLIP bigG): hidden 1280, 32 layers, gelu — the
+    # framework's CLIPTextConfig covers it via act="gelu"
+    text2 = CLIPTextConfig(
+        hidden_size=1280, intermediate_size=5120, num_layers=32,
+        num_heads=20, act="gelu", projection_dim=1280,
+        use_text_projection=True,
+    )
+    pipe = PipelineConfig(
+        height=1024, width=1024, num_steps=30,   # theatergen.py:331-334
+        scheduler_type="euler_ancestral",
+    )
+    ip = IPAdapterConfig(cross_attention_dim=2048)
+    return TheaterConfig(unet=unet, text2=text2, pipeline=pipe, ip_adapter=ip)

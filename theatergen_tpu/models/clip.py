@@ -22,14 +22,17 @@ from .layers import get_dtype
 
 class CLIPMLP(nn.Module):
     intermediate: int
+    act: str = "quick_gelu"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         h = nn.Dense(self.intermediate, dtype=self.dtype, name="fc1")(x)
-        # quick_gelu, as in OpenAI CLIP
-        h = h * jax.nn.sigmoid(1.702 * h)
+        if self.act == "quick_gelu":     # OpenAI CLIP (SD1.5 text encoder)
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:                            # OpenCLIP bigG (SDXL encoder 2)
+            h = nn.gelu(h)
         return nn.Dense(dim, dtype=self.dtype, name="fc2")(h)
 
 
@@ -58,6 +61,7 @@ class CLIPEncoderLayer(nn.Module):
     num_heads: int
     intermediate: int
     eps: float
+    act: str = "quick_gelu"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -68,7 +72,8 @@ class CLIPEncoderLayer(nn.Module):
                               name="self_attn")(h, causal=causal)
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
                          name="layer_norm2")(x)
-        return x + CLIPMLP(self.intermediate, dtype=self.dtype, name="mlp")(h)
+        return x + CLIPMLP(self.intermediate, act=self.act, dtype=self.dtype,
+                           name="mlp")(h)
 
 
 class CLIPTextEncoder(nn.Module):
@@ -81,7 +86,8 @@ class CLIPTextEncoder(nn.Module):
     cfg: CLIPTextConfig
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, input_ids: jnp.ndarray,
+                 return_penultimate: bool = False):
         cfg = self.cfg
         dtype = get_dtype(cfg.dtype)
         b, l = input_ids.shape
@@ -93,15 +99,23 @@ class CLIPTextEncoder(nn.Module):
             (cfg.max_length, cfg.hidden_size),
         )
         x = tok + pos[None, :l].astype(dtype)
+        penultimate = None
         for i in range(cfg.num_layers):
+            if i == cfg.num_layers - 1:
+                penultimate = x   # SDXL conditions on the pre-final layer
             x = CLIPEncoderLayer(
                 cfg.num_heads, cfg.intermediate_size, cfg.layer_norm_eps,
-                dtype=dtype, name=f"layers_{i}",
+                act=cfg.act, dtype=dtype, name=f"layers_{i}",
             )(x, causal=True)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
                          name="final_layer_norm")(x)
         eot = jnp.argmax(input_ids, axis=-1)
         pooled = x[jnp.arange(b), eot]
+        if cfg.use_text_projection or cfg.projection_dim != cfg.hidden_size:
+            pooled = nn.Dense(cfg.projection_dim, use_bias=False, dtype=dtype,
+                              name="text_projection")(pooled)
+        if return_penultimate:
+            return x, pooled, penultimate
         return x, pooled
 
 

@@ -58,6 +58,7 @@ class UNetEncoder(nn.Module):
         ip_scale=1.0,
         capture_keys: Tuple[AttnKey, ...] = (),
         cond_hint: Optional[jnp.ndarray] = None,
+        level_residuals: Optional[Tuple[jnp.ndarray, ...]] = None,
     ):
         cfg = self.cfg
         dtype = get_dtype(cfg.dtype)
@@ -75,9 +76,10 @@ class UNetEncoder(nn.Module):
                                   fast_norm=cfg.fast_norm,
                                   name=f"down_blocks_{i}_resnets_{j}")(h, temb)
                 if has_attn:
+                    heads = cfg.heads_at(i)
                     h = Transformer2D(
-                        cfg.num_attention_heads, ch // cfg.num_attention_heads,
-                        depth=cfg.transformer_layers_per_block,
+                        heads, ch // heads,
+                        depth=cfg.depth_at(i),
                         ip_tokens=cfg.ip_num_tokens,
                         groups=cfg.norm_num_groups, fast_norm=cfg.fast_norm,
                         use_flash=cfg.flash_attention, dtype=dtype,
@@ -85,6 +87,11 @@ class UNetEncoder(nn.Module):
                     )(h, context, ip_scale=ip_scale,
                       capture_probs=_captures(capture_keys, "down", i, j))
                 skips.append(h)
+            if level_residuals is not None and i < len(level_residuals):
+                # T2I-Adapter structure features, added at the end of each
+                # level (the reference XL path's adapter_state injection,
+                # models/pipelines.py:745-797)
+                h = h + level_residuals[i].astype(h.dtype)
             if i < len(cfg.block_out_channels) - 1:
                 h = Downsample2D(ch, dtype=dtype,
                                  name=f"down_blocks_{i}_downsamplers_0")(h)
@@ -101,12 +108,14 @@ class UNetMid(nn.Module):
         cfg = self.cfg
         dtype = get_dtype(cfg.dtype)
         ch = cfg.block_out_channels[-1]
+        last = len(cfg.block_out_channels) - 1
+        heads = cfg.heads_at(last)
         h = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dtype,
                           fast_norm=cfg.fast_norm,
                           name="mid_block_resnets_0")(h, temb)
         h = Transformer2D(
-            cfg.num_attention_heads, ch // cfg.num_attention_heads,
-            depth=cfg.transformer_layers_per_block,
+            heads, ch // heads,
+            depth=cfg.depth_at(last),
             ip_tokens=cfg.ip_num_tokens, groups=cfg.norm_num_groups,
             fast_norm=cfg.fast_norm,
             use_flash=cfg.flash_attention, dtype=dtype,
@@ -140,6 +149,9 @@ class UNet2DCondition(nn.Module):
         capture_keys: Tuple[AttnKey, ...] = (),
         down_residuals: Optional[Tuple[jnp.ndarray, ...]] = None,
         mid_residual: Optional[jnp.ndarray] = None,
+        pooled_text: Optional[jnp.ndarray] = None,   # SDXL [B, pooled_dim]
+        time_ids: Optional[jnp.ndarray] = None,      # SDXL [B, 6]
+        level_residuals: Optional[Tuple[jnp.ndarray, ...]] = None,  # T2I
     ) -> jnp.ndarray:
         cfg = self.cfg
         dtype = get_dtype(cfg.dtype)
@@ -148,16 +160,32 @@ class UNet2DCondition(nn.Module):
 
         if timesteps.ndim == 0:
             timesteps = timesteps[None]
+        time_dim = cfg.block_out_channels[0] * cfg.time_embed_mult
         temb = timestep_embedding(timesteps, cfg.block_out_channels[0])
         temb = TimestepEmbedding(
-            cfg.block_out_channels[0] * cfg.time_embed_mult, dtype=dtype,
-            name="time_embedding",
+            time_dim, dtype=dtype, name="time_embedding",
         )(temb.astype(dtype))
         if temb.shape[0] != sample.shape[0]:
             temb = jnp.broadcast_to(temb, (sample.shape[0],) + temb.shape[1:])
+        if cfg.addition_embed_type == "text_time":
+            # SDXL micro-conditioning (diffusers add_embedding):
+            # per-id sinusoids ++ pooled text → MLP → added to temb
+            assert pooled_text is not None and time_ids is not None
+            b_sz = time_ids.shape[0]
+            tid = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim
+            ).reshape(b_sz, -1)
+            add = jnp.concatenate(
+                [pooled_text.astype(dtype), tid.astype(dtype)], axis=-1)
+            add = TimestepEmbedding(time_dim, dtype=dtype,
+                                    name="add_embedding")(add)
+            if add.shape[0] != temb.shape[0]:
+                add = jnp.broadcast_to(add, temb.shape)
+            temb = temb + add
 
         h, skips = UNetEncoder(cfg, name="encoder")(
-            sample, temb, context, ip_scale=ip_scale, capture_keys=capture_keys
+            sample, temb, context, ip_scale=ip_scale,
+            capture_keys=capture_keys, level_residuals=level_residuals,
         )
         if down_residuals is not None:
             skips = [s + r.astype(s.dtype) for s, r in zip(skips, down_residuals)]
@@ -180,9 +208,10 @@ class UNet2DCondition(nn.Module):
                                   fast_norm=cfg.fast_norm,
                                   name=f"up_blocks_{idx}_resnets_{j}")(h, temb)
                 if has_attn:
+                    heads = cfg.heads_at(i)
                     h = Transformer2D(
-                        cfg.num_attention_heads, ch // cfg.num_attention_heads,
-                        depth=cfg.transformer_layers_per_block,
+                        heads, ch // heads,
+                        depth=cfg.depth_at(i),
                         ip_tokens=cfg.ip_num_tokens,
                         groups=cfg.norm_num_groups, fast_norm=cfg.fast_norm,
                         use_flash=cfg.flash_attention, dtype=dtype,

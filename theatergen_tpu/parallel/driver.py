@@ -1,0 +1,60 @@
+"""Data-parallel benchmark execution over a device mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.11).  TPU-native
+scaling: the DP unit is the *dialogue* (a dialogue's 4 turns are
+sequentially dependent, ``generate.py:180-269``), and within a turn the
+per-character generations are independent — so the character pipeline
+``vmap``s over a character/dialogue batch and ``pjit`` shards that batch
+axis over ``dp`` while params stay replicated (or tp-sharded via
+:mod:`.mesh` rules).  One chip's benchmark loop becomes an SPMD program
+over the slice; seeds fold in per batch element, preserving the
+reproducibility contract.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..pipelines.bundle import Bundle
+from ..pipelines.character import make_character_pipeline
+from . import mesh as mesh_lib
+
+
+def make_dp_character_runner(
+    bundle: Bundle,
+    num_steps: int,
+    mesh,
+    *,
+    use_ip: bool = True,
+    guided: bool = False,
+):
+    """Returns ``run(unet_params, latents [B,1,h,w,4], contexts [B,2,L,C],
+    ip_scales [B], gins) -> CharacterResult`` with B sharded over dp.
+
+    ``B`` must be a multiple of the dp axis size.  ``gins`` is a batched
+    ``GuidanceInputs`` pytree (leading axis B) or None.
+    """
+    run, sched = make_character_pipeline(
+        bundle, num_steps, use_ip=use_ip, guided=guided,
+        capture_ref_attn=False,
+    )
+
+    vrun = jax.vmap(run, in_axes=(None, 0, 0, 0, 0 if guided else None))
+    data = NamedSharding(mesh, P("dp"))
+    params_sharding = mesh_lib.param_shardings(
+        mesh, bundle.unet_ip_params if use_ip else bundle.unet_params)
+    return jax.jit(
+        vrun,
+        in_shardings=(params_sharding, data, data, data,
+                      data if guided else None),
+    ), sched
+
+
+def fold_in_batch(rng: jax.Array, batch: int) -> jnp.ndarray:
+    """Per-element RNG keys preserving the reference's per-seed
+    reproducibility (``generate.py:236-243``)."""
+    return jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(batch))

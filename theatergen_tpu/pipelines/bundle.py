@@ -44,8 +44,15 @@ class Bundle:
     vision: Optional[CLIPVisionEncoder] = None
     vision_params: Any = None
 
-    image_proj: Any = None          # models.ip_adapter.ImageProjModel
+    # SDXL second text tower + T2I-Adapter
+    text2: Optional[CLIPTextEncoder] = None
+    text2_params: Any = None
+    t2i_adapter: Any = None
+    t2i_adapter_params: Any = None
+
+    image_proj: Any = None          # ImageProjModel / Resampler / MLPProj
     image_proj_params: Any = None
+    ip_variant: str = "base"        # "base" | "plus" (resampler) | "full"
 
     controlnet: Any = None          # models.controlnet.ControlNet
     controlnet_params: Any = None
@@ -66,6 +73,8 @@ def init_bundle(
     with_controlnet: bool = False,
     with_vision: bool = False,
     with_sam: bool = False,
+    with_t2i_adapter: bool = False,
+    ip_variant: str = "base",
     tokenizer_assets: Optional[str] = None,
 ) -> Bundle:
     """Random-init bundle (benchmark / test path — no weights shipped in
@@ -75,11 +84,18 @@ def init_bundle(
     img_h, img_w = cfg.pipeline.height, cfg.pipeline.width
 
     unet = UNet2DCondition(cfg.unet)
+    xl_kwargs = {}
+    if cfg.unet.addition_embed_type == "text_time":
+        pooled_dim = (cfg.unet.projection_class_embeddings_input_dim
+                      - 6 * cfg.unet.addition_time_embed_dim)
+        xl_kwargs = dict(pooled_text=jnp.zeros((1, pooled_dim)),
+                         time_ids=jnp.zeros((1, 6)))
     unet_params = unet.init(
         keys[0],
         jnp.zeros((1, H, W, cfg.unet.in_channels)),
         jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim)),
+        **xl_kwargs,
     )["params"]
 
     vae = AutoencoderKL(cfg.vae)
@@ -104,24 +120,39 @@ def init_bundle(
         import dataclasses as dc
 
         if with_ip:
-            from ..models.ip_adapter import ImageProjModel
-
-            ip_unet_cfg = dc.replace(
-                cfg.unet, ip_num_tokens=cfg.ip_adapter.num_tokens
+            from ..models.ip_adapter import (
+                ImageProjModel, MLPProjModel, Resampler,
             )
+
+            b.ip_variant = ip_variant
+            if ip_variant == "plus":
+                # Plus variants resample CLIP patch tokens into
+                # resampler_queries context tokens (ip_adapter/resampler.py)
+                n_tokens = cfg.ip_adapter.resampler_queries
+                proj = Resampler(
+                    cfg.ip_adapter, embedding_dim=cfg.vision.hidden_size,
+                    output_dim=cfg.unet.cross_attention_dim)
+                proj_in = jnp.zeros((1, 5, cfg.vision.hidden_size))
+            elif ip_variant == "full":
+                n_tokens = 1
+                proj = MLPProjModel(cfg.ip_adapter)
+                proj_in = jnp.zeros((1, cfg.ip_adapter.clip_embeddings_dim))
+            else:
+                n_tokens = cfg.ip_adapter.num_tokens
+                proj = ImageProjModel(cfg.ip_adapter)
+                proj_in = jnp.zeros((1, cfg.ip_adapter.clip_embeddings_dim))
+            ip_unet_cfg = dc.replace(cfg.unet, ip_num_tokens=n_tokens)
             b.unet_ip = UNet2DCondition(ip_unet_cfg)
-            ctx_len = cfg.text.max_length + cfg.ip_adapter.num_tokens
+            ctx_len = cfg.text.max_length + n_tokens
             b.unet_ip_params = b.unet_ip.init(
                 keys[3],
                 jnp.zeros((1, H, W, cfg.unet.in_channels)),
                 jnp.zeros((1,), jnp.int32),
                 jnp.zeros((1, ctx_len, cfg.unet.cross_attention_dim)),
+                **xl_kwargs,
             )["params"]
-            proj = ImageProjModel(cfg.ip_adapter)
             b.image_proj = proj
-            b.image_proj_params = proj.init(
-                keys[4], jnp.zeros((1, cfg.ip_adapter.clip_embeddings_dim))
-            )["params"]
+            b.image_proj_params = proj.init(keys[4], proj_in)["params"]
 
         if with_controlnet:
             from ..models.controlnet import ControlNet
@@ -135,6 +166,23 @@ def init_bundle(
                 jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim)),
                 jnp.zeros((1, img_h, img_w, cfg.controlnet.conditioning_channels)),
             )["params"]
+
+    if cfg.text2 is not None:
+        text2 = CLIPTextEncoder(cfg.text2)
+        b.text2 = text2
+        b.text2_params = text2.init(
+            jax.random.key(17), jnp.zeros((1, cfg.text2.max_length), jnp.int32)
+        )["params"]
+
+    if with_t2i_adapter:
+        from ..models.t2i_adapter import T2IAdapter
+
+        ada = T2IAdapter(cfg.unet, downscale=cfg.pipeline.vae_scale)
+        b.t2i_adapter = ada
+        b.t2i_adapter_params = ada.init(
+            jax.random.key(18),
+            jnp.zeros((1, img_h, img_w, 3)),
+        )["params"]
 
     if with_vision:
         vis = CLIPVisionEncoder(cfg.vision)

@@ -64,14 +64,21 @@ def ip_context(
 
 
 def encode_ip_image(bundle: Bundle, image: jnp.ndarray) -> jnp.ndarray:
-    """RGB [0,1] NHWC → CLIP image embedding for the IP projector."""
+    """RGB [0,1] NHWC → CLIP features for the IP projector.
+
+    "base"/"full" variants use the projected CLS embedding
+    (``ip_adapter/ip_adapter.py:147-152``); "plus" uses the penultimate
+    patch tokens fed to the Resampler (``:284-299``)."""
     # CLIP normalization
     mean = jnp.array([0.48145466, 0.4578275, 0.40821073])
     std = jnp.array([0.26862954, 0.26130258, 0.27577711])
     size = bundle.cfg.vision.image_size
     img = jax.image.resize(image, (image.shape[0], size, size, 3), "bilinear")
     img = (img - mean) / std
-    embeds, _, _ = bundle.vision.apply({"params": bundle.vision_params}, img)
+    embeds, _, patch_tokens = bundle.vision.apply(
+        {"params": bundle.vision_params}, img)
+    if getattr(bundle, "ip_variant", "base") == "plus":
+        return patch_tokens
     return embeds
 
 
