@@ -20,10 +20,36 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def _store_key(obj_id) -> int:
+    if isinstance(obj_id, (int, np.integer)):
+        return int(obj_id)
+    import hashlib
+
+    return int(hashlib.md5(str(obj_id).encode()).hexdigest()[:15], 16)
+
+
 class CharacterDB:
-    def __init__(self, root: str):
+    def __init__(self, root: str, use_native: bool = True):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._native = None
+        self._use_native = use_native
+
+    def _store(self, dim: int):
+        """Native single-file embedding store (theatergen_tpu.runtime.store);
+        lazy-opened at the first embedding's dimensionality."""
+        if not self._use_native:
+            return None
+        if self._native is None:
+            try:
+                from .runtime.store import EmbeddingStore, available
+
+                if available():
+                    self._native = EmbeddingStore(
+                        os.path.join(self.root, "embeddings.bin"), dim)
+            except Exception:
+                self._use_native = False
+        return self._native
 
     def _png(self, obj_id) -> str:
         return os.path.join(self.root, f"{obj_id}.png")
@@ -46,7 +72,28 @@ class CharacterDB:
     def load_embedding(self, obj_id) -> Optional[np.ndarray]:
         p = self._emb(obj_id)
         if os.path.exists(p):
-            return np.load(p)
+            arr = np.load(p)
+            store = self._store(arr.shape[-1])
+            if store is not None and _store_key(obj_id) not in store:
+                store.put(_store_key(obj_id), arr.reshape(-1))
+            return arr
+        if self._native is not None:
+            hit = self._native.get(_store_key(obj_id))
+            if hit is not None:
+                return hit
+        # a native store may exist from a previous run with unknown dim;
+        # open it dimension-agnostically
+        bin_path = os.path.join(self.root, "embeddings.bin")
+        if self._native is None and self._use_native and os.path.exists(bin_path):
+            try:
+                from .runtime.store import EmbeddingStore, available
+
+                if available():
+                    self._native = EmbeddingStore(bin_path, 0)
+                    self._native.dim = self._native._lib.ts_dim(self._native._h)
+                    return self._native.get(_store_key(obj_id))
+            except Exception:
+                self._use_native = False
         return None
 
     def save(self, obj_id, image: np.ndarray,
@@ -57,7 +104,12 @@ class CharacterDB:
         arr = (np.clip(np.asarray(image), 0, 1) * 255).astype(np.uint8)
         Image.fromarray(arr).save(self._png(obj_id))
         if embedding is not None:
-            np.save(self._emb(obj_id), np.asarray(embedding))
+            emb = np.asarray(embedding, np.float32).reshape(-1)
+            store = self._store(emb.shape[0])
+            if store is not None:
+                store.put(_store_key(obj_id), emb)
+            else:
+                np.save(self._emb(obj_id), emb)
 
     def delete(self, obj_id) -> None:
         """Remove a freshly-written character before a regeneration retry
@@ -65,6 +117,8 @@ class CharacterDB:
         for p in (self._png(obj_id), self._emb(obj_id)):
             if os.path.exists(p):
                 os.remove(p)
+        if self._native is not None:
+            self._native.delete(_store_key(obj_id))
 
     def lookup(self, obj_id) -> Tuple[Optional[np.ndarray], Optional[np.ndarray], bool]:
         """(image, embedding, hit)."""
