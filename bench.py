@@ -20,6 +20,7 @@ import time
 BATCH = int(os.environ.get("THEATERGEN_BENCH_BATCH", "4"))
 STEPS = int(os.environ.get("THEATERGEN_BENCH_STEPS", "50"))
 USE_FLASH = os.environ.get("THEATERGEN_BENCH_FLASH", "1") == "1"
+USE_INT8 = os.environ.get("THEATERGEN_BENCH_INT8", "0") == "1"
 TARGET = 4.0  # images/sec/chip, BASELINE.json
 
 
@@ -39,7 +40,8 @@ def main() -> None:
     import dataclasses
 
     cfg = sd15_config()
-    ucfg = dataclasses.replace(cfg.unet, flash_attention=USE_FLASH)
+    ucfg = dataclasses.replace(cfg.unet, flash_attention=USE_FLASH,
+                               quantized=USE_INT8)
     unet = UNet2DCondition(ucfg)
     lat0 = jax.device_put(
         jax.random.normal(jax.random.key(0), (BATCH, 64, 64, 4))
@@ -78,8 +80,10 @@ def main() -> None:
     best = min(times)
     ips = BATCH / best
 
+    tag = " int8-W8A8" if USE_INT8 else ""
     print(json.dumps({
-        "metric": f"SD1.5 512px {STEPS}-step DDIM (CFG) denoise throughput, batch {BATCH}",
+        "metric": f"SD1.5 512px {STEPS}-step DDIM (CFG) denoise throughput,"
+                  f" batch {BATCH}{tag}",
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / TARGET, 4),

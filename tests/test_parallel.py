@@ -159,3 +159,20 @@ def test_fold_in_batch_unique():
     keys = dp_driver.fold_in_batch(jax.random.key(0), 4)
     vals = [jax.random.normal(k, ()) for k in keys]
     assert len({float(v) for v in vals}) == 4
+
+
+def test_checkpoint_roundtrip(tmp_path, unet_setup):
+    from theatergen_tpu.training import checkpoint as ckpt
+
+    unet, params = unet_setup
+    opt = trainer.make_optimizer(lr=1e-3, warmup=0)
+    state = trainer.TrainState(params=params, opt_state=opt.init(params),
+                               step=jnp.int32(7))
+    path = str(tmp_path / "ck" / "step_7")
+    ckpt.save_checkpoint(path, state)
+    restored = ckpt.load_checkpoint(path, target=state)
+    assert int(restored.step) == 7
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.latest_step_dir(str(tmp_path / "ck")).endswith("step_7")

@@ -143,3 +143,27 @@ def test_ip_adapter_plus_variant():
         jnp.zeros((2, 8, 8, 4)), jnp.zeros((2,), jnp.int32), ctx,
         ip_scale=0.5)
     assert out.shape == (2, 8, 8, 4)
+
+
+def test_theater_xl_turn(tmp_path):
+    """Full orchestrator turn on the SDXL-shaped backbone: dual encoders,
+    EulerAncestral char+final passes, T2I-Adapter conditioning."""
+    from theatergen_tpu.db import CharacterDB
+    from theatergen_tpu.theater import Theater
+
+    b = init_bundle(CFG, jax.random.key(0), with_ip=True, with_vision=True,
+                    with_t2i_adapter=True)
+    db = CharacterDB(str(tmp_path))
+    t = Theater(b, db, num_steps=2)
+    assert t.is_xl and t.use_t2i and not t.use_controlnet
+    spec = {"prompt": "a red knight in a forest", "bg_prompt": "a forest",
+            "gen_boxes": [("a red knight", (60, 100, 150, 300))],
+            "extra_neg_prompt": "", "obj_ids": [0]}
+    res = t.run_turn(spec, seed=0)
+    H = CFG.pipeline.height
+    assert res.image.shape == (H, H, 3)
+    assert np.isfinite(res.image).all()
+    assert db.has(0)
+    # determinism under the ancestral sampler too
+    res2 = t.run_turn(spec, seed=0)
+    np.testing.assert_array_equal(res.image, res2.image)

@@ -47,6 +47,9 @@ class UNetConfig:
     # (semantics of ip_adapter/attention_processor.py:466-471).
     ip_num_tokens: int = 0
     flash_attention: bool = True
+    # int8 W8A8 serving for the matmul layers (attention projections, FFN,
+    # time embed) — ~1.8x MXU throughput on those ops (see BENCH_NOTES.md)
+    quantized: bool = False
     # compute GroupNorms in the model dtype (bf16) instead of fp32 —
     # matches the reference's fp16 norms and saves activation passes
     fast_norm: bool = True
@@ -310,23 +313,31 @@ def tiny_xl_config(latent_size: int = 8) -> TheaterConfig:
     """Miniature SDXL-shaped config: per-level depths/heads, text_time
     micro-conditioning, dual text towers, EulerAncestral."""
     base = tiny_config(latent_size)
+    text2 = dataclasses.replace(
+        base.text, hidden_size=48, num_heads=2, intermediate_size=96,
+        act="gelu", projection_dim=32, use_text_projection=True,
+    )
+    ctx_dim = base.text.hidden_size + 48   # concat of both towers
     unet = dataclasses.replace(
         base.unet,
         block_out_channels=(32, 64),
         attention_levels=(False, True),
         transformer_layers_per_block=(0, 2),
         num_attention_heads=(2, 4),
+        cross_attention_dim=ctx_dim,
         addition_embed_type="text_time",
         addition_time_embed_dim=8,
         projection_class_embeddings_input_dim=32 + 6 * 8,
     )
-    text2 = dataclasses.replace(
-        base.text, hidden_size=48, num_heads=2, intermediate_size=96,
-        act="gelu", projection_dim=32, use_text_projection=True,
-    )
+    ip = dataclasses.replace(base.ip_adapter, cross_attention_dim=ctx_dim)
     pipe = dataclasses.replace(base.pipeline,
                                scheduler_type="euler_ancestral")
+    # 2-level tiny-XL UNet: attention lives at level 1 → up_blocks_0
+    guidance = dataclasses.replace(
+        base.guidance,
+        attn_keys=(("mid", 0, 0, 0), ("up", 0, 0, 0), ("up", 0, 1, 0)))
     return dataclasses.replace(base, unet=unet, text2=text2, pipeline=pipe,
+                               ip_adapter=ip, guidance=guidance,
                                controlnet=ControlNetConfig(
                                    unet=unet,
                                    conditioning_embed_channels=(8, 16)))

@@ -17,6 +17,16 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import attention as attn_ops
+from ..ops.quant import QuantDense
+
+
+def make_dense(quantized: bool, features: int, *, use_bias: bool = True,
+               dtype=jnp.float32, name: str):
+    """Dense or its W8A8 twin (ops/quant.py) — same param path, so the
+    serving tree from ``quantize_params`` drops straight in."""
+    if quantized:
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
 def get_dtype(name: str):
@@ -48,12 +58,15 @@ class TimestepEmbedding(nn.Module):
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, emb: jnp.ndarray) -> jnp.ndarray:
-        emb = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(emb)
+        emb = make_dense(self.quantized, self.dim, dtype=self.dtype,
+                         name="linear_1")(emb)
         emb = nn.silu(emb)
-        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(emb)
+        return make_dense(self.quantized, self.dim, dtype=self.dtype,
+                          name="linear_2")(emb)
 
 
 class GroupNorm(nn.Module):
@@ -88,6 +101,7 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     fast_norm: bool = False
+    quantized: bool = False
 
     @property
     def _norm_dtype(self):
@@ -101,8 +115,9 @@ class ResnetBlock2D(nn.Module):
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         if temb is not None:
-            t = nn.Dense(self.out_channels, dtype=self.dtype,
-                         name="time_emb_proj")(nn.silu(temb))
+            t = make_dense(self.quantized, self.out_channels,
+                           dtype=self.dtype,
+                           name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
         h = GroupNorm(self.groups, dtype=self._norm_dtype, name="norm2")(h)
         h = nn.silu(h)
@@ -140,10 +155,12 @@ class Upsample2D(nn.Module):
 class GEGLU(nn.Module):
     dim_out: int
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h = make_dense(self.quantized, self.dim_out * 2, dtype=self.dtype,
+                       name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         return h * nn.gelu(gate)
 
@@ -151,12 +168,15 @@ class GEGLU(nn.Module):
 class FeedForward(nn.Module):
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
-        h = GEGLU(dim * self.mult, dtype=self.dtype, name="net_0")(x)
-        return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
+        h = GEGLU(dim * self.mult, dtype=self.dtype,
+                  quantized=self.quantized, name="net_0")(x)
+        return make_dense(self.quantized, dim, dtype=self.dtype,
+                          name="net_2")(h)
 
 
 class CrossAttention(nn.Module):
@@ -174,6 +194,7 @@ class CrossAttention(nn.Module):
     ip_tokens: int = 0
     use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(
@@ -189,7 +210,9 @@ class CrossAttention(nn.Module):
         ctx = x if context is None else context
         is_ip = self.ip_tokens > 0 and context is not None
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        dense = lambda feats, name: make_dense(
+            self.quantized, feats, use_bias=False, dtype=self.dtype, name=name)
+        q = dense(inner, "to_q")(x)
         q = q.reshape(b, lq, self.num_heads, self.head_dim)
 
         if is_ip:
@@ -199,12 +222,10 @@ class CrossAttention(nn.Module):
             text_len = ctx.shape[1] - self.ip_tokens
             text_ctx = ctx[:, :text_len]
             ip_ctx = ctx[:, text_len:]
-            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(text_ctx)
-            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(text_ctx)
-            k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                            name="to_k_ip")(ip_ctx)
-            v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                            name="to_v_ip")(ip_ctx)
+            k = dense(inner, "to_k")(text_ctx)
+            v = dense(inner, "to_v")(text_ctx)
+            k_ip = dense(inner, "to_k_ip")(ip_ctx)
+            v_ip = dense(inner, "to_v_ip")(ip_ctx)
             shape = (b, -1, self.num_heads, self.head_dim)
             out, probs = attn_ops.decoupled_attention(
                 q, k.reshape(shape), v.reshape(shape),
@@ -212,15 +233,16 @@ class CrossAttention(nn.Module):
                 return_probs=return_probs, use_flash=self.use_flash,
             )
         else:
-            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+            k = dense(inner, "to_k")(ctx)
+            v = dense(inner, "to_v")(ctx)
             shape = (b, -1, self.num_heads, self.head_dim)
             out, probs = attn_ops.multi_head_attention(
                 q, k.reshape(shape), v.reshape(shape),
                 return_probs=return_probs, use_flash=self.use_flash,
             )
         out = out.reshape(b, lq, inner)
-        out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
+        out = make_dense(self.quantized, c, dtype=self.dtype,
+                         name="to_out_0")(out)
         return out, probs
 
 
@@ -235,6 +257,7 @@ class BasicTransformerBlock(nn.Module):
     ip_tokens: int = 0
     use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(
@@ -247,12 +270,13 @@ class BasicTransformerBlock(nn.Module):
     ) -> jnp.ndarray:
         h, _ = CrossAttention(
             self.num_heads, self.head_dim, use_flash=self.use_flash,
-            dtype=self.dtype, name="attn1",
+            dtype=self.dtype, quantized=self.quantized, name="attn1",
         )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
         x = x + h
         h, probs = CrossAttention(
             self.num_heads, self.head_dim, ip_tokens=self.ip_tokens,
-            use_flash=self.use_flash, dtype=self.dtype, name="attn2",
+            use_flash=self.use_flash, dtype=self.dtype,
+            quantized=self.quantized, name="attn2",
         )(
             nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context,
             ip_scale=ip_scale, return_probs=capture_probs,
@@ -264,7 +288,8 @@ class BasicTransformerBlock(nn.Module):
             self.sow("attn", "cross_attn_probs", probs,
                      init_fn=lambda: probs, reduce_fn=lambda _, p: p)
         x = x + h
-        x = x + FeedForward(dtype=self.dtype, name="ff")(
+        x = x + FeedForward(dtype=self.dtype, quantized=self.quantized,
+                            name="ff")(
             nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         )
         return x
@@ -285,6 +310,7 @@ class Transformer2D(nn.Module):
     use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
     fast_norm: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(
@@ -306,6 +332,7 @@ class Transformer2D(nn.Module):
             x = BasicTransformerBlock(
                 self.num_heads, self.head_dim, ip_tokens=self.ip_tokens,
                 use_flash=self.use_flash, dtype=self.dtype,
+                quantized=self.quantized,
                 name=f"transformer_blocks_{i}",
             )(x, context, ip_scale=ip_scale,
               capture_probs=capture_probs and i == 0)

@@ -74,6 +74,7 @@ class UNetEncoder(nn.Module):
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dtype,
                                   fast_norm=cfg.fast_norm,
+                                  quantized=cfg.quantized,
                                   name=f"down_blocks_{i}_resnets_{j}")(h, temb)
                 if has_attn:
                     heads = cfg.heads_at(i)
@@ -82,6 +83,7 @@ class UNetEncoder(nn.Module):
                         depth=cfg.depth_at(i),
                         ip_tokens=cfg.ip_num_tokens,
                         groups=cfg.norm_num_groups, fast_norm=cfg.fast_norm,
+                        quantized=cfg.quantized,
                         use_flash=cfg.flash_attention, dtype=dtype,
                         name=f"down_blocks_{i}_attentions_{j}",
                     )(h, context, ip_scale=ip_scale,
@@ -111,19 +113,19 @@ class UNetMid(nn.Module):
         last = len(cfg.block_out_channels) - 1
         heads = cfg.heads_at(last)
         h = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dtype,
-                          fast_norm=cfg.fast_norm,
+                          fast_norm=cfg.fast_norm, quantized=cfg.quantized,
                           name="mid_block_resnets_0")(h, temb)
         h = Transformer2D(
             heads, ch // heads,
             depth=cfg.depth_at(last),
             ip_tokens=cfg.ip_num_tokens, groups=cfg.norm_num_groups,
-            fast_norm=cfg.fast_norm,
+            fast_norm=cfg.fast_norm, quantized=cfg.quantized,
             use_flash=cfg.flash_attention, dtype=dtype,
             name="mid_block_attentions_0",
         )(h, context, ip_scale=ip_scale,
           capture_probs=_captures(capture_keys, "mid", 0, 0))
         h = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dtype,
-                          fast_norm=cfg.fast_norm,
+                          fast_norm=cfg.fast_norm, quantized=cfg.quantized,
                           name="mid_block_resnets_1")(h, temb)
         return h
 
@@ -163,7 +165,8 @@ class UNet2DCondition(nn.Module):
         time_dim = cfg.block_out_channels[0] * cfg.time_embed_mult
         temb = timestep_embedding(timesteps, cfg.block_out_channels[0])
         temb = TimestepEmbedding(
-            time_dim, dtype=dtype, name="time_embedding",
+            time_dim, dtype=dtype, quantized=cfg.quantized,
+            name="time_embedding",
         )(temb.astype(dtype))
         if temb.shape[0] != sample.shape[0]:
             temb = jnp.broadcast_to(temb, (sample.shape[0],) + temb.shape[1:])
@@ -206,6 +209,7 @@ class UNet2DCondition(nn.Module):
                 h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
                 h = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dtype,
                                   fast_norm=cfg.fast_norm,
+                                  quantized=cfg.quantized,
                                   name=f"up_blocks_{idx}_resnets_{j}")(h, temb)
                 if has_attn:
                     heads = cfg.heads_at(i)
@@ -214,6 +218,7 @@ class UNet2DCondition(nn.Module):
                         depth=cfg.depth_at(i),
                         ip_tokens=cfg.ip_num_tokens,
                         groups=cfg.norm_num_groups, fast_norm=cfg.fast_norm,
+                        quantized=cfg.quantized,
                         use_flash=cfg.flash_attention, dtype=dtype,
                         name=f"up_blocks_{idx}_attentions_{j}",
                     )(h, context, ip_scale=ip_scale,

@@ -288,3 +288,72 @@ def ea_step(
     derivative = (sample - x0) / jnp.maximum(s_from, 1e-12)
     out = sample + derivative * (s_down - s_from) + noise * s_up
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sampler facade: one interface over DDIM / EulerAncestral for the pipelines
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Sampler:
+    """Scheduler-agnostic stepping interface used by the denoise loops.
+
+    ``kind`` selects the math; both schedules ride along so the object is a
+    static pytree jit can close over.  ``rng`` only matters for the
+    ancestral sampler (per-step noise via fold_in — no carry needed).
+    """
+
+    kind: str                                   # "ddim" | "euler_ancestral"
+    ddim: Optional[DDIMSchedule] = None
+    ea: Optional["EulerAncestralSchedule"] = None
+
+    @property
+    def num_steps(self) -> int:
+        return (self.ddim or self.ea).num_steps
+
+    @property
+    def timesteps(self) -> jnp.ndarray:
+        return (self.ddim or self.ea).timesteps
+
+    @property
+    def init_noise_sigma(self):
+        if self.kind == "euler_ancestral":
+            return self.ea.init_noise_sigma
+        return jnp.float32(1.0)
+
+    def scale_model_input(self, sample, i):
+        if self.kind == "euler_ancestral":
+            return ea_scale_model_input(self.ea, sample, i)
+        return sample
+
+    def step(self, model_output, i, sample, rng=None):
+        if self.kind == "euler_ancestral":
+            assert rng is not None, "ancestral sampler needs rng"
+            import jax
+
+            noise = jax.random.normal(
+                jax.random.fold_in(rng, i), sample.shape, jnp.float32
+            ).astype(sample.dtype)
+            return ea_step(self.ea, model_output, i, sample, noise)
+        return ddim_step(self.ddim, model_output, i, sample)
+
+    def guidance_step_scale(self, i):
+        """Latent-guidance gradient scale: sqrt(1-alpha) for DDIM,
+        sigma^2 for sigma-parameterized samplers
+        (reference models/pipelines.py:106-119)."""
+        if self.kind == "euler_ancestral":
+            return self.ea.sigmas[i] ** 2
+        return guidance_step_scale(self.ddim, i)
+
+
+def make_sampler(cfg: SchedulerConfig, num_steps: int, *,
+                 kind: str = "ddim",
+                 fast_after_steps: Optional[int] = None,
+                 fast_rate: int = 2) -> Sampler:
+    if kind == "euler_ancestral":
+        return Sampler(kind=kind,
+                       ea=make_euler_ancestral_schedule(cfg, num_steps))
+    return Sampler(kind="ddim", ddim=make_schedule(
+        cfg, num_steps, fast_after_steps=fast_after_steps,
+        fast_rate=fast_rate))

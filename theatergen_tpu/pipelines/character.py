@@ -100,8 +100,8 @@ def make_character_pipeline(
     cfg = bundle.cfg
     gcfg = cfg.guidance
     unet = bundle.unet_ip if use_ip else bundle.unet
-    sched = sched_ops.make_schedule(
-        cfg.scheduler, num_steps,
+    sched = sched_ops.make_sampler(
+        cfg.scheduler, num_steps, kind=cfg.pipeline.scheduler_type,
         fast_after_steps=cfg.pipeline.fast_after_steps,
         fast_rate=cfg.pipeline.fast_rate,
     )
@@ -109,9 +109,15 @@ def make_character_pipeline(
     text_len = cfg.text.max_length
 
     def run(unet_params, input_latents, context, ip_scale,
-            gin: Optional[GuidanceInputs] = None) -> CharacterResult:
+            gin: Optional[GuidanceInputs] = None, rng=None,
+            extra_cond: Optional[dict] = None) -> CharacterResult:
         def unet_apply(x, t, ctx, capture=False):
             kwargs = dict(ip_scale=ip_scale) if use_ip else {}
+            if extra_cond:
+                # SDXL micro-conditioning; cond-only passes (guidance) use a
+                # batch-1 input — take the trailing (cond) rows
+                kwargs.update({k: v[-x.shape[0]:] for k, v in
+                               extra_cond.items()})
             if capture:
                 return unet.apply(
                     {"params": unet_params}, x,
@@ -140,7 +146,8 @@ def make_character_pipeline(
                     lambda l: l,
                     lat,
                 )
-            lat_in = jnp.concatenate([lat, lat], axis=0)
+            scaled = sched.scale_model_input(lat, i)
+            lat_in = jnp.concatenate([scaled, scaled], axis=0)
             t = sched.timesteps[i]
             if capture_ref_attn:
                 eps, state = unet_apply(lat_in, t, context, capture=True)
@@ -156,7 +163,7 @@ def make_character_pipeline(
                 eps = unet_apply(lat_in, t, context)
                 ref = None
             eps = sd.cfg_combine(eps.astype(jnp.float32), gs)
-            nxt = sched_ops.ddim_step(sched, eps, i, lat)
+            nxt = sched.step(eps, i, lat, rng)
             return nxt, (lat, ref)
 
         final, (traj, refs) = jax.lax.scan(

@@ -53,17 +53,30 @@ def make_final_pipeline(
     cfg = bundle.cfg
     gcfg = cfg.guidance
     unet = bundle.unet_ip if use_ip else bundle.unet
-    sched = sched_ops.make_schedule(cfg.scheduler, num_steps)
+    sched = sched_ops.make_sampler(
+        cfg.scheduler, num_steps, kind=cfg.pipeline.scheduler_type)
     gs = cfg.pipeline.guidance_scale if guidance_scale is None else guidance_scale
     text_len = cfg.text.max_length
 
     def run(unet_params, controlnet_params, latents_all, frozen_mask,
             frozen_steps, context, cn_context, cond_image, ip_scale,
-            gin: Optional[GuidanceInputs] = None):
+            gin: Optional[GuidanceInputs] = None, rng=None,
+            extra_cond: Optional[dict] = None,
+            adapter_feats: Optional[tuple] = None):
         fm = jnp.clip(frozen_mask, 0.0, 1.0)[None, :, :, None]  # [1,h,w,1]
 
         def unet_apply(x, t, ctx, down_res=None, mid_res=None, capture=False):
             kwargs = dict(ip_scale=ip_scale) if use_ip else {}
+            if extra_cond:
+                # SDXL micro-conditioning; cond-only passes (guidance) use a
+                # batch-1 input — take the trailing (cond) rows
+                kwargs.update({k: v[-x.shape[0]:] for k, v in
+                               extra_cond.items()})
+            if adapter_feats is not None:
+                reps = x.shape[0] // adapter_feats[0].shape[0]
+                kwargs["level_residuals"] = tuple(
+                    jnp.concatenate([f] * reps, axis=0) if reps > 1 else f
+                    for f in adapter_feats)
             if down_res is not None:
                 kwargs.update(down_residuals=down_res, mid_residual=mid_res)
             if capture:
@@ -97,7 +110,8 @@ def make_final_pipeline(
                     lat,
                 )
             t = sched.timesteps[i]
-            lat_in = jnp.concatenate([lat, lat], axis=0)
+            scaled = sched.scale_model_input(lat, i)
+            lat_in = jnp.concatenate([scaled, scaled], axis=0)
             if use_controlnet:
                 down_res, mid_res = bundle.controlnet.apply(
                     {"params": controlnet_params}, lat_in,
@@ -108,7 +122,7 @@ def make_final_pipeline(
                 down_res = mid_res = None
             eps = unet_apply(lat_in, t, context, down_res, mid_res)
             eps = sd.cfg_combine(eps.astype(jnp.float32), gs)
-            nxt = sched_ops.ddim_step(sched, eps, i, lat)
+            nxt = sched.step(eps, i, lat, rng)
             nxt = jnp.where(
                 i < frozen_steps,
                 latents_all[i + 1] * fm + nxt * (1.0 - fm),

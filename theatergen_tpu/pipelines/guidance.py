@@ -80,7 +80,7 @@ def make_energy_fn(
 
 def guidance_update(
     energy_fn,
-    sched: sched_ops.DDIMSchedule,
+    sched,                       # sched_ops.Sampler or DDIMSchedule
     gcfg: GuidanceConfig,
     latents: jnp.ndarray,        # [1, h, w, 4]
     step_index: jnp.ndarray,
@@ -98,7 +98,10 @@ def guidance_update(
     Returns (latents, final_loss).
     """
     t = sched.timesteps[step_index]
-    scale = sched_ops.guidance_step_scale(sched, step_index)
+    if hasattr(sched, "guidance_step_scale"):
+        scale = sched.guidance_step_scale(step_index)
+    else:
+        scale = sched_ops.guidance_step_scale(sched, step_index)
     max_iter_table = jnp.asarray(gcfg.max_iter, jnp.int32)
     max_it = max_iter_table[jnp.clip(step_index, 0, len(gcfg.max_iter) - 1)]
     grad_fn = jax.value_and_grad(

@@ -74,7 +74,13 @@ class Theater:
         cfg = bundle.cfg
         self.cfg = cfg
         self.num_steps = num_steps or cfg.pipeline.num_steps
-        self.use_controlnet = use_controlnet and bundle.controlnet is not None
+        # SDXL backbone: dual text towers + micro-conditioning + T2I-Adapter
+        # structure conditioning in place of ControlNet
+        # (reference generate.py:103-133, models/pipelines.py:635-696)
+        self.is_xl = cfg.unet.addition_embed_type == "text_time"
+        self.use_t2i = self.is_xl and bundle.t2i_adapter is not None
+        self.use_controlnet = (use_controlnet and not self.use_t2i
+                               and bundle.controlnet is not None)
 
         self.char_run, self.char_sched = make_character_pipeline(
             bundle, self.num_steps, use_ip=True, guided=guided,
@@ -91,6 +97,18 @@ class Theater:
         )
 
     # ---------------------------------------------------------------- utils
+
+    def _encode_text(self, prompt, negative):
+        """(context [2,L,C], extra_cond) — dual towers + pooled/time_ids
+        for SDXL, single tower otherwise."""
+        if not self.is_xl:
+            return sd.encode_prompts(self.bundle, prompt, negative), None
+        from .pipelines import sdxl as sdxl_mod
+
+        ctx, pooled = sdxl_mod.encode_prompts_xl(self.bundle, prompt, negative)
+        tids = sdxl_mod.default_time_ids(
+            self.cfg.pipeline.height, self.cfg.pipeline.width, ctx.shape[0])
+        return ctx, dict(pooled_text=pooled, time_ids=tids)
 
     def _decode_img(self, latents) -> jnp.ndarray:
         img = self._decode(self.bundle.vae_params, latents)
@@ -204,7 +222,7 @@ class Theater:
             so_prompt = f"{so_prompt} | {plan.phrase}"  # guidance.py:33-36
             token_pos = find_phrase_token_indices(
                 b.tokenizer, so_prompt, plan.word, cfg.text.max_length)
-        text_ctx = sd.encode_prompts(b, so_prompt, neg)
+        text_ctx, extra_cond = self._encode_text(so_prompt, neg)
 
         db_img, db_emb, hit = self.db.lookup(plan.obj_id)
         if hit and db_emb is None:
@@ -229,8 +247,12 @@ class Theater:
                 cfg.pipeline.latent_width,
                 fg_blending_ratio=cfg.pipeline.fg_blending_ratio,
             )
+            init_lat = per_obj[0] * np.float32(
+                jax.device_get(self.char_sched.init_noise_sigma))
             result = self.char_run(
-                b.unet_ip_params, per_obj[0], ctx, jnp.float32(ip_scale), gin)
+                b.unet_ip_params, init_lat, ctx, jnp.float32(ip_scale),
+                gin, rng=jax.random.fold_in(arng, 7),
+                extra_cond=extra_cond)
             image = self._decode_img(result.latents)
             agg = self._aggregate_attn(result.ref_attn)
             detection = det.attention_detect(agg, None)
@@ -286,16 +308,20 @@ class Theater:
         n = min(len(chars), k)
         if n == 0:
             # background-only turn: plain txt2img on the overall prompt
-            ctx = sd.encode_prompts(
-                b, plan.overall_prompt or plan.bg_prompt,
+            ctx, extra_cond = self._encode_text(
+                plan.overall_prompt or plan.bg_prompt,
                 parse.DEFAULT_OVERALL_NEGATIVE_PROMPT)
             ctx = ip_context(b, ctx, jnp.zeros(
                 (1, cfg.ip_adapter.clip_embeddings_dim)))
             lat = sd.seeded_latents(jax.random.fold_in(rng, 99), 1,
                                     cfg.pipeline.latent_height,
                                     cfg.pipeline.latent_width)
+            lat = lat * np.float32(
+                jax.device_get(self.char_sched.init_noise_sigma))
             res = self.char_run(b.unet_ip_params, lat, ctx, jnp.float32(0.0),
-                                self._guidance_inputs([(0, 0, 1, 1)], [[1]]))
+                                self._guidance_inputs([(0, 0, 1, 1)], [[1]]),
+                                rng=jax.random.fold_in(rng, 98),
+                                extra_cond=extra_cond)
             img = self._decode_img(res.latents)
             return TurnResult(np.asarray(img[0]), [], np.asarray(img[0]),
                               time.time() - t_start, [])
@@ -336,8 +362,12 @@ class Theater:
         neg = parse.DEFAULT_OVERALL_NEGATIVE_PROMPT
         if extra_neg:
             neg = f"{extra_neg}, {neg}"
-        overall_ctx = sd.encode_prompts(b, plan.overall_prompt, neg)
+        overall_ctx, extra_cond = self._encode_text(plan.overall_prompt, neg)
         ctx = ip_context(b, overall_ctx, chars[0]["img_embed"])
+        adapter_feats = None
+        if self.use_t2i:
+            adapter_feats = b.t2i_adapter.apply(
+                {"params": b.t2i_adapter_params}, cond_img[None])
 
         # overall guidance: phrase token positions in the overall prompt
         token_pos_all, boxes_all, refs = [], [], []
@@ -357,7 +387,9 @@ class Theater:
             b.unet_ip_params,
             b.controlnet_params if self.use_controlnet else None,
             composed, frozen_mask, jnp.int32(frozen_steps), ctx, cn_ctx,
-            cond_img, jnp.float32(cfg.pipeline.ip_scale_final), gin)
+            cond_img, jnp.float32(cfg.pipeline.ip_scale_final), gin,
+            rng=jax.random.fold_in(rng, 777), extra_cond=extra_cond,
+            adapter_feats=adapter_feats)
         image = self._decode_img(final)
 
         return TurnResult(
