@@ -24,6 +24,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (v5e pods): ``jax.distributed.initialize`` with
+    env-var defaults (the standard TPU pod launch contract).  Safe to call
+    on single-host — it no-ops when no coordinator is configured."""
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None and num_processes is None:
+        return  # single host
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id,
+    )
+
+
 def make_mesh(dp: int = -1, tp: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a ('dp', 'tp') mesh. ``dp=-1`` → use all remaining devices."""

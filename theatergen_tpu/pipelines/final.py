@@ -39,6 +39,8 @@ def make_final_pipeline(
     guided: bool = False,
     guidance_scale: Optional[float] = None,
     controlnet_scale: float = 1.0,
+    control_guidance_start: float = 0.0,
+    control_guidance_end: float = 1.0,
 ):
     """Build the jitted final-pass runner.
 
@@ -113,10 +115,17 @@ def make_final_pipeline(
             scaled = sched.scale_model_input(lat, i)
             lat_in = jnp.concatenate([scaled, scaled], axis=0)
             if use_controlnet:
+                # controlnet_keep window (reference models/pipelines.py:
+                # 725-731): conditioning active only inside
+                # [control_guidance_start, control_guidance_end] of the run
+                frac = i.astype(jnp.float32) / max(sched.num_steps - 1, 1)
+                keep = jnp.logical_and(
+                    frac >= control_guidance_start,
+                    frac <= control_guidance_end).astype(jnp.float32)
                 down_res, mid_res = bundle.controlnet.apply(
                     {"params": controlnet_params}, lat_in,
                     jnp.broadcast_to(t[None], (lat_in.shape[0],)),
-                    cn_context, cond_pair, controlnet_scale,
+                    cn_context, cond_pair, controlnet_scale * keep,
                 )
             else:
                 down_res = mid_res = None
