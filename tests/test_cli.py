@@ -1,0 +1,64 @@
+"""CLI driver: output-tree contract, resume, seeds."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from theatergen_tpu.cli import generate as cli
+
+
+def test_turn_seed_deterministic_and_distinct():
+    s1 = cli.turn_seed(0, 3, 1, 0)
+    assert s1 == cli.turn_seed(0, 3, 1, 0)
+    seeds = {cli.turn_seed(0, d, t, r)
+             for d in range(3) for t in range(4) for r in range(2)}
+    assert len(seeds) == 24  # no collisions in a small grid
+
+
+def test_build_spec_matches_reference_contract():
+    turn = {
+        "caption": "a cat and a dog",
+        "background": "a room",
+        "negative": "blurry",
+        "objects": [["a cat", [10, 20, 30, 40], 0],
+                    ["a dog", [50, 60, 70, 80], 1]],
+    }
+    spec = cli.build_spec(turn)
+    assert spec["prompt"] == "a cat and a dog"
+    assert spec["gen_boxes"] == [("a cat", (10, 20, 30, 40)),
+                                 ("a dog", (50, 60, 70, 80))]
+    assert spec["obj_ids"] == [0, 1]
+    assert spec["extra_neg_prompt"] == "blurry"
+
+
+@pytest.mark.slow
+def test_cli_end_to_end_tiny(tmp_path):
+    """Full driver run on one dialogue: tree layout + resume behavior."""
+    dataset = {
+        "d0": {
+            "turn 1": {"caption": "a cat", "background": "a room",
+                       "negative": "",
+                       "objects": [["a cat", [100, 100, 200, 200], 0]]},
+            "turn 2": {"caption": "the cat again", "background": "a room",
+                       "negative": "",
+                       "objects": [["a cat", [150, 150, 200, 200], 0]]},
+        }
+    }
+    ds_dir = tmp_path / "ds"
+    ds_dir.mkdir()
+    (ds_dir / "story.json").write_text(json.dumps(dataset))
+    save = tmp_path / "out"
+    db = tmp_path / "db"
+    argv = ["--tiny", "--dataset_path", str(ds_dir), "--num_steps", "2",
+            "--base_save_dir", str(save), "--database_path_base", str(db)]
+    cli.main(argv)
+    img = save / "story" / "run0" / "d0" / "turn 1" / "img_0.png"
+    assert img.exists()
+    assert (save / "story" / "run0" / "d0" / "turn 2" / "img_0.png").exists()
+    assert (db / "story" / "d0").exists()
+    # resume-by-existence: a second run must not rewrite existing turns
+    mtime = os.path.getmtime(img)
+    cli.main(argv)
+    assert os.path.getmtime(img) == mtime
