@@ -1,0 +1,72 @@
+"""Flash-attention kernel correctness via the Pallas interpreter (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from theatergen_tpu.ops import flash_attention as fa
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    fa.INTERPRET = True
+    fa.flash_attention.clear_cache()
+    yield
+    fa.INTERPRET = False
+    fa.flash_attention.clear_cache()
+
+
+def _ref(q, k, v):
+    return jax.nn.dot_product_attention(q, k, v)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 1024, 2, 40),     # SD1.5 level-0 head dim
+    (2, 1024, 2, 64),
+    (1, 2048, 1, 80),
+])
+def test_flash_matches_reference(shape):
+    b, s, h, d = shape
+    q = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    k = jax.random.normal(jax.random.key(1), shape, jnp.float32)
+    v = jax.random.normal(jax.random.key(2), shape, jnp.float32)
+    assert fa.supported(q, k)
+    out = fa.flash_attention(q, k, v, q_block=256, k_block=512)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(q, k, v)), atol=2e-3
+    )
+
+
+def test_flash_online_softmax_multiblock_k():
+    """k_block < Sk exercises the cross-block correction path."""
+    shape = (1, 1024, 1, 64)
+    q = jax.random.normal(jax.random.key(0), shape) * 3  # larger logits
+    k = jax.random.normal(jax.random.key(1), shape) * 3
+    v = jax.random.normal(jax.random.key(2), shape)
+    single = fa.flash_attention(q, k, v, q_block=256, k_block=1024)
+    multi = fa.flash_attention(q, k, v, q_block=256, k_block=256)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(multi),
+                               np.asarray(_ref(q, k, v)), atol=2e-3)
+
+
+def test_flash_q_padding():
+    """Sq not a multiple of the q block still yields exact rows."""
+    q = jax.random.normal(jax.random.key(0), (1, 1000, 1, 64))
+    kv_shape = (1, 1024, 1, 64)
+    k = jax.random.normal(jax.random.key(1), kv_shape)
+    v = jax.random.normal(jax.random.key(2), kv_shape)
+    out = fa.flash_attention(q, k, v, q_block=256, k_block=512)
+    assert out.shape == q.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v)),
+                               atol=2e-3)
+
+
+def test_supported_gate():
+    q = jnp.zeros((1, 64, 2, 40))
+    assert not fa.supported(q, jnp.zeros((1, 77, 2, 40)))   # short kv
+    assert not fa.supported(q, jnp.zeros((1, 1100, 2, 40)))  # not /512...
+    assert fa.supported(jnp.zeros((1, 4096, 8, 40)),
+                        jnp.zeros((1, 4096, 8, 40)))

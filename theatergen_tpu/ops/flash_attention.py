@@ -42,6 +42,9 @@ MAX_KV_SEQ = 32768
 
 LOG2E = 1.4426950408889634
 
+# set True (tests) to run the kernel through the Pallas interpreter on CPU
+INTERPRET = False
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -152,7 +155,8 @@ def flash_attention(
             pltpu.VMEM((bq, LANE), jnp.float32),   # running sum
             pltpu.VMEM((bq, dp), jnp.float32),     # output accumulator
         ],
-        compiler_params=pltpu.CompilerParams(
+        interpret=INTERPRET,
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
