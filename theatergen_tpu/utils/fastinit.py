@@ -34,15 +34,43 @@ def setup_compile_cache(path: Optional[str] = None) -> None:
 def materialize_params(init_fn, *example_args, seed: int = 0,
                        dtype=None, scale: float = 0.02) -> Any:
     """eval_shape ``init_fn(*example_args)`` and fill leaves with seeded
-    host RNG.  ``dtype`` overrides every leaf dtype (e.g. bf16 weights)."""
+    host RNG.  ``dtype`` overrides every float leaf dtype (e.g. bf16).
+
+    All float leaves ship as ONE packed transfer and are sliced apart in a
+    single jitted program — thousands of per-leaf ``device_put`` round
+    trips over the remote tunnel cost minutes for SD-scale trees.
+    """
+    import jax.numpy as jnp
+
     shapes = jax.eval_shape(init_fn, *example_args)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
     rng = np.random.RandomState(seed)
 
-    def fill(leaf):
+    float_meta = []          # (index, shape, target_dtype, offset, size)
+    offset = 0
+    out: list = [None] * len(leaves)
+    for i, leaf in enumerate(leaves):
         if np.issubdtype(np.dtype(leaf.dtype), np.integer):
-            return jax.device_put(np.zeros(leaf.shape, leaf.dtype))
+            out[i] = jax.device_put(np.zeros(leaf.shape, leaf.dtype))
+            continue
         target = np.dtype(dtype) if dtype is not None else np.dtype(leaf.dtype)
-        arr = (rng.standard_normal(leaf.shape).astype(np.float32) * scale)
-        return jax.device_put(arr.astype(target))  # bf16 via ml_dtypes
+        size = int(np.prod(leaf.shape)) if leaf.shape else 1
+        float_meta.append((i, leaf.shape, target, offset, size))
+        offset += size
 
-    return jax.tree_util.tree_map(fill, shapes)
+    if float_meta:
+        flat = (rng.standard_normal(offset).astype(np.float32) * scale)
+        packed = jax.device_put(flat)
+
+        def unpack(buf):
+            pieces = []
+            for _i, shape, target, off, size in float_meta:
+                piece = jax.lax.dynamic_slice(buf, (off,), (size,))
+                pieces.append(piece.reshape(shape).astype(jnp.dtype(target)))
+            return tuple(pieces)
+
+        pieces = jax.jit(unpack)(packed)
+        for (i, *_), piece in zip(float_meta, pieces):
+            out[i] = piece
+
+    return jax.tree_util.tree_unflatten(treedef, out)
