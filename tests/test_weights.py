@@ -235,3 +235,16 @@ def test_safetensors_reader(tmp_path):
         f.write(a.tobytes())
     out = W.load_safetensors(str(tmp_path / "t.safetensors"))
     np.testing.assert_array_equal(out["x"], a)
+
+
+def test_port_unet_add_embedding_rule():
+    """SDXL add_embedding (text_time micro-conditioning MLP) ports too."""
+    sd = {
+        "add_embedding.linear_1.weight": np.ones((8, 4), np.float32),
+        "add_embedding.linear_1.bias": np.zeros(8, np.float32),
+        "add_embedding.linear_2.weight": np.ones((8, 8), np.float32),
+        "add_embedding.linear_2.bias": np.zeros(8, np.float32),
+    }
+    ported = W.port_unet(sd)
+    assert ported["add_embedding"]["linear_1"]["kernel"].shape == (4, 8)
+    assert ported["add_embedding"]["linear_2"]["bias"].shape == (8,)

@@ -202,11 +202,12 @@ def port_unet(sd: Dict[str, np.ndarray], *, has_encoder_scope: bool = True
             leaf = name.split(".")[-1]
             out = (f"{enc}conv_in/{'kernel' if leaf == 'weight' else 'bias'}",
                    "conv" if leaf == "weight" else "raw")
-        elif name.startswith("time_embedding."):
-            m = re.fullmatch(r"time_embedding\.linear_(\d)\.(weight|bias)", name)
+        elif name.startswith("time_embedding.") or name.startswith("add_embedding."):
+            m = re.fullmatch(
+                r"(time|add)_embedding\.linear_(\d)\.(weight|bias)", name)
             if m:
-                n, wb = m.groups()
-                out = (f"time_embedding/linear_{n}/"
+                which, n, wb = m.groups()
+                out = (f"{which}_embedding/linear_{n}/"
                        f"{'kernel' if wb == 'weight' else 'bias'}",
                        "dense" if wb == "weight" else "raw")
         elif name.startswith("conv_norm_out."):
