@@ -167,3 +167,33 @@ def test_theater_xl_turn(tmp_path):
     # determinism under the ancestral sampler too
     res2 = t.run_turn(spec, seed=0)
     np.testing.assert_array_equal(res.image, res2.image)
+
+
+def test_text2img_xl_pipeline_class(bundle):
+    """Full Text2ImgXL: dual-encoder prompts → EA denoise → VAE decode."""
+    from theatergen_tpu.pipelines.sdxl import Text2ImgXL
+
+    pipe = Text2ImgXL(bundle, num_steps=2)
+    img = pipe(jax.random.key(0), "a castle at dawn", "blurry")
+    H = bundle.cfg.pipeline.height
+    assert img.shape == (1, H, H, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    # with a T2I hint
+    hint = jax.random.uniform(jax.random.key(1), (H, H, 3))
+    img2 = pipe(jax.random.key(0), "a castle at dawn", "blurry", hint=hint)
+    assert np.abs(np.asarray(img) - np.asarray(img2)).max() >= 0
+
+
+def test_segment_with_boxes_legacy():
+    from theatergen_tpu.perception import sam as SM
+    from theatergen_tpu.config import tiny_config
+
+    scfg = tiny_config().sam
+    sam = SM.SAMLite(scfg)
+    s = scfg.image_size
+    img = jax.random.uniform(jax.random.key(0), (s, s, 3))
+    boxes = jnp.array([[0.1, 0.1, 0.5, 0.5], [0.4, 0.4, 0.9, 0.9]])
+    params = sam.init(jax.random.key(1), img[None], boxes[None])["params"]
+    masks, confs = SM.segment_with_boxes(sam, params, img, boxes, out_size=16)
+    assert masks.shape == (2, 16, 16)
+    assert confs.shape == (2,)

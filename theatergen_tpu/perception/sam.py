@@ -233,3 +233,33 @@ def segment_with_box(
         m = G.resize_bilinear(chosen, s, s)
         outs.append(refine_mask(m))
     return tuple(outs), iou[idx]
+
+
+def segment_with_boxes(
+    sam: SAMLite, params, image: jnp.ndarray, boxes: jnp.ndarray,
+    out_size: int = 64,
+):
+    """Batched multi-box variant selecting by box-IoU (the reference's
+    legacy ``sam_refine_box/sam_refine_boxes``, ``models/sam.py:176-215``):
+    each prompt box gets the candidate whose mask-bbox best matches it."""
+    logits, iou = sam.apply({"params": params}, image[None], boxes[None])
+    logits, iou = logits[0], iou[0]            # [Nb, M, h, w], [Nb, M]
+    probs = jax.nn.sigmoid(logits)
+    masks_bin = (probs > 0.5).astype(jnp.float32)
+
+    def per_box(mb, box):
+        h, w = mb.shape[-2:]
+
+        def mask_box(m):
+            b = G.mask_to_box(m, enlarge_by_one=False).astype(jnp.float32)
+            return b / jnp.array([w, h, w, h], jnp.float32)
+
+        cand = jax.vmap(mask_box)(mb)
+        ious = jax.vmap(lambda c: G.box_iou(c, box))(cand)
+        return jnp.argmax(ious)
+
+    idx = jax.vmap(per_box)(masks_bin, boxes)
+    chosen = jax.vmap(lambda p, i: p[i])(probs, idx)
+    out = jax.vmap(lambda m: refine_mask(
+        G.resize_bilinear(m, out_size, out_size)))(chosen)
+    return out, jax.vmap(lambda s, i: s[i])(iou, idx)
