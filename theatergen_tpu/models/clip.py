@@ -10,7 +10,7 @@ implementation serves all three via :class:`..config.CLIPTextConfig` /
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

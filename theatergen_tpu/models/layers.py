@@ -10,7 +10,7 @@ safetensors checkpoints by path mapping.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

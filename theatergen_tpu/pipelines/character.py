@@ -18,14 +18,12 @@ Equivalent of the reference's ``generate_semantic_guidance``
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..config import GuidanceConfig
 from ..ops import scheduler as sched_ops
-from ..ops.scheduler import DDIMSchedule
 from . import sd
 from .bundle import Bundle
 from .guidance import GuidanceInputs, guidance_update, make_energy_fn

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import TheaterConfig
 from .db import CharacterDB
 from .ops import geometry as G
 from .ops import latents as L

@@ -12,7 +12,6 @@ shards attention/FFN projections per :mod:`..parallel.mesh`.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Optional
 
 import jax

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import ast
 import re
-from typing import Callable, List, Optional, Protocol, Sequence, Tuple
+from typing import List, Optional, Protocol, Sequence, Tuple
 
 from .cache import QueryCache
 
