@@ -105,3 +105,47 @@ def test_background_only_turn(theater):
     res = theater.run_turn(spec, seed=3)
     assert res.image.shape == (theater.cfg.pipeline.height,) * 2 + (3,)
     assert res.so_images == []
+
+
+def test_turn_with_fast_schedule(tmp_path):
+    """Fast schedules shorten the sampler; composition and the final pass
+    must size from the actual schedule (code-review regression)."""
+    import dataclasses
+
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.pipelines.bundle import init_bundle
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, num_steps=4, fast_after_steps=2, fast_rate=2))
+    bundle = init_bundle(cfg, jax.random.key(0), with_ip=True,
+                         with_controlnet=True, with_vision=True)
+    t = Theater(bundle, CharacterDB(str(tmp_path)), num_steps=4)
+    assert t.char_sched.num_steps < 4  # schedule actually subsampled
+    res = t.run_turn(SPEC_T2, seed=0)
+    assert np.isfinite(res.image).all()
+
+
+def test_overall_guidance_uses_plural_word(theater):
+    """Duplicate objects pluralize in the overall prompt; guidance must
+    anchor to the plural token, not fall back to position 1."""
+    from theatergen_tpu.utils import parse as parse_mod
+    from theatergen_tpu.utils.tokenizer import find_phrase_token_indices
+
+    spec = {
+        "prompt": "two cats", "bg_prompt": "a room",
+        "gen_boxes": [("a cat", (50, 100, 100, 100)),
+                      ("a cat", (300, 100, 100, 100))],
+        "extra_neg_prompt": "", "obj_ids": [5, 6],
+    }
+    plan = parse_mod.convert_spec(spec, 512, 512)
+    word = plan.overall_phrases[0][1]
+    assert word == "cats"
+    tp = find_phrase_token_indices(
+        theater.bundle.tokenizer, plan.overall_prompt, word,
+        theater.cfg.text.max_length)
+    assert tp and tp != [1]
+    # and the full turn still runs
+    res = theater.run_turn(spec, seed=11)
+    assert np.isfinite(res.image).all()

@@ -170,4 +170,4 @@ def make_character_pipeline(
         trajectory = jnp.concatenate([traj, final[None]], axis=0)
         return CharacterResult(final, trajectory, refs)
 
-    return run, sched
+    return jax.jit(run), sched

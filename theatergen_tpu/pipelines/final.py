@@ -56,7 +56,9 @@ def make_final_pipeline(
     gcfg = cfg.guidance
     unet = bundle.unet_ip if use_ip else bundle.unet
     sched = sched_ops.make_sampler(
-        cfg.scheduler, num_steps, kind=cfg.pipeline.scheduler_type)
+        cfg.scheduler, num_steps, kind=cfg.pipeline.scheduler_type,
+        fast_after_steps=cfg.pipeline.fast_after_steps,
+        fast_rate=cfg.pipeline.fast_rate)
     gs = cfg.pipeline.guidance_scale if guidance_scale is None else guidance_scale
     text_len = cfg.text.max_length
 
@@ -145,4 +147,4 @@ def make_final_pipeline(
         trajectory = jnp.concatenate([traj, final[None]], axis=0)
         return final, trajectory
 
-    return run, sched
+    return jax.jit(run), sched

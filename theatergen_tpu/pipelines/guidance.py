@@ -104,9 +104,17 @@ def guidance_update(
         scale = sched_ops.guidance_step_scale(sched, step_index)
     max_iter_table = jnp.asarray(gcfg.max_iter, jnp.int32)
     max_it = max_iter_table[jnp.clip(step_index, 0, len(gcfg.max_iter) - 1)]
-    grad_fn = jax.value_and_grad(
-        lambda lat: energy_fn(lat, t, cond_context, gin) * gcfg.loss_scale
-    )
+
+    def scaled_energy(lat):
+        # the UNet expects scheduler-scaled inputs (identity for DDIM,
+        # 1/sqrt(sigma^2+1) for Euler-Ancestral) — the reference applies
+        # scale_model_input before its guidance forward
+        # (models/pipelines.py:87-90)
+        if hasattr(sched, "scale_model_input"):
+            lat = sched.scale_model_input(lat, step_index)
+        return energy_fn(lat, t, cond_context, gin) * gcfg.loss_scale
+
+    grad_fn = jax.value_and_grad(scaled_energy)
 
     def cond(carry):
         _, loss, i = carry

@@ -44,6 +44,7 @@ from .utils.tokenizer import find_phrase_token_indices
 
 MAX_REGEN_ATTEMPTS = 3          # theatergen.py:98-160 retries up to 3 seeds
 ATTN_AGG_START = 10             # theatergen.py:30 attn_aggregation_step_start
+MAX_PHRASE_TOKENS = 8           # fixed token-position pad (shape stability)
 
 
 @dataclasses.dataclass
@@ -118,9 +119,11 @@ class Theater:
         prompts_token_pos: List[List[int]],
         ref_attn: Optional[List[Tuple[jnp.ndarray, ...]]] = None,
     ) -> GuidanceInputs:
-        """Pad per-object boxes/token-positions to max_objects."""
+        """Pad per-object boxes/token-positions to max_objects.  The token
+        axis pads to a FIXED width so every turn reuses one compiled
+        program (variable padding would retrace the whole denoise scan)."""
         k = self.cfg.pipeline.max_objects
-        p = max([len(t) for t in prompts_token_pos] + [1])
+        p = MAX_PHRASE_TOKENS
         boxes_a = np.zeros((k, 4), np.float32)
         pos = np.zeros((k, p), np.int32)
         pos_valid = np.zeros((k, p), bool)
@@ -130,7 +133,7 @@ class Theater:
             if i >= k:
                 break
             boxes_a[i] = b
-            for j, t in enumerate(tp[:p]):
+            for j, t in enumerate(tp[-p:]):
                 pos[i, j] = t
                 pos_valid[i, j] = True
             valid[i] = True
@@ -171,7 +174,9 @@ class Theater:
         otherwise thresholded aggregated attention
         (reference sam_refine_attn, models/sam.py:126-174)."""
         h = self.cfg.pipeline.latent_height
+        w = self.cfg.pipeline.latent_width
         H = self.cfg.pipeline.height
+        W = self.cfg.pipeline.width
         if self.bundle.sam is not None:
             size = self.cfg.sam.image_size
             img_s = G.resize_bilinear(
@@ -184,17 +189,17 @@ class Theater:
             )
             return m_lat, m_pix
         # attention fallback
-        agg = jnp.zeros((h, h), jnp.float32)
+        agg = jnp.zeros((h, w), jnp.float32)
         for m in agg_maps:
             mm = jnp.mean(m, axis=0)
             side = int(round(mm.shape[0] ** 0.5))
-            agg = agg + G.resize_bilinear(mm.reshape(side, side), h, h)
+            agg = agg + G.resize_bilinear(mm.reshape(side, side), h, w)
         agg = agg / (jnp.max(agg) + 1e-8)
-        box_m = G.box_mask(box_hint, h, h)
+        box_m = G.box_mask(box_hint, h, w)
         # strong attention anywhere, or moderate attention inside the box
         m_lat = jnp.maximum((agg > 0.3).astype(jnp.float32),
                             box_m * (agg > 0.1))
-        m_pix = G.upsample_nearest(m_lat, H, H)
+        m_pix = G.upsample_nearest(m_lat, H, W)
         return m_lat, m_pix
 
     # ---------------------------------------------------------- character
@@ -287,7 +292,8 @@ class Theater:
         extra_neg = spec.get("extra_neg_prompt") or ""
         ratio = (cfg.pipeline.frozen_step_ratio
                  if frozen_step_ratio is None else frozen_step_ratio)
-        frozen_steps = int(round(ratio * self.num_steps))
+        frozen_steps = min(int(round(ratio * self.num_steps)),
+                           self.char_sched.num_steps)
         rng = jax.random.key(seed)
 
         # -- per-character generation with dedup (theatergen.py:217-226)
@@ -327,21 +333,23 @@ class Theater:
 
         # -- padded stacks for composition (stays on device — the reference
         # round-trips every trajectory through CPU, SURVEY §3.2)
-        h, H = cfg.pipeline.latent_height, cfg.pipeline.height
-        s1 = self.num_steps + 1
+        h, w = cfg.pipeline.latent_height, cfg.pipeline.latent_width
+        H, W = cfg.pipeline.height, cfg.pipeline.width
+        # fast schedules shorten the sampler — size from it, not num_steps
+        s1 = self.char_sched.num_steps + 1
         pad_n = k - n
         traj = jnp.stack(
             [chars[i]["trajectory"] for i in range(n)]
-            + [jnp.zeros((s1, 1, h, h, 4))] * pad_n)
+            + [jnp.zeros((s1, 1, h, w, 4))] * pad_n)
         masks_lat = jnp.stack(
             [chars[i]["mask_lat"] for i in range(n)]
-            + [jnp.zeros((h, h))] * pad_n)
+            + [jnp.zeros((h, w))] * pad_n)
         masks_pix = jnp.stack(
             [chars[i]["mask_pix"] for i in range(n)]
-            + [jnp.zeros((H, H))] * pad_n)
+            + [jnp.zeros((H, W))] * pad_n)
         images = jnp.stack(
             [chars[i]["image"][0] for i in range(n)]
-            + [jnp.zeros((H, H, 3))] * pad_n)
+            + [jnp.zeros((H, W, 3))] * pad_n)
         boxes = jnp.asarray(
             np.stack([plan.object_plans[i].box for i in range(n)]
                      + [np.zeros(4, np.float32)] * pad_n))
@@ -350,7 +358,7 @@ class Theater:
         # -- align to layout boxes, compose, collage
         traj_j, masks_j, offsets = L.align_with_boxes(traj, masks_lat, boxes)
         bg_lat = sd.seeded_latents(
-            jax.random.fold_in(rng, 1000), 1, h, h)
+            jax.random.fold_in(rng, 1000), 1, h, w)
         composed, fgi = L.compose_trajectories(traj_j, masks_j, bg_lat)
         collage, union = L.collage_images(images, masks_pix, boxes, valid)
         cond_img = dog_lineart(collage)
@@ -368,11 +376,19 @@ class Theater:
             adapter_feats = b.t2i_adapter.apply(
                 {"params": b.t2i_adapter_params}, cond_img[None])
 
-        # overall guidance: phrase token positions in the overall prompt
+        # overall guidance: phrase token positions in the overall prompt.
+        # Duplicate objects are pluralized there (convert_spec), so look up
+        # each object's group word ('two cats' → 'cats'), not the singular.
+        group_word = {}
+        for phrase, word, bxs in plan.overall_phrases:
+            for name in plan.objects:
+                if name == phrase or parse.strip_article(name) in phrase:
+                    group_word.setdefault(name, word)
         token_pos_all, boxes_all, refs = [], [], []
         for i, oplan in enumerate(plan.object_plans[:k]):
+            word = group_word.get(oplan.phrase, oplan.word)
             tp = find_phrase_token_indices(
-                b.tokenizer, plan.overall_prompt, oplan.word,
+                b.tokenizer, plan.overall_prompt, word,
                 cfg.text.max_length)
             token_pos_all.append(tp or [1])
             boxes_all.append(oplan.box)

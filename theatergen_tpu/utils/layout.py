@@ -91,15 +91,18 @@ def parse_layout_response(text: str):
 
 
 def filter_boxes(gen_boxes, scale_boxes: bool = True,
-                 ignore_background: bool = True, max_scale: float = 3.0):
+                 ignore_background: bool = True, max_scale: float = 3.0,
+                 return_indices: bool = False):
     """Sanitize layout boxes: drop empty/background boxes, rescale/shift
     out-of-bounds layouts to fit the canvas (reference ``filter_boxes``,
     ``utils/parse.py:135-235``; dict entries with ``name``/``bounding_box``
-    keys are accepted for compatibility)."""
+    keys are accepted for compatibility).  ``return_indices=True`` also
+    returns the surviving input indices so callers can keep per-box
+    metadata (character ids) aligned."""
     import numpy as np
 
     if not gen_boxes:
-        return []
+        return ([], []) if return_indices else []
 
     def unpack(g):
         if isinstance(g, dict):
@@ -107,8 +110,9 @@ def filter_boxes(gen_boxes, scale_boxes: bool = True,
         return g[0], g[1]
 
     kept = []
+    kept_idx = []
     needs_scale = scale_boxes
-    for g in gen_boxes:
+    for gi, g in enumerate(gen_boxes):
         name, box = unpack(g)
         if not box:
             continue
@@ -121,8 +125,9 @@ def filter_boxes(gen_boxes, scale_boxes: bool = True,
         if x < 0 or y < 0 or x + w > SIZE_W or y + h > SIZE_H:
             needs_scale = True
         kept.append((name, (x, y, w, h)))
+        kept_idx.append(gi)
     if not kept:
-        return []
+        return ([], []) if return_indices else []
 
     x_min = min(b[1][0] for b in kept)
     x_max = max(b[1][0] + b[1][2] for b in kept)
@@ -151,6 +156,8 @@ def filter_boxes(gen_boxes, scale_boxes: bool = True,
         out.append((name.rstrip("."),
                     (int(np.round(x)), int(np.round(y)),
                      int(np.round(w)), int(np.round(h)))))
+    if return_indices:
+        return out, kept_idx
     return out
 
 
@@ -169,10 +176,12 @@ def generate_layout(
     else:
         response = generator(prompt)
     obj_ids, boxes, bg, neg = parse_layout_response(response)
-    boxes = filter_boxes(boxes)
+    boxes, kept = filter_boxes(boxes, return_indices=True)
     return {
         "prompt": caption, "gen_boxes": boxes, "bg_prompt": bg,
-        "extra_neg_prompt": neg, "obj_ids": obj_ids[: len(boxes)],
+        "extra_neg_prompt": neg,
+        # keep character ids aligned with their surviving boxes
+        "obj_ids": [obj_ids[i] for i in kept],
     }
 
 
