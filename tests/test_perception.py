@@ -114,3 +114,17 @@ def test_lineart_net_shapes():
     out = net.apply({"params": params}, img)
     assert out.shape == (1, 32, 32, 3)
     assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+
+def test_attention_detect_gaussian_smoothing():
+    heads, side, T = 2, 8, 5
+    attn = np.full((heads, side * side, T), 1e-5, np.float32)
+    attn[:, 5 * side + 5, 3] = 1.0   # single-pixel peak
+    det_raw = D.attention_detect([jnp.asarray(attn)], jnp.int32(3))
+    det_smooth = D.attention_detect([jnp.asarray(attn)], jnp.int32(3),
+                                    gaussian_sigma=1.5)
+    raw_box = np.asarray(det_raw.box)
+    smooth_box = np.asarray(det_smooth.box)
+    # smoothing spreads the peak → strictly larger detected box
+    area = lambda b: (b[2] - b[0]) * (b[3] - b[1])
+    assert area(smooth_box) > area(raw_box)

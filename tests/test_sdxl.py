@@ -197,3 +197,13 @@ def test_segment_with_boxes_legacy():
     masks, confs = SM.segment_with_boxes(sam, params, img, boxes, out_size=16)
     assert masks.shape == (2, 16, 16)
     assert confs.shape == (2,)
+
+
+def test_denoising_end_truncates(bundle):
+    from theatergen_tpu.pipelines.sdxl import Text2ImgXL
+
+    full = Text2ImgXL(bundle, num_steps=4)
+    half = Text2ImgXL(bundle, num_steps=4, denoising_end=0.5)
+    assert full.sched.num_steps == 4
+    assert half.sched.num_steps == 2
+    assert half.sched.sigmas.shape[0] == 3

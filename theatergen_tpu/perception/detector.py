@@ -43,6 +43,7 @@ def attention_detect(
     mass_threshold: float = 0.5,
     min_area: float = 0.001,
     out_hw: int = 64,
+    gaussian_sigma: float = 0.0,
 ) -> Detection:
     """Localize a character from its word-token cross-attention mass.
 
@@ -60,6 +61,12 @@ def attention_detect(
         side = int(round(m.shape[0] ** 0.5))
         m2 = m.reshape(side, side)
         agg = agg + G.resize_bilinear(m2, out_hw, out_hw)
+    if gaussian_sigma > 0:
+        # smooth before thresholding (reference gaussian-filters attention
+        # before SAM prompting, theatergen.py:31-33)
+        from ..ops.lineart import gaussian_blur
+
+        agg = gaussian_blur(agg, gaussian_sigma)
     agg = agg / (jnp.max(agg) + 1e-8)
     binary = (agg > mass_threshold).astype(jnp.float32)
     box_px = G.mask_to_box(binary, enlarge_by_one=False).astype(jnp.float32)

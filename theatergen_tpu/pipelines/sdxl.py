@@ -89,14 +89,32 @@ def denoise_xl(
 
 
 class Text2ImgXL:
-    """SDXL txt2img with optional T2I-Adapter conditioning."""
+    """SDXL txt2img with optional T2I-Adapter conditioning.
+
+    ``denoising_end`` truncates the sampling loop at a fraction of the
+    schedule (the reference's ``StableDiffusionXLCustomPipeline``
+    denoising-window support, ``ip_adapter/custom_pipelines.py:17-398``) —
+    used for base/refiner-style splits.
+    """
 
     def __init__(self, bundle: Bundle, num_steps: int = 30,
-                 guidance_scale: Optional[float] = None):
+                 guidance_scale: Optional[float] = None,
+                 denoising_end: Optional[float] = None):
         self.bundle = bundle
         cfg = bundle.cfg
-        self.sched = sched_ops.make_euler_ancestral_schedule(
+        if denoising_end is not None:
+            num_steps_run = max(1, int(round(num_steps * denoising_end)))
+        else:
+            num_steps_run = num_steps
+        full = sched_ops.make_euler_ancestral_schedule(
             cfg.scheduler, num_steps)
+        import dataclasses as _dc
+
+        self.sched = _dc.replace(
+            full,
+            timesteps=full.timesteps[:num_steps_run],
+            sigmas=full.sigmas[: num_steps_run + 1],
+        )
         self.gs = (cfg.pipeline.guidance_scale if guidance_scale is None
                    else guidance_scale)
         self._run = jax.jit(self._run_impl)
