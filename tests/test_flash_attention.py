@@ -70,3 +70,17 @@ def test_supported_gate():
     assert not fa.supported(q, jnp.zeros((1, 1100, 2, 40)))  # not /512...
     assert fa.supported(jnp.zeros((1, 4096, 8, 40)),
                         jnp.zeros((1, 4096, 8, 40)))
+
+
+def test_flash_non_multiple_k_block():
+    """Sk that is a 512-multiple but not a k_block multiple must still
+    attend over ALL keys (code-review regression: trailing-KV drop)."""
+    shape_q = (1, 256, 1, 64)
+    kv = (1, 1536, 1, 64)   # 1536 % 512 == 0, 1536 % 1024 != 0
+    q = jax.random.normal(jax.random.key(0), shape_q)
+    k = jax.random.normal(jax.random.key(1), kv)
+    v = jax.random.normal(jax.random.key(2), kv)
+    assert fa.supported(q, k)
+    out = fa.flash_attention(q, k, v, q_block=256, k_block=1024)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v)),
+                               atol=2e-3)

@@ -77,7 +77,9 @@ def multi_head_attention(
         probs = attention_probs(q, k, mask)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
         return out, probs
-    if use_flash and _on_tpu():
+    if use_flash and mask is None and _on_tpu():
+        # the flash kernel has no mask support — masked calls must take
+        # the XLA path
         from . import flash_attention as fa
 
         if fa.supported(q, k):

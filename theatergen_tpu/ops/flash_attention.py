@@ -122,7 +122,11 @@ def flash_attention(
     sk = k.shape[1]
     dp = _pad_head_dim(d)
     bq = min(q_block, _round_up(sq, LANE))
+    # K blocks must tile sk exactly or trailing keys would be dropped; sk is
+    # a 512-multiple (supported()), so a 512-multiple divisor always exists.
     bk = min(k_block, sk)
+    while sk % bk != 0:
+        bk -= 512
     sq_p = _round_up(sq, bq)
 
     # fold softmax scale (and the base-2 conversion) into q

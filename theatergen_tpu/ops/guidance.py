@@ -29,6 +29,20 @@ import jax.numpy as jnp
 from . import geometry as G
 
 
+def map_shape(hw: int, latent_hw=None):
+    """(h, w) of a flattened attention map.  Square by default; with the
+    latent aspect ratio given, solve h*w = hw with h/w = lat_h/lat_w
+    (non-square canvases)."""
+    if latent_hw is None:
+        h = w = int(round(hw ** 0.5))
+    else:
+        lh, lw = latent_hw
+        h = int(round((hw * lh / lw) ** 0.5))
+        w = hw // max(h, 1)
+    assert h * w == hw, (hw, latent_hw)
+    return h, w
+
+
 def topk_mean(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """Mean of the k largest entries along the last axis, with traced k.
 
@@ -55,6 +69,7 @@ def box_ca_loss_single_key(
     bg_top_p: float = 0.2,
     fg_weight: float = 1.0,
     bg_weight: float = 1.0,
+    latent_hw=None,
 ) -> jnp.ndarray:
     """Max-based in/out-box attention loss for one guidance key.
 
@@ -64,8 +79,7 @@ def box_ca_loss_single_key(
     summed over heads, averaged over the object's token positions.
     """
     heads, hw, t = attn.shape
-    h = w = int(round(hw ** 0.5))
-    assert h * w == hw, hw
+    h, w = map_shape(hw, latent_hw)
 
     def per_object(box, pos, pos_valid, ok):
         mask = G.box_mask(box, h, w).reshape(hw)
@@ -95,6 +109,7 @@ def ref_ca_transfer_loss_single_key(
     word_token: jnp.ndarray,      # [K] the word token index per object
     obj_valid: jnp.ndarray,       # [K] bool
     eps: float = 1e-5,
+    latent_hw=None,
 ) -> jnp.ndarray:
     """Attention-transfer L1 between normalized masked maps.
 
@@ -105,7 +120,7 @@ def ref_ca_transfer_loss_single_key(
     L1 summed over space and averaged over heads.
     """
     heads, hw, t = attn.shape
-    h = w = int(round(hw ** 0.5))
+    h, w = map_shape(hw, latent_hw)
 
     def per_object(ref, box, wt, ok):
         mask = G.box_mask(box, h, w).reshape(1, hw)
@@ -135,6 +150,7 @@ def compute_ca_loss(
     fg_weight: float = 1.0,
     bg_weight: float = 1.0,
     ref_ca_loss_weight: float = 1.0,
+    latent_hw=None,
 ) -> jnp.ndarray:
     """Total guidance energy over all guidance keys.
 
@@ -149,7 +165,7 @@ def compute_ca_loss(
         loss = loss + box_ca_loss_single_key(
             attn, boxes, token_pos, token_valid, obj_valid,
             fg_top_p=fg_top_p, bg_top_p=bg_top_p,
-            fg_weight=fg_weight, bg_weight=bg_weight,
+            fg_weight=fg_weight, bg_weight=bg_weight, latent_hw=latent_hw,
         )
     loss = loss / (n_obj * num_keys)
 
@@ -158,7 +174,7 @@ def compute_ca_loss(
         ref_loss = jnp.float32(0.0)
         for attn, ref in zip(attn_maps, ref_attn_maps):
             ref_loss = ref_loss + ref_ca_transfer_loss_single_key(
-                attn, ref, boxes, word_token, obj_valid
+                attn, ref, boxes, word_token, obj_valid, latent_hw=latent_hw
             )
         loss = loss + ref_ca_loss_weight * ref_loss / (n_obj * num_keys)
     return loss

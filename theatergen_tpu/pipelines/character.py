@@ -42,20 +42,35 @@ jax.tree_util.register_dataclass(
 )
 
 
+def uncond_ip_features(bundle: Bundle) -> Optional[jnp.ndarray]:
+    """Features for the unconditional IP branch: the base variant projects
+    zero *embeddings* (``ip_adapter/ip_adapter.py:149-151``), but the plus/
+    full variants run the vision encoder on a BLACK image and use those
+    (non-zero) features (``:313-317``)."""
+    if getattr(bundle, "ip_variant", "base") == "base" or bundle.vision is None:
+        return None
+    size = bundle.cfg.vision.image_size
+    return encode_ip_image(bundle, jnp.zeros((1, size, size, 3)))
+
+
 def ip_context(
     bundle: Bundle,
     text_context: jnp.ndarray,          # [2, 77, C] uncond ++ cond
-    image_embeds: jnp.ndarray,          # [1, D_clip] CLIP image embedding
+    image_embeds: jnp.ndarray,          # [1, D] embeds or [1, N, D] tokens
+    uncond_features: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Append IP tokens to the text context: cond row gets the projected
-    image tokens, uncond row the projection of zeros
+    image tokens, uncond row the projection of zeros (base) or of the
+    black-image features (plus/full — pass ``uncond_features``)
     (reference ``IPAdapter.get_image_embeds`` + concat,
     ``ip_adapter/ip_adapter.py:142-153``, ``models/pipelines.py:246-247``)."""
     proj = lambda e: bundle.image_proj.apply(
         {"params": bundle.image_proj_params}, e
     )
     cond_tokens = proj(image_embeds)
-    uncond_tokens = proj(jnp.zeros_like(image_embeds))
+    if uncond_features is None:
+        uncond_features = jnp.zeros_like(image_embeds)
+    uncond_tokens = proj(uncond_features)
     ip_tokens = jnp.concatenate([uncond_tokens, cond_tokens], axis=0)
     return jnp.concatenate([text_context, ip_tokens.astype(text_context.dtype)],
                            axis=1)
@@ -132,17 +147,21 @@ def make_character_pipeline(
             energy = make_energy_fn(
                 lambda lat, t, ctx: unet_apply(lat, t, ctx, capture=True)[1]["attn"],
                 gcfg, text_len,
+                latent_hw=(cfg.pipeline.latent_height,
+                           cfg.pipeline.latent_width),
             )
 
-        def step(lat, i):
+        def step(carry, i):
+            lat, gloss = carry
             if guided:
-                lat = jax.lax.cond(
+                lat, gloss = jax.lax.cond(
                     i < gcfg.guidance_steps,
-                    lambda l: guidance_update(
-                        energy, sched, gcfg, l, i, cond_context, gin
-                    )[0],
-                    lambda l: l,
-                    lat,
+                    lambda l, gl: guidance_update(
+                        energy, sched, gcfg, l, i, cond_context, gin,
+                        prev_loss=gl,
+                    ),
+                    lambda l, gl: (l, gl),
+                    lat, gloss,
                 )
             scaled = sched.scale_model_input(lat, i)
             lat_in = jnp.concatenate([scaled, scaled], axis=0)
@@ -162,10 +181,11 @@ def make_character_pipeline(
                 ref = None
             eps = sd.cfg_combine(eps.astype(jnp.float32), gs)
             nxt = sched.step(eps, i, lat, rng)
-            return nxt, (lat, ref)
+            return (nxt, gloss), (lat, ref)
 
-        final, (traj, refs) = jax.lax.scan(
-            step, input_latents, jnp.arange(sched.num_steps)
+        (final, _), (traj, refs) = jax.lax.scan(
+            step, (input_latents, jnp.float32(jnp.inf)),
+            jnp.arange(sched.num_steps)
         )
         trajectory = jnp.concatenate([traj, final[None]], axis=0)
         return CharacterResult(final, trajectory, refs)

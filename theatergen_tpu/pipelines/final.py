@@ -99,19 +99,23 @@ def make_final_pipeline(
             energy = make_energy_fn(
                 lambda lat, t, ctx: unet_apply(lat, t, ctx, capture=True)[1]["attn"],
                 gcfg, text_len,
+                latent_hw=(cfg.pipeline.latent_height,
+                           cfg.pipeline.latent_width),
             )
 
         cond_pair = jnp.concatenate([cond_image[None]] * 2, axis=0)
 
-        def step(lat, i):
+        def step(carry, i):
+            lat, gloss = carry
             if guided:
-                lat = jax.lax.cond(
+                lat, gloss = jax.lax.cond(
                     i < gcfg.guidance_steps,
-                    lambda l: guidance_update(
-                        energy, sched, gcfg, l, i, cond_context, gin
-                    )[0],
-                    lambda l: l,
-                    lat,
+                    lambda l, gl: guidance_update(
+                        energy, sched, gcfg, l, i, cond_context, gin,
+                        prev_loss=gl,
+                    ),
+                    lambda l, gl: (l, gl),
+                    lat, gloss,
                 )
             t = sched.timesteps[i]
             scaled = sched.scale_model_input(lat, i)
@@ -139,10 +143,11 @@ def make_final_pipeline(
                 latents_all[i + 1] * fm + nxt * (1.0 - fm),
                 nxt,
             )
-            return nxt, lat
+            return (nxt, gloss), lat
 
-        final, traj = jax.lax.scan(
-            step, latents_all[0], jnp.arange(sched.num_steps)
+        (final, _), traj = jax.lax.scan(
+            step, (latents_all[0], jnp.float32(jnp.inf)),
+            jnp.arange(sched.num_steps)
         )
         trajectory = jnp.concatenate([traj, final[None]], axis=0)
         return final, trajectory

@@ -52,6 +52,7 @@ def make_energy_fn(
     unet_capture_apply: Callable[..., Any],
     gcfg: GuidanceConfig,
     text_len: int,
+    latent_hw=None,
 ):
     """Build ``energy(latents, t, cond_context, gin) -> loss``.
 
@@ -73,6 +74,7 @@ def make_energy_fn(
             fg_top_p=gcfg.fg_top_p, bg_top_p=gcfg.bg_top_p,
             fg_weight=gcfg.fg_weight, bg_weight=gcfg.bg_weight,
             ref_ca_loss_weight=gcfg.ref_ca_loss_weight,
+            latent_hw=latent_hw,
         )
 
     return energy
@@ -86,6 +88,7 @@ def guidance_update(
     step_index: jnp.ndarray,
     cond_context: jnp.ndarray,   # [1, L, C]
     gin: GuidanceInputs,
+    prev_loss: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Iterated energy descent at one DDIM step.
 
@@ -93,7 +96,10 @@ def guidance_update(
     (``models/pipelines.py:96-124``): repeat while
     ``loss > loss_threshold * loss_scale`` and ``iter < max_iter[index]``;
     each iteration takes one gradient step scaled by
-    ``sqrt(1 - alpha_prod_t)`` and ``loss_scale``.
+    ``sqrt(1 - alpha_prod_t)`` and ``loss_scale``.  ``prev_loss`` carries
+    across steps like the reference's threaded ``loss`` variable
+    (``models/pipelines.py:76``): once guidance converges below the
+    threshold it stays off for the remaining steps.
 
     Returns (latents, final_loss).
     """
@@ -128,7 +134,9 @@ def guidance_update(
         lat = lat - scale * grad
         return lat, loss, i + 1
 
+    init_loss = (jnp.float32(jnp.inf) if prev_loss is None
+                 else prev_loss.astype(jnp.float32))
     lat, loss, _ = jax.lax.while_loop(
-        cond, body, (latents, jnp.float32(jnp.inf), jnp.int32(0))
+        cond, body, (latents, init_loss, jnp.int32(0))
     )
     return lat, loss

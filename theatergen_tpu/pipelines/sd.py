@@ -87,12 +87,20 @@ def encode_image(bundle: Bundle, image: jnp.ndarray,
     return z * bundle.cfg.vae.scaling_factor
 
 
+def decode_with(vae, vae_params, scaling_factor: float,
+                latents: jnp.ndarray) -> jnp.ndarray:
+    """Params-explicit scaled-latent → [0,1] image decode — the one
+    implementation every pipeline shares (jit-friendly: no bundle capture)."""
+    z = latents / scaling_factor
+    img = vae.apply({"params": vae_params}, z, method="decode")
+    return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+
 def decode_latents(bundle: Bundle, latents: jnp.ndarray) -> jnp.ndarray:
     """Scaled latent → image in [0,1] NHWC (reference ``decode``,
     ``models/pipelines.py:163-173``)."""
-    z = latents / bundle.cfg.vae.scaling_factor
-    img = bundle.vae.apply({"params": bundle.vae_params}, z, method="decode")
-    return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+    return decode_with(bundle.vae, bundle.vae_params,
+                       bundle.cfg.vae.scaling_factor, latents)
 
 
 def encode_prompts(bundle: Bundle, prompts, negative_prompts=None) -> jnp.ndarray:
@@ -153,9 +161,7 @@ class Text2Img:
 
         final, _ = denoise(unet_apply, self.sched, lat, context,
                            self.guidance_scale)
-        z = final / cfg.vae.scaling_factor
-        img = b.vae.apply({"params": vae_params}, z, method="decode")
-        return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        return decode_with(b.vae, vae_params, cfg.vae.scaling_factor, final)
 
     def __call__(self, rng: jax.Array, prompt, negative_prompt=None):
         context = encode_prompts(self.bundle, prompt, negative_prompt)

@@ -38,13 +38,17 @@ def encode_prompts_xl(
         negative_prompts = [negative_prompts] * len(prompts)
     if len(negative_prompts) != len(prompts):
         raise ValueError("one negative prompt per prompt")
-    ids = jnp.asarray(bundle.tokenizer(
-        list(negative_prompts) + list(prompts),
-        max_length=bundle.cfg.text.max_length))
+    texts = list(negative_prompts) + list(prompts)
+    L = bundle.cfg.text.max_length
+    ids = jnp.asarray(bundle.tokenizer(texts, max_length=L))
+    # tower 2 (OpenCLIP bigG) pads with token 0, not the eos the first
+    # tokenizer uses — the padded context rows feed every cross-attention
+    ids2 = jnp.asarray(bundle.tokenizer(texts, max_length=L,
+                                        pad_token_id=0))
     _, _, pen1 = bundle.text.apply(
         {"params": bundle.text_params}, ids, return_penultimate=True)
     _, pooled2, pen2 = bundle.text2.apply(
-        {"params": bundle.text2_params}, ids, return_penultimate=True)
+        {"params": bundle.text2_params}, ids2, return_penultimate=True)
     context = jnp.concatenate([pen1, pen2], axis=-1)
     return context, pooled2
 
@@ -144,16 +148,22 @@ class Text2ImgXL:
 
         final, _ = denoise_xl(unet_apply, self.sched, anc_rng, lat, context,
                               pooled, time_ids, self.gs)
-        z = final / cfg.vae.scaling_factor
-        img = b.vae.apply({"params": vae_params}, z, method="decode")
-        return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        img = sd.decode_with(b.vae, vae_params, cfg.vae.scaling_factor, final)
+        return img, final
 
-    def __call__(self, rng, prompt, negative_prompt=None, hint=None):
+    def __call__(self, rng, prompt, negative_prompt=None, hint=None,
+                 output_type: str = "image"):
+        """``output_type="latent"`` returns (image, latents) — the noisy
+        intermediate latent a refiner stage consumes when ``denoising_end``
+        truncates the schedule."""
         b = self.bundle
         context, pooled = encode_prompts_xl(b, prompt, negative_prompt)
         feats = None
         if hint is not None and b.t2i_adapter is not None:
             feats = b.t2i_adapter.apply(
                 {"params": b.t2i_adapter_params}, hint[None])
-        return self._run(b.unet_params, b.vae_params, rng, context, pooled,
-                         feats)
+        img, latents = self._run(b.unet_params, b.vae_params, rng, context,
+                                 pooled, feats)
+        if output_type == "latent":
+            return img, latents
+        return img

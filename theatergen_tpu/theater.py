@@ -35,7 +35,7 @@ from .perception import sam as sam_lib
 from .pipelines import sd
 from .pipelines.bundle import Bundle
 from .pipelines.character import (
-    encode_ip_image, ip_context, make_character_pipeline,
+    encode_ip_image, ip_context, make_character_pipeline, uncond_ip_features,
 )
 from .pipelines.final import make_final_pipeline
 from .pipelines.guidance import GuidanceInputs
@@ -91,10 +91,11 @@ class Theater:
             use_controlnet=self.use_controlnet, guided=guided,
         )
         self._decode = jax.jit(
-            lambda vp, z: bundle.vae.apply(
-                {"params": vp}, z / cfg.vae.scaling_factor, method="decode"
-            )
-        )
+            lambda vp, z: sd.decode_with(bundle.vae, vp,
+                                         cfg.vae.scaling_factor, z))
+        # plus/full IP variants condition the uncond branch on black-image
+        # features; computed once per Theater
+        self._uncond_ip = uncond_ip_features(bundle)
 
     # ---------------------------------------------------------------- utils
 
@@ -111,8 +112,7 @@ class Theater:
         return ctx, dict(pooled_text=pooled, time_ids=tids)
 
     def _decode_img(self, latents) -> jnp.ndarray:
-        img = self._decode(self.bundle.vae_params, latents)
-        return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        return self._decode(self.bundle.vae_params, latents)
 
     def _guidance_inputs(
         self, boxes: List[Tuple[float, float, float, float]],
@@ -237,7 +237,7 @@ class Theater:
         else:
             ip_scale = 0.0
             img_embed = jnp.zeros((1, cfg.ip_adapter.clip_embeddings_dim))
-        ctx = ip_context(b, text_ctx, img_embed)
+        ctx = ip_context(b, text_ctx, img_embed, self._uncond_ip)
 
         gin = self._guidance_inputs([tuple(centered)], [token_pos])
 
@@ -358,7 +358,8 @@ class Theater:
         # -- align to layout boxes, compose, collage
         traj_j, masks_j, offsets = L.align_with_boxes(traj, masks_lat, boxes)
         bg_lat = sd.seeded_latents(
-            jax.random.fold_in(rng, 1000), 1, h, w)
+            jax.random.fold_in(rng, 1000), 1, h, w) * np.float32(
+                jax.device_get(self.char_sched.init_noise_sigma))
         composed, fgi = L.compose_trajectories(traj_j, masks_j, bg_lat)
         collage, union = L.collage_images(images, masks_pix, boxes, valid)
         cond_img = dog_lineart(collage)
@@ -370,7 +371,8 @@ class Theater:
         if extra_neg:
             neg = f"{extra_neg}, {neg}"
         overall_ctx, extra_cond = self._encode_text(plan.overall_prompt, neg)
-        ctx = ip_context(b, overall_ctx, chars[0]["img_embed"])
+        ctx = ip_context(b, overall_ctx, chars[0]["img_embed"],
+                         self._uncond_ip)
         adapter_feats = None
         if self.use_t2i:
             adapter_feats = b.t2i_adapter.apply(

@@ -107,11 +107,15 @@ class HashTokenizer:
     def token_strings(self, text: str) -> List[str]:
         return [w for w, ids in self.encode_words(text) for _ in ids]
 
-    def __call__(self, texts, max_length: Optional[int] = None) -> np.ndarray:
+    def __call__(self, texts, max_length: Optional[int] = None,
+                 pad_token_id: Optional[int] = None) -> np.ndarray:
+        """``pad_token_id`` overrides the fill after [bos, ids..., eos] —
+        CLIP-L pads with eos, OpenCLIP bigG (SDXL tower 2) with 0."""
         if isinstance(texts, str):
             texts = [texts]
         L = max_length or self.max_length
-        out = np.full((len(texts), L), self.eos_token_id, np.int32)
+        pad = self.eos_token_id if pad_token_id is None else pad_token_id
+        out = np.full((len(texts), L), pad, np.int32)
         out[:, 0] = self.bos_token_id
         for r, t in enumerate(texts):
             ids = self.encode(t)[: L - 2]
