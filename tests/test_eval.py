@@ -72,9 +72,7 @@ def test_evaluate_tree_end_to_end(tmp_path):
     """Drive the full eval pipeline over a synthetic image tree."""
     from PIL import Image
 
-    from theatergen_tpu.config import tiny_config
     from theatergen_tpu.eval.cmig import ClipEmbedder, evaluate_tree
-    from theatergen_tpu.pipelines.bundle import init_bundle
 
     dataset = {
         "d0": {
@@ -96,8 +94,8 @@ def test_evaluate_tree_end_to_end(tmp_path):
         img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
         Image.fromarray(img).save(d / "img_0.png")
 
-    bundle = init_bundle(tiny_config(), jax.random.key(0), with_vision=True)
-    out = evaluate_tree(str(tmp_path), dataset, ClipEmbedder(bundle),
+    embedder = ClipEmbedder.eval_default(jax.random.key(0), tiny=True)
+    out = evaluate_tree(str(tmp_path), dataset, embedder,
                         csv_path=str(tmp_path / "scores.csv"))
     assert set(out) == {"ACCS", "ATIS", "AFID", "spatial", "attribute",
                         "negative", "numeracy"}

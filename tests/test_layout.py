@@ -58,11 +58,18 @@ def test_filter_boxes_dict_format():
         {"name": "none", "bounding_box": None},
     ], scale_boxes=False)
     assert out == [("a cat", (10, 10, 60, 60))]
-    # default scale_boxes=True inflates small layouts up to max_scale
-    # (reference semantics, utils/parse.py:196-223)
+    # in-bounds layouts stay untouched by default; force_scale replicates
+    # the reference's always-rescale behavior (utils/parse.py:196-223)
     out2 = L.filter_boxes([{"name": "a cat", "bounding_box": (10, 10, 60, 60)}])
-    (_, (x, y, w, h)), = out2
-    assert (w, h) == (180, 180)  # 3× max_scale
+    assert out2 == [("a cat", (10, 10, 60, 60))]
+    out3 = L.filter_boxes([{"name": "a cat", "bounding_box": (10, 10, 60, 60)}],
+                          force_scale=True)
+    (_, (x, y, w, h)), = out3
+    assert (w, h) == (180, 180)  # 3x max_scale
+    # out-of-bounds still triggers the rescale automatically
+    out4 = L.filter_boxes([("big", (-100, 0, 800, 400))])
+    (_, (x, y, w, h)), = out4
+    assert x >= 0 and x + w <= 512
 
 
 def test_generate_layout_with_cache(tmp_path):

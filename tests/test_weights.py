@@ -248,3 +248,73 @@ def test_port_unet_add_embedding_rule():
     ported = W.port_unet(sd)
     assert ported["add_embedding"]["linear_1"]["kernel"].shape == (4, 8)
     assert ported["add_embedding"]["linear_2"]["bias"].shape == (8,)
+
+
+def test_merge_into_propagates_base_weights():
+    dst = {"a": {"kernel": np.zeros(3), "to_k_ip": {"kernel": np.ones(2)}},
+           "b": np.zeros(2)}
+    src = {"a": {"kernel": np.full(3, 5.0)}, "b": np.full(2, 7.0)}
+    out = W.merge_into(dst, src)
+    np.testing.assert_array_equal(out["a"]["kernel"], np.full(3, 5.0))
+    np.testing.assert_array_equal(out["a"]["to_k_ip"]["kernel"], np.ones(2))
+    np.testing.assert_array_equal(out["b"], np.full(2, 7.0))
+
+
+def test_port_controlnet_extras():
+    sd = {
+        "controlnet_down_blocks.0.weight": np.ones((8, 8, 1, 1), np.float32),
+        "controlnet_down_blocks.0.bias": np.zeros(8, np.float32),
+        "controlnet_mid_block.weight": np.ones((8, 8, 1, 1), np.float32),
+        "controlnet_cond_embedding.conv_in.weight":
+            np.ones((8, 3, 3, 3), np.float32),
+        "controlnet_cond_embedding.blocks.1.weight":
+            np.ones((8, 8, 3, 3), np.float32),
+        "controlnet_cond_embedding.conv_out.bias": np.zeros(8, np.float32),
+    }
+    p = W.port_controlnet(sd)
+    assert p["controlnet_down_blocks_0"]["kernel"].shape == (1, 1, 8, 8)
+    assert p["controlnet_mid_block"]["kernel"].shape == (1, 1, 8, 8)
+    assert p["controlnet_cond_embedding"]["conv_in"]["kernel"].shape == (3, 3, 3, 8)
+    assert p["controlnet_cond_embedding"]["blocks_1"]["kernel"].shape == (3, 3, 8, 8)
+
+
+def test_port_clip_vision_round_trip():
+    from theatergen_tpu.models.clip import CLIPVisionEncoder
+
+    enc = CLIPVisionEncoder(CFG.vision)
+    params = enc.init(jax.random.key(0),
+                      jnp.zeros((1, 32, 32, 3)))["params"]
+    flat = flatten(params)
+    sd = {}
+    for path, arr in flat.items():
+        if path == "class_embedding":
+            sd["vision_model.embeddings.class_embedding"] = arr
+            continue
+        if path == "position_embedding":
+            sd["vision_model.embeddings.position_embedding.weight"] = arr
+            continue
+        if path == "patch_embedding/kernel":
+            sd["vision_model.embeddings.patch_embedding.weight"] = (
+                np.transpose(arr, (3, 2, 0, 1)))
+            continue
+        if path == "visual_projection/kernel":
+            sd["visual_projection.weight"] = np.transpose(arr)
+            continue
+        p = path
+        p = re.sub(r"layers_(\d+)", r"encoder.layers.\1", p)
+        p = p.replace("self_attn/", "self_attn.").replace("mlp/", "mlp.")
+        p = p.replace("/kernel", ".weight").replace("/bias", ".bias")
+        p = p.replace("/scale", ".weight")
+        p = p.replace("/", ".")
+        p = "vision_model." + p
+        if arr.ndim == 2 and p.endswith(".weight"):
+            arr = np.transpose(arr)
+        sd[p] = arr
+    ported = W.port_clip_vision(sd)
+    flat_ported = flatten(ported)
+    assert set(flat_ported) == set(flat), (
+        sorted(set(flat) - set(flat_ported))[:8],
+        sorted(set(flat_ported) - set(flat))[:8])
+    for k in flat:
+        np.testing.assert_allclose(flat_ported[k], flat[k], rtol=1e-6,
+                                   err_msg=k)

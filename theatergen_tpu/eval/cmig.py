@@ -30,34 +30,91 @@ import numpy as np
 from . import metrics as M
 
 
-class ClipEmbedder:
-    """Batched image/text embedding via the framework's CLIP towers."""
+def _box_iou_np(a, b, eps=1e-6):
+    x0, y0 = max(a[0], b[0]), max(a[1], b[1])
+    x1, y1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(x1 - x0, 0) * max(y1 - y0, 0)
+    area = ((a[2] - a[0]) * (a[3] - a[1])
+            + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / (area + eps)
 
-    def __init__(self, bundle):
+
+class ClipEmbedder:
+    """Batched image/text embedding through a PAIRED CLIP model — both
+    towers project into the same joint space, as the reference's single
+    ViT-B/32 does (``eval.py:286``).  Comparing embeddings from unrelated
+    models (e.g. the SD text encoder vs the ViT-H IP encoder) produces
+    meaningless cosines, so construction requires matching projection dims.
+    """
+
+    def __init__(self, text, text_params, vision, vision_params, tokenizer,
+                 max_length: int = 77):
+        assert text.cfg.projection_dim == vision.cfg.projection_dim, (
+            "eval CLIP towers must share a projection space "
+            f"({text.cfg.projection_dim} vs {vision.cfg.projection_dim})")
+        self.text, self.text_params = text, text_params
+        self.vision, self.vision_params = vision, vision_params
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.image_size = vision.cfg.image_size
+
+    @classmethod
+    def eval_default(cls, rng, tokenizer=None, tiny: bool = False):
+        """ViT-B/32 text+vision pair (the reference's eval model; random
+        weights here — port openai/clip-vit-base-patch32 via
+        models/weights.port_clip_text/port_clip_vision for real scores)."""
+        import jax
         import jax.numpy as jnp
 
-        self.bundle = bundle
-        self._jnp = jnp
+        from ..config import CLIPTextConfig, CLIPVisionConfig
+        from ..models.clip import CLIPTextEncoder, CLIPVisionEncoder
+        from ..utils.tokenizer import load_tokenizer
+
+        if tiny:
+            vcfg = CLIPVisionConfig(
+                image_size=32, patch_size=16, hidden_size=32,
+                intermediate_size=64, num_layers=2, num_heads=2,
+                projection_dim=32)
+            tcfg = CLIPTextConfig(
+                vocab_size=1024, hidden_size=32, intermediate_size=64,
+                num_layers=2, num_heads=2, max_length=16, projection_dim=32,
+                use_text_projection=True)
+        else:
+            vcfg = CLIPVisionConfig.vit_b32()
+            tcfg = CLIPTextConfig(projection_dim=512,
+                                  use_text_projection=True)
+        text = CLIPTextEncoder(tcfg)
+        vision = CLIPVisionEncoder(vcfg)
+        k1, k2 = jax.random.split(rng)
+        tp = text.init(k1, jnp.zeros((1, tcfg.max_length), jnp.int32))["params"]
+        vp = vision.init(
+            k2, jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3)))["params"]
+        tok = tokenizer or load_tokenizer(None, tcfg.vocab_size)
+        return cls(text, tp, vision, vp, tok, tcfg.max_length)
 
     def embed_images(self, images: List[np.ndarray]) -> np.ndarray:
         import jax
+        import jax.numpy as jnp
 
-        from ..pipelines.character import encode_ip_image
-
-        jnp = self._jnp
-        size = self.bundle.cfg.vision.image_size
-        batch = np.stack([
-            np.asarray(jax.image.resize(jnp.asarray(im), (size, size, 3),
-                                        "bilinear"))
+        size = self.image_size
+        mean = jnp.array([0.48145466, 0.4578275, 0.40821073])
+        std = jnp.array([0.26862954, 0.26130258, 0.27577711])
+        batch = jnp.stack([
+            jax.image.resize(jnp.asarray(im, jnp.float32), (size, size, 3),
+                             "bilinear")
             for im in images
         ])
-        return np.asarray(encode_ip_image(self.bundle, jnp.asarray(batch)))
+        batch = (batch - mean) / std
+        embeds, _, _ = self.vision.apply(
+            {"params": self.vision_params}, batch)
+        return np.asarray(embeds)
 
     def embed_texts(self, texts: List[str]) -> np.ndarray:
-        ids = self.bundle.tokenizer(texts,
-                                    max_length=self.bundle.cfg.text.max_length)
-        _, pooled = self.bundle.text.apply(
-            {"params": self.bundle.text_params}, self._jnp.asarray(ids))
+        import jax.numpy as jnp
+
+        ids = self.tokenizer(texts, max_length=self.max_length)
+        _, pooled = self.text.apply(
+            {"params": self.text_params}, jnp.asarray(ids))
         return np.asarray(pooled)
 
 
@@ -77,17 +134,36 @@ class ClipSlidingDetector:
                                   cx + scale / 2, cy + scale / 2])
         self.candidates = np.clip(np.asarray(boxes, np.float32), 0, 1)
 
-    def __call__(self, image: np.ndarray, phrase: str
-                 ) -> Tuple[np.ndarray, float, bool]:
+    def _scores(self, image: np.ndarray, phrase: str) -> np.ndarray:
         crops = [M.crop(image, b) for b in self.candidates]
         img_e = self.embedder.embed_images(crops)
         txt_e = self.embedder.embed_texts([phrase])
-        d = min(img_e.shape[-1], txt_e.shape[-1])
-        sims = M.cosine_similarity(img_e[:, :d], np.repeat(txt_e[:, :d],
-                                                           len(crops), 0))
+        return M.cosine_similarity(
+            img_e, np.repeat(txt_e, len(crops), 0))
+
+    def __call__(self, image: np.ndarray, phrase: str
+                 ) -> Tuple[np.ndarray, float, bool]:
+        sims = self._scores(image, phrase)
         best = int(np.argmax(sims))
         conf = float(sims[best])
         return self.candidates[best], conf, conf > self.threshold
+
+    def count_instances(self, image: np.ndarray, phrase: str,
+                        max_n: int = 8, iou_nms: float = 0.5) -> int:
+        """Greedy NMS over candidate boxes above threshold — distinct
+        detections, so numeracy actually counts (the reference counts
+        distinct DINO boxes, eval_extra.py:236-251)."""
+        sims = self._scores(image, phrase)
+        order = np.argsort(-sims)
+        picked = []
+        for i in order:
+            if sims[i] <= self.threshold or len(picked) >= max_n:
+                break
+            box = self.candidates[i]
+            if all(_box_iou_np(box, self.candidates[j]) < iou_nms
+                   for j in picked):
+                picked.append(i)
+        return len(picked)
 
 
 def evaluate_tree(
@@ -175,9 +251,17 @@ def evaluate_tree(
                     _, _, found = detector(image, neg)
                     extra_hits[3].append(not found)
             elif t_idx == 3 and objs:
-                names = [o[0] for o in objs]
-                count = sum(int(detector(image, n)[2]) for n in names)
-                extra_hits[4].append(count == len(objs))
+                from collections import Counter
+
+                name_counts = Counter(o[0] for o in objs)
+                ok_all = True
+                for name, expected in name_counts.items():
+                    if hasattr(detector, "count_instances"):
+                        got = detector.count_instances(image, name)
+                    else:
+                        got = int(detector(image, name)[2])
+                    ok_all = ok_all and (got == expected)
+                extra_hits[4].append(ok_all)
 
             rows.append({
                 "dialogue": dialogue, "turn": turn, "tis": tis,
@@ -217,12 +301,7 @@ def main(argv=None):
 
     import jax
 
-    from ..config import sd15_config, tiny_config
-    from ..pipelines.bundle import init_bundle
-
-    cfg = tiny_config() if args.tiny else sd15_config()
-    bundle = init_bundle(cfg, jax.random.key(0), with_vision=True)
-    embedder = ClipEmbedder(bundle)
+    embedder = ClipEmbedder.eval_default(jax.random.key(0), tiny=args.tiny)
     with open(os.path.join(args.dataset_path, f"{args.task}.json")) as f:
         dataset = json.load(f)
     out = evaluate_tree(args.save_dir, dataset, embedder,

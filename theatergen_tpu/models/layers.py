@@ -319,7 +319,7 @@ class Transformer2D(nn.Module):
         context: jnp.ndarray,
         *,
         ip_scale: jnp.ndarray | float = 1.0,
-        capture_probs: bool = False,
+        capture_layers: Tuple[int, ...] = (),
     ) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
@@ -335,7 +335,7 @@ class Transformer2D(nn.Module):
                 quantized=self.quantized,
                 name=f"transformer_blocks_{i}",
             )(x, context, ip_scale=ip_scale,
-              capture_probs=capture_probs and i == 0)
+              capture_probs=i in capture_layers)
         x = x.reshape(b, h, w, c)
         x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
         return x + residual

@@ -36,9 +36,12 @@ AttnKey = Tuple[str, int, int, int]
 
 
 def _captures(capture_keys: Sequence[AttnKey], place: str, block: int,
-              attn_idx: int) -> bool:
-    return any(k[0] == place and k[1] == block and k[2] == attn_idx
-               for k in capture_keys)
+              attn_idx: int) -> Tuple[int, ...]:
+    """Transformer-block layer indices to capture at this attention module
+    (4th key field — reference attn-key format, models/transformer_2d.py:
+    299-304 stamps per transformer-block layer)."""
+    return tuple(k[3] for k in capture_keys
+                 if k[0] == place and k[1] == block and k[2] == attn_idx)
 
 
 class UNetEncoder(nn.Module):
@@ -87,7 +90,7 @@ class UNetEncoder(nn.Module):
                         use_flash=cfg.flash_attention, dtype=dtype,
                         name=f"down_blocks_{i}_attentions_{j}",
                     )(h, context, ip_scale=ip_scale,
-                      capture_probs=_captures(capture_keys, "down", i, j))
+                      capture_layers=_captures(capture_keys, "down", i, j))
                 skips.append(h)
             if level_residuals is not None and i < len(level_residuals):
                 # T2I-Adapter structure features, added at the end of each
@@ -123,7 +126,7 @@ class UNetMid(nn.Module):
             use_flash=cfg.flash_attention, dtype=dtype,
             name="mid_block_attentions_0",
         )(h, context, ip_scale=ip_scale,
-          capture_probs=_captures(capture_keys, "mid", 0, 0))
+          capture_layers=_captures(capture_keys, "mid", 0, 0))
         h = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dtype,
                           fast_norm=cfg.fast_norm, quantized=cfg.quantized,
                           name="mid_block_resnets_1")(h, temb)
@@ -222,7 +225,7 @@ class UNet2DCondition(nn.Module):
                         use_flash=cfg.flash_attention, dtype=dtype,
                         name=f"up_blocks_{idx}_attentions_{j}",
                     )(h, context, ip_scale=ip_scale,
-                      capture_probs=_captures(capture_keys, "up", idx, j))
+                      capture_layers=_captures(capture_keys, "up", idx, j))
             if idx < n_levels - 1:
                 h = Upsample2D(ch, dtype=dtype,
                                name=f"up_blocks_{idx}_upsamplers_0")(h)

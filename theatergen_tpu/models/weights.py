@@ -370,11 +370,99 @@ def port_clip_text(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             leaf = name.split(".")[-1]
             out = (f"final_layer_norm/{'scale' if leaf == 'weight' else 'bias'}",
                    "raw")
+        elif name == "text_projection.weight":
+            # CLIPTextModelWithProjection (SDXL tower 2, eval towers)
+            out = ("text_projection/kernel", "dense")
         if out is None:
             continue
         path, kind = out
         set_path(params, path, _convert_leaf(name, w, kind))
     return params
+
+
+def port_controlnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Diffusers ControlNetModel state dict → our ControlNet tree: the
+    shared encoder/mid/time-embedding map through :func:`port_unet`; the
+    zero-conv heads and the conditioning embedding map here."""
+    params = port_unet(sd)
+    for name, w in sd.items():
+        out = None
+        m = re.fullmatch(r"controlnet_down_blocks\.(\d+)\.(weight|bias)", name)
+        if m:
+            i, wb = m.groups()
+            out = (f"controlnet_down_blocks_{i}/"
+                   f"{'kernel' if wb == 'weight' else 'bias'}",
+                   "conv" if wb == "weight" else "raw")
+        m = re.fullmatch(r"controlnet_mid_block\.(weight|bias)", name)
+        if m:
+            wb = m.group(1)
+            out = (f"controlnet_mid_block/"
+                   f"{'kernel' if wb == 'weight' else 'bias'}",
+                   "conv" if wb == "weight" else "raw")
+        m = re.fullmatch(
+            r"controlnet_cond_embedding\.(conv_in|conv_out|blocks\.(\d+))"
+            r"\.(weight|bias)", name)
+        if m:
+            mod, bi, wb = m.group(1), m.group(2), m.group(3)
+            mod_name = f"blocks_{bi}" if bi is not None else mod
+            out = (f"controlnet_cond_embedding/{mod_name}/"
+                   f"{'kernel' if wb == 'weight' else 'bias'}",
+                   "conv" if wb == "weight" else "raw")
+        if out is None:
+            continue
+        path, kind = out
+        set_path(params, path, _convert_leaf(name, w, kind))
+    return params
+
+
+def port_clip_vision(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """HF CLIPVisionModelWithProjection state dict → CLIPVisionEncoder tree."""
+    params: Dict[str, Any] = {}
+    for name, w in sd.items():
+        name = name.replace("vision_model.", "")
+        out = None
+        if name == "embeddings.class_embedding":
+            out = ("class_embedding", "raw")
+        elif name == "embeddings.patch_embedding.weight":
+            out = ("patch_embedding/kernel", "conv")
+        elif name == "embeddings.position_embedding.weight":
+            out = ("position_embedding", "raw")
+        elif name.startswith(("pre_layrnorm.", "post_layernorm.")):
+            mod, leaf = name.rsplit(".", 1)
+            out = (f"{mod}/{'scale' if leaf == 'weight' else 'bias'}", "raw")
+        elif name == "visual_projection.weight":
+            out = ("visual_projection/kernel", "dense")
+        elif name.startswith("encoder.layers."):
+            m = re.fullmatch(
+                r"encoder\.layers\.(\d+)\.(self_attn\.(?:q|k|v|out)_proj|"
+                r"layer_norm\d|mlp\.fc\d)\.(weight|bias)", name)
+            if m:
+                li, mod, wb = m.groups()
+                mod_path = mod.replace("mlp.", "mlp/").replace(
+                    "self_attn.", "self_attn/")
+                is_dense = "proj" in mod or "fc" in mod
+                leaf = ("kernel" if wb == "weight" else "bias") if is_dense \
+                    else ("scale" if wb == "weight" else "bias")
+                kind = "dense" if (is_dense and wb == "weight") else "raw"
+                out = (f"layers_{li}/{mod_path}/{leaf}", kind)
+        if out is None:
+            continue
+        path, kind = out
+        set_path(params, path, _convert_leaf(name, w, kind))
+    return params
+
+
+def merge_into(dst: Dict[str, Any], src: Dict[str, Any]) -> Dict[str, Any]:
+    """Overwrite matching leaves of ``dst`` with ``src`` (used to propagate
+    ported base-UNet weights into the IP-equipped UNet tree, whose extra
+    to_k_ip/to_v_ip leaves keep their existing values)."""
+    out = dict(dst)
+    for key, val in src.items():
+        if key in out and isinstance(out[key], dict) and isinstance(val, dict):
+            out[key] = merge_into(out[key], val)
+        else:
+            out[key] = val
+    return out
 
 
 def port_image_proj(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -471,15 +559,36 @@ def load_bundle(cfg, weights_dir: str):
         p = os.path.join(weights_dir, path)
         return load_state_dict(p) if os.path.exists(p) else None
 
+    loaded = []
     sd = maybe("unet.safetensors")
     if sd:
         bundle.unet_params = port_unet(sd)
+        if bundle.unet_ip_params is not None:
+            # the IP UNet (what the orchestrator runs) shares every base
+            # leaf; only to_k_ip/to_v_ip stay from init until the IP ckpt
+            bundle.unet_ip_params = merge_into(bundle.unet_ip_params,
+                                               bundle.unet_params)
+        loaded.append("unet")
     sd = maybe("vae.safetensors")
     if sd:
         bundle.vae_params = port_vae(sd)
+        loaded.append("vae")
     sd = maybe("text_encoder.safetensors")
     if sd:
         bundle.text_params = port_clip_text(sd)
+        loaded.append("text")
+    sd = maybe("text_encoder_2.safetensors")
+    if sd and bundle.text2 is not None:
+        bundle.text2_params = port_clip_text(sd)
+        loaded.append("text2")
+    sd = maybe("controlnet.safetensors")
+    if sd and bundle.controlnet is not None:
+        bundle.controlnet_params = port_controlnet(sd)
+        loaded.append("controlnet")
+    sd = maybe("image_encoder.safetensors")
+    if sd and bundle.vision is not None:
+        bundle.vision_params = port_clip_vision(sd)
+        loaded.append("vision")
     ip = maybe("ip-adapter_sd15.bin") or maybe("ip-adapter_sd15.safetensors")
     if ip:
         bundle.image_proj_params = port_image_proj(
@@ -488,4 +597,10 @@ def load_bundle(cfg, weights_dir: str):
             bundle.unet_ip_params = port_ip_adapter(
                 {k: v for k, v in ip.items() if k.startswith("ip_adapter")},
                 bundle.unet_ip_params)
+        loaded.append("ip_adapter")
+    expected = ["unet", "vae", "text", "controlnet", "vision", "ip_adapter"]
+    missing = [e for e in expected if e not in loaded]
+    if missing:
+        print(f"[load_bundle] WARNING: no checkpoints for {missing} — "
+              "those components keep RANDOM weights")
     return bundle

@@ -204,10 +204,12 @@ def attn_collection_to_maps(
     walk(attn_state, ())
 
     def key_to_module(key):
-        place, block, attn_idx, _layer = key
+        place, block, attn_idx, layer = key
         if place == "mid":
-            return "mid_block_attentions_0"
-        return f"{place}_blocks_{block}_attentions_{attn_idx}"
+            mod = "mid_block_attentions_0"
+        else:
+            mod = f"{place}_blocks_{block}_attentions_{attn_idx}"
+        return f"{mod}/transformer_blocks_{layer}/"
 
     maps = []
     for key in capture_keys:

@@ -103,6 +103,9 @@ def compose_trajectories(
             bm = G.box_mask(
                 box.astype(jnp.float32) / jnp.array([w_, h_, w_, h_]), h_, w_
             )[..., None]
+            # padded (empty-mask) slots would fall back to the full-image
+            # box and wipe the background with their zero trajectories
+            bm = bm * (sizes[i] > 0).astype(bm.dtype)
             return comp0 * (1 - bm) + trajectories[i, 0] * bm
 
         comp0 = jax.lax.fori_loop(0, k, box_body, composed[0])

@@ -82,36 +82,26 @@ class DetectorBackend(Protocol):
 
 
 class ClipBoxScorer:
-    """Score a crop against a phrase with the CLIP towers — the verification
-    half of detection (plays the role of DINO's text threshold)."""
+    """Score a crop against a phrase with a PAIRED CLIP embedder (both
+    towers in one joint space — see eval.cmig.ClipEmbedder) — the
+    verification half of detection (plays the role of DINO's text
+    threshold).  Comparing embeddings of unrelated models is meaningless,
+    so this takes an embedder, not the generation bundle."""
 
-    def __init__(self, bundle):
-        self.bundle = bundle
-
-    def phrase_embed(self, phrase: str) -> jnp.ndarray:
-        ids = self.bundle.tokenizer([phrase],
-                                    max_length=self.bundle.cfg.text.max_length)
-        _, pooled = self.bundle.text.apply(
-            {"params": self.bundle.text_params}, jnp.asarray(ids)
-        )
-        return pooled
+    def __init__(self, embedder):
+        self.embedder = embedder
 
     def score(self, image: jnp.ndarray, box: jnp.ndarray, phrase: str
-              ) -> jnp.ndarray:
+              ) -> float:
         """Cosine similarity between the box crop and the phrase."""
-        h, w = image.shape[-3], image.shape[-2]
-        mask = G.box_mask(box, h, w)[..., None]
-        crop = image * mask
-        from ..pipelines.character import encode_ip_image
+        import numpy as np
 
-        img_embed = encode_ip_image(self.bundle, crop[None])
-        txt = self.phrase_embed(phrase)
-        a = img_embed / (jnp.linalg.norm(img_embed, axis=-1, keepdims=True) + 1e-8)
-        # project text pooled into vision projection dim if they differ
-        d = min(a.shape[-1], txt.shape[-1])
-        b = txt[..., :d] / (jnp.linalg.norm(txt[..., :d], axis=-1,
-                                            keepdims=True) + 1e-8)
-        return jnp.sum(a[..., :d] * b)
+        from ..eval.metrics import cosine_similarity, crop
+
+        crop_img = crop(np.asarray(image), np.asarray(box))
+        img_e = self.embedder.embed_images([crop_img])
+        txt_e = self.embedder.embed_texts([phrase])
+        return float(cosine_similarity(img_e, txt_e)[0])
 
 
 def detect_from_attention_and_sam(

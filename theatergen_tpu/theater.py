@@ -97,6 +97,21 @@ class Theater:
         # features; computed once per Theater
         self._uncond_ip = uncond_ip_features(bundle)
 
+    def _placeholder_ip_features(self) -> jnp.ndarray:
+        """Zero/black conditioning features with the shape the active IP
+        variant expects (base: [1, D_clip]; plus: [1, N, vision_hidden])."""
+        if self._uncond_ip is not None:
+            return self._uncond_ip
+        return jnp.zeros((1, self.cfg.ip_adapter.clip_embeddings_dim))
+
+    def _embed_from_db(self, emb: np.ndarray) -> jnp.ndarray:
+        """DB-stored (flattened) features → variant-shaped [1, ...] array."""
+        arr = np.asarray(emb)
+        if getattr(self.bundle, "ip_variant", "base") == "plus":
+            hidden = self.cfg.vision.hidden_size
+            return jnp.asarray(arr.reshape(1, -1, hidden))
+        return jnp.asarray(arr.reshape(1, -1))
+
     # ---------------------------------------------------------------- utils
 
     def _encode_text(self, prompt, negative):
@@ -165,7 +180,8 @@ class Theater:
                         ) -> List[jnp.ndarray]:
         """Mean guidance-key maps over steps >= ATTN_AGG_START
         (theatergen.py:30: aggregate the late, semantically-stable steps)."""
-        start = min(ATTN_AGG_START, max(self.num_steps - 1, 0))
+        steps = self.char_sched.num_steps   # fast schedules shorten this
+        start = min(ATTN_AGG_START, max(steps - 1, 0))
         return [jnp.mean(m[start:].astype(jnp.float32), axis=0)
                 for m in ref_attn]
 
@@ -231,12 +247,15 @@ class Theater:
         db_img, db_emb, hit = self.db.lookup(plan.obj_id)
         if hit and db_emb is None:
             db_emb = np.asarray(encode_ip_image(
-                b, jnp.asarray(db_img)[None]))[0]
+                b, jnp.asarray(db_img)[None])[0])
         if hit:
-            ip_scale, img_embed = cfg.pipeline.ip_scale_hit, jnp.asarray(db_emb)[None]
+            ip_scale = cfg.pipeline.ip_scale_hit
+            img_embed = self._embed_from_db(db_emb)
         else:
+            # DB miss: placeholder features at IP scale 0 (reference uses a
+            # placeholder model.png with scale 0, models/pipelines.py:183-199)
             ip_scale = 0.0
-            img_embed = jnp.zeros((1, cfg.ip_adapter.clip_embeddings_dim))
+            img_embed = self._placeholder_ip_features()
         ctx = ip_context(b, text_ctx, img_embed, self._uncond_ip)
 
         gin = self._guidance_inputs([tuple(centered)], [token_pos])
@@ -269,9 +288,9 @@ class Theater:
         m_lat, m_pix = self._extract_masks(agg, image, det_box)
 
         if not hit:
-            emb = np.asarray(encode_ip_image(b, image))[0]
-            self.db.save(plan.obj_id, np.asarray(image[0]), emb)
-            img_embed = jnp.asarray(emb)[None]
+            emb = np.asarray(encode_ip_image(b, image)[0])
+            self.db.save(plan.obj_id, np.asarray(image[0]), emb.reshape(-1))
+            img_embed = self._embed_from_db(emb)
 
         return dict(
             trajectory=result.trajectory, ref_attn=result.ref_attn,
@@ -316,8 +335,8 @@ class Theater:
             ctx, extra_cond = self._encode_text(
                 plan.overall_prompt or plan.bg_prompt,
                 parse.DEFAULT_OVERALL_NEGATIVE_PROMPT)
-            ctx = ip_context(b, ctx, jnp.zeros(
-                (1, cfg.ip_adapter.clip_embeddings_dim)))
+            ctx = ip_context(b, ctx, self._placeholder_ip_features(),
+                             self._uncond_ip)
             lat = sd.seeded_latents(jax.random.fold_in(rng, 99), 1,
                                     cfg.pipeline.latent_height,
                                     cfg.pipeline.latent_width)

@@ -92,7 +92,7 @@ def parse_layout_response(text: str):
 
 def filter_boxes(gen_boxes, scale_boxes: bool = True,
                  ignore_background: bool = True, max_scale: float = 3.0,
-                 return_indices: bool = False):
+                 return_indices: bool = False, force_scale: bool = False):
     """Sanitize layout boxes: drop empty/background boxes, rescale/shift
     out-of-bounds layouts to fit the canvas (reference ``filter_boxes``,
     ``utils/parse.py:135-235``; dict entries with ``name``/``bounding_box``
@@ -111,7 +111,10 @@ def filter_boxes(gen_boxes, scale_boxes: bool = True,
 
     kept = []
     kept_idx = []
-    needs_scale = scale_boxes
+    # only rescale when boxes actually fall outside the canvas (the
+    # reference always rescales with scale_boxes=True, which mangles valid
+    # layouts — pass force_scale=True for reference-exact behavior)
+    needs_scale = force_scale
     for gi, g in enumerate(gen_boxes):
         name, box = unpack(g)
         if not box:
@@ -122,7 +125,8 @@ def filter_boxes(gen_boxes, scale_boxes: bool = True,
         if ignore_background and ((w >= SIZE_W and h >= SIZE_H)
                                   or x > SIZE_W or y > SIZE_H):
             continue
-        if x < 0 or y < 0 or x + w > SIZE_W or y + h > SIZE_H:
+        if scale_boxes and (x < 0 or y < 0 or x + w > SIZE_W
+                            or y + h > SIZE_H):
             needs_scale = True
         kept.append((name, (x, y, w, h)))
         kept_idx.append(gi)
