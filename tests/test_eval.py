@@ -101,3 +101,29 @@ def test_evaluate_tree_end_to_end(tmp_path):
                         "negative", "numeracy"}
     assert np.isfinite(out["ATIS"])
     assert os.path.exists(tmp_path / "scores.csv")
+
+
+def test_count_instances_nms(monkeypatch):
+    """Numeracy counting: distinct above-threshold boxes after NMS."""
+    import jax
+
+    from theatergen_tpu.eval.cmig import ClipEmbedder, ClipSlidingDetector
+
+    embedder = ClipEmbedder.eval_default(jax.random.key(0), tiny=True)
+    det = ClipSlidingDetector(embedder, threshold=0.5)
+    # stub the scoring: two spatially distinct candidates above threshold
+    cands = det.candidates
+    scores = np.full(len(cands), -1.0, np.float32)
+    # pick two far-apart candidate boxes
+    far = [i for i in range(len(cands))
+           if cands[i][0] < 0.2 or cands[i][2] > 0.8][:2]
+    scores[far[0]] = 0.9
+    scores[far[1]] = 0.8
+    det._scores = lambda image, phrase: scores
+    img = np.zeros((32, 32, 3), np.float32)
+    assert det.count_instances(img, "cat") >= 1
+    # overlapping duplicates suppressed: same box twice counts once
+    scores2 = np.full(len(cands), -1.0, np.float32)
+    scores2[far[0]] = 0.9
+    det._scores = lambda image, phrase: scores2
+    assert det.count_instances(img, "cat") == 1
