@@ -108,16 +108,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
         o_ref[0] = (acc_ref[...] * inv).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("q_block", "k_block"))
-def flash_attention(
+def _flash_attention_impl(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-    q_block: int = DEFAULT_Q_BLOCK, k_block: int = DEFAULT_K_BLOCK,
+    q_block: int, k_block: int,
 ) -> jnp.ndarray:
-    """Attention over BSHD tensors; returns [B, Sq, H, D].
-
-    Requires ``supported(q, k)``; Sq is padded to the Q-block size, head
-    dim padded to the lane width.
-    """
     b, sq, h, d = q.shape
     sk = k.shape[1]
     dp = _pad_head_dim(d)
@@ -171,3 +165,43 @@ def flash_attention(
     )(qr, kr, vr)
     out = out[:, :sq, :d].reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    q_block: int = DEFAULT_Q_BLOCK, k_block: int = DEFAULT_K_BLOCK,
+) -> jnp.ndarray:
+    """Attention over BSHD tensors; returns [B, Sq, H, D].
+
+    Requires ``supported(q, k)``; Sq is padded to the Q-block size, head
+    dim padded to the lane width.
+
+    Differentiable via ``custom_vjp``: the backward recomputes attention
+    through the XLA path (Pallas kernels have no automatic VJP) — required
+    because both the latent-guidance energy and the trainer take
+    ``jax.grad`` through UNets whose self-attention runs this kernel.
+    """
+    return _flash_attention_impl(q, k, v, q_block, k_block)
+
+
+def _reference_attention(q, k, v):
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(jnp.float32) * (d ** -0.5),
+        k.astype(jnp.float32))
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+
+
+def _flash_fwd(q, k, v, q_block, k_block):
+    return _flash_attention_impl(q, k, v, q_block, k_block), (q, k, v)
+
+
+def _flash_bwd(q_block, k_block, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(_reference_attention, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
