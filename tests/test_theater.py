@@ -149,3 +149,31 @@ def test_overall_guidance_uses_plural_word(theater):
     # and the full turn still runs
     res = theater.run_turn(spec, seed=11)
     assert np.isfinite(res.image).all()
+
+
+def test_turn_with_sam_masks(tmp_path):
+    """Orchestrator with a SAM segmenter loaded: dual-scale mask branch."""
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.pipelines.bundle import init_bundle
+
+    bundle = init_bundle(tiny_config(), jax.random.key(0), with_ip=True,
+                         with_controlnet=True, with_vision=True,
+                         with_sam=True)
+    t = Theater(bundle, CharacterDB(str(tmp_path)), num_steps=2)
+    res = t.run_turn(SPEC_T2, seed=0)
+    assert np.isfinite(res.image).all()
+    # phase timers populated
+    summary = t.timer.summary()
+    assert summary["character"]["count"] >= 1
+    assert "final" in summary
+
+
+def test_ema_update():
+    from theatergen_tpu.training.diffusion import ema_update
+
+    import jax.numpy as jnp
+
+    ema = {"w": jnp.zeros(3)}
+    params = {"w": jnp.ones(3)}
+    out = ema_update(ema, params, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, rtol=1e-5)

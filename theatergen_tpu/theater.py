@@ -40,6 +40,7 @@ from .pipelines.character import (
 from .pipelines.final import make_final_pipeline
 from .pipelines.guidance import GuidanceInputs
 from .utils import parse
+from .utils.profiling import PhaseTimer
 from .utils.tokenizer import find_phrase_token_indices
 
 MAX_REGEN_ATTEMPTS = 3          # theatergen.py:98-160 retries up to 3 seeds
@@ -96,6 +97,9 @@ class Theater:
         # plus/full IP variants condition the uncond branch on black-image
         # features; computed once per Theater
         self._uncond_ip = uncond_ip_features(bundle)
+        # per-phase wall-clock accounting (SURVEY §5: the reference only
+        # times whole dialogues; timer.summary() gives p50/p90 per phase)
+        self.timer = PhaseTimer()
 
     def _placeholder_ip_features(self) -> jnp.ndarray:
         """Zero/black conditioning features with the shape the active IP
@@ -323,8 +327,9 @@ class Theater:
             if key in cache:
                 chars.append(cache[key])
                 continue
-            out = self._generate_character(
-                oplan, extra_neg, jax.random.fold_in(rng, idx))
+            with self.timer.phase("character"):
+                out = self._generate_character(
+                    oplan, extra_neg, jax.random.fold_in(rng, idx))
             cache[key] = out
             chars.append(out)
 
@@ -375,6 +380,8 @@ class Theater:
         valid = jnp.arange(k) < n
 
         # -- align to layout boxes, compose, collage
+        self._compose_timer = self.timer.phase("compose")
+        self._compose_timer.__enter__()
         traj_j, masks_j, offsets = L.align_with_boxes(traj, masks_lat, boxes)
         bg_lat = sd.seeded_latents(
             jax.random.fold_in(rng, 1000), 1, h, w) * np.float32(
@@ -383,6 +390,7 @@ class Theater:
         collage, union = L.collage_images(images, masks_pix, boxes, valid)
         cond_img = dog_lineart(collage)
         frozen_mask = (fgi > 0).astype(jnp.float32)  # theatergen.py:442-445
+        self._compose_timer.__exit__(None, None, None)
 
         # -- overall context (+ ip embeds from the first character,
         #    models/pipelines.py:700-701)
@@ -419,6 +427,8 @@ class Theater:
         gin = self._guidance_inputs(boxes_all, token_pos_all, agg_refs)
 
         cn_ctx = overall_ctx  # ControlNet sees text-only context
+        final_phase = self.timer.phase("final")
+        final_phase.__enter__()
         final, _traj = self.final_run(
             b.unet_ip_params,
             b.controlnet_params if self.use_controlnet else None,
@@ -427,6 +437,7 @@ class Theater:
             rng=jax.random.fold_in(rng, 777), extra_cond=extra_cond,
             adapter_feats=adapter_feats)
         image = self._decode_img(final)
+        final_phase.__exit__(None, None, None)
 
         return TurnResult(
             image=np.asarray(image[0]),

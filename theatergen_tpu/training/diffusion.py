@@ -98,6 +98,14 @@ def make_train_step(
     return step
 
 
+def ema_update(ema_params, params, decay: float = 0.9999):
+    """Exponential moving average of params (standard diffusion training
+    practice; apply after each train step, serve from the EMA tree)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params, params)
+
+
 def shard_train_step(step_fn, mesh):
     """jit the train step; param shardings come from the placed TrainState
     (``parallel.mesh.shard_params``), batch args are dp-sharded."""
