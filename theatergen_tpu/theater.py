@@ -306,12 +306,16 @@ class Theater:
     # --------------------------------------------------------------- turn
 
     def run_turn(self, spec: dict, seed: int,
-                 frozen_step_ratio: Optional[float] = None) -> TurnResult:
+                 frozen_step_ratio: Optional[float] = None,
+                 overall_prompt_override: Optional[str] = None) -> TurnResult:
         t_start = time.time()
         b = self.bundle
         cfg = self.cfg
         plan = parse.convert_spec(spec, cfg.pipeline.height,
                                   cfg.pipeline.width)
+        if overall_prompt_override and overall_prompt_override.strip():
+            # reference theatergen.py:343-345
+            plan.overall_prompt = overall_prompt_override.strip()
         extra_neg = spec.get("extra_neg_prompt") or ""
         ratio = (cfg.pipeline.frozen_step_ratio
                  if frozen_step_ratio is None else frozen_step_ratio)
@@ -397,6 +401,8 @@ class Theater:
         neg = parse.DEFAULT_OVERALL_NEGATIVE_PROMPT
         if extra_neg:
             neg = f"{extra_neg}, {neg}"
+        # hardcoded final-pass suppression prefix (theatergen.py:363)
+        neg = "incohesive, edge shadow, blurry, " + neg
         overall_ctx, extra_cond = self._encode_text(plan.overall_prompt, neg)
         ctx = ip_context(b, overall_ctx, chars[0]["img_embed"],
                          self._uncond_ip)
