@@ -128,3 +128,30 @@ def test_attention_detect_gaussian_smoothing():
     # smoothing spreads the peak → strictly larger detected box
     area = lambda b: (b[2] - b[0]) * (b[3] - b[1])
     assert area(smooth_box) > area(raw_box)
+
+
+def test_owl_detector_shapes_and_backend():
+    from theatergen_tpu.perception.owl import OwlBackend, OwlDetector
+    from theatergen_tpu.utils.tokenizer import load_tokenizer
+
+    vcfg = CFG.vision
+    tcfg = CFG.text
+    det = OwlDetector(vcfg, tcfg)
+    img = jax.random.uniform(jax.random.key(0),
+                             (1, vcfg.image_size, vcfg.image_size, 3))
+    ids = jnp.zeros((2, tcfg.max_length), jnp.int32)
+    params = det.init(jax.random.key(1), img, ids)["params"]
+    boxes, logits = det.apply({"params": params}, img, ids)
+    n = (vcfg.image_size // vcfg.patch_size) ** 2
+    assert boxes.shape == (1, n, 4)
+    assert logits.shape == (1, n, 2)
+    b = np.asarray(boxes)
+    assert (b[..., 2] >= b[..., 0]).all() and (b[..., 3] >= b[..., 1]).all()
+    assert b.min() >= 0 and b.max() <= 1
+
+    backend = OwlBackend(det, params, load_tokenizer(None, tcfg.vocab_size),
+                         max_length=tcfg.max_length)
+    box, conf, ok = backend(np.zeros((64, 64, 3), np.float32), "a cat")
+    assert box.shape == (4,) and isinstance(conf, float)
+    count = backend.count_instances(np.zeros((64, 64, 3), np.float32), "a cat")
+    assert count >= 0
