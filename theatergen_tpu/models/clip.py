@@ -32,7 +32,7 @@ class CLIPMLP(nn.Module):
         if self.act == "quick_gelu":     # OpenAI CLIP (SD1.5 text encoder)
             h = h * jax.nn.sigmoid(1.702 * h)
         else:                            # OpenCLIP bigG (SDXL encoder 2)
-            h = nn.gelu(h)
+            h = nn.gelu(approximate=False, x=h)
         return nn.Dense(dim, dtype=self.dtype, name="fc2")(h)
 
 

@@ -49,7 +49,7 @@ class MLPProjModel(nn.Module):
     def __call__(self, image_embeds: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         x = nn.Dense(cfg.clip_embeddings_dim, name="proj_0")(image_embeds)
-        x = nn.gelu(x)
+        x = nn.gelu(approximate=False, x=x)
         x = nn.Dense(cfg.cross_attention_dim, name="proj_2")(x)
         x = nn.LayerNorm(name="norm")(x)
         if x.ndim == 2:
@@ -119,7 +119,7 @@ class Resampler(nn.Module):
             h = nn.LayerNorm(name=f"layers_{i}_ff_norm")(latents)
             h = nn.Dense(cfg.resampler_dim * 4, use_bias=False,
                          name=f"layers_{i}_ff_1")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(approximate=False, x=h)
             h = nn.Dense(cfg.resampler_dim, use_bias=False,
                          name=f"layers_{i}_ff_2")(h)
             latents = latents + h

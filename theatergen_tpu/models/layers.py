@@ -162,7 +162,7 @@ class GEGLU(nn.Module):
         h = make_dense(self.quantized, self.dim_out * 2, dtype=self.dtype,
                        name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        return h * nn.gelu(approximate=False, x=gate)
 
 
 class FeedForward(nn.Module):

@@ -39,9 +39,9 @@ class OwlHeads(nn.Module):
         class_embeds [B, N, Q])."""
         x = nn.LayerNorm(name="norm")(patch_tokens)
         h = nn.Dense(x.shape[-1], name="box_mlp_1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(approximate=False, x=h)
         h = nn.Dense(x.shape[-1], name="box_mlp_2")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(approximate=False, x=h)
         boxes = nn.sigmoid(nn.Dense(4, name="box_head")(h))
         class_embeds = nn.Dense(self.query_dim, name="class_head")(x)
         return boxes, class_embeds

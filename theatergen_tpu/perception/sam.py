@@ -105,7 +105,7 @@ class TwoWayBlock(nn.Module):
         tokens = nn.LayerNorm(name="ln1")(tokens + attn(tokens, tokens, "self"))
         tokens = nn.LayerNorm(name="ln2")(tokens + attn(tokens, image, "t2i"))
         h = nn.Dense(d * 4, name="mlp_1")(tokens)
-        tokens = nn.LayerNorm(name="ln3")(tokens + nn.Dense(d, name="mlp_2")(nn.gelu(h)))
+        tokens = nn.LayerNorm(name="ln3")(tokens + nn.Dense(d, name="mlp_2")(nn.gelu(approximate=False, x=h)))
         image = nn.LayerNorm(name="ln4")(image + attn(image, tokens, "i2t"))
         return tokens, image
 
@@ -135,10 +135,10 @@ class MaskDecoder(nn.Module):
         # upscale 4x
         up = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2),
                               name="upscale_1")(img)
-        up = nn.gelu(nn.LayerNorm(name="upscale_ln")(up))
+        up = nn.gelu(approximate=False, x=nn.LayerNorm(name="upscale_ln")(up))
         up = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2),
                               name="upscale_2")(up)
-        up = nn.gelu(up)  # [B, 4n, 4n, D/8]
+        up = nn.gelu(approximate=False, x=up)  # [B, 4n, 4n, D/8]
 
         iou = nn.Dense(d, name="iou_mlp_1")(tokens[:, 0])
         iou = nn.Dense(m, name="iou_mlp_2")(nn.relu(iou))
