@@ -206,3 +206,173 @@ def test_conv_port_layout():
         out_t = tc(torch.tensor(x).permute(0, 3, 1, 2))
     np.testing.assert_allclose(
         np.asarray(out_f), t2n(out_t.permute(0, 2, 3, 1)), atol=2e-5)
+
+
+class TorchTransformer2D(tnn.Module):
+    def __init__(self, ch, heads, ctx_dim, groups):
+        super().__init__()
+        head_dim = ch // heads
+        self.norm = tnn.GroupNorm(groups, ch)
+        self.proj_in = tnn.Conv2d(ch, ch, 1)
+        self.proj_out = tnn.Conv2d(ch, ch, 1)
+        blk = tnn.Module()
+        blk.norm1 = tnn.LayerNorm(ch)
+        blk.attn1 = TorchCrossAttention(ch, ch, heads, head_dim)
+        blk.norm2 = tnn.LayerNorm(ch)
+        blk.attn2 = TorchCrossAttention(ch, ctx_dim, heads, head_dim)
+        blk.norm3 = tnn.LayerNorm(ch)
+        blk.ff = TorchFeedForward(ch)
+        self.transformer_blocks = tnn.ModuleList([blk])
+
+    def forward(self, x, ctx):
+        b, c, h, w = x.shape
+        res = x
+        y = self.proj_in(self.norm(x))
+        y = y.permute(0, 2, 3, 1).reshape(b, h * w, c)
+        blk = self.transformer_blocks[0]
+        y = y + blk.attn1(blk.norm1(y), blk.norm1(y))
+        y = y + blk.attn2(blk.norm2(y), ctx)
+        y = y + blk.ff(blk.norm3(y))
+        y = y.reshape(b, h, w, c).permute(0, 3, 1, 2)
+        return self.proj_out(y) + res
+
+
+class TorchMiniUNet(tnn.Module):
+    """Mirror of the tiny-config UNet with diffusers naming/math."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        chans = cfg.block_out_channels
+        groups = cfg.norm_num_groups
+        heads = cfg.num_attention_heads
+        ctx = cfg.cross_attention_dim
+        tdim = chans[0] * cfg.time_embed_mult
+        self.cfg = cfg
+        self.conv_in = tnn.Conv2d(cfg.in_channels, chans[0], 3, padding=1)
+        te = tnn.Module()
+        te.linear_1 = tnn.Linear(chans[0], tdim)
+        te.linear_2 = tnn.Linear(tdim, tdim)
+        self.time_embedding = te
+        self.down_blocks = tnn.ModuleList()
+        in_ch = chans[0]
+        for i, ch in enumerate(chans):
+            blk = tnn.Module()
+            blk.resnets = tnn.ModuleList(
+                [TorchResnetBlock(in_ch if j == 0 else ch, ch, tdim, groups)
+                 for j in range(cfg.layers_per_block)])
+            if cfg.attention_levels[i]:
+                blk.attentions = tnn.ModuleList(
+                    [TorchTransformer2D(ch, heads, ctx, groups)
+                     for _ in range(cfg.layers_per_block)])
+            if i < len(chans) - 1:
+                ds = tnn.Module()
+                ds.conv = tnn.Conv2d(ch, ch, 3, stride=2, padding=1)
+                blk.downsamplers = tnn.ModuleList([ds])
+            self.down_blocks.append(blk)
+            in_ch = ch
+        mid = tnn.Module()
+        mid.resnets = tnn.ModuleList(
+            [TorchResnetBlock(chans[-1], chans[-1], tdim, groups)
+             for _ in range(2)])
+        mid.attentions = tnn.ModuleList(
+            [TorchTransformer2D(chans[-1], heads, ctx, groups)])
+        self.mid_block = mid
+        # up blocks: skip channels mirror the down stack
+        skip_chs = [chans[0]]
+        for i, ch in enumerate(chans):
+            skip_chs += [ch] * cfg.layers_per_block
+            if i < len(chans) - 1:
+                skip_chs.append(ch)
+        self.up_blocks = tnn.ModuleList()
+        h_ch = chans[-1]
+        for idx in range(len(chans)):
+            i = len(chans) - 1 - idx
+            ch = chans[i]
+            blk = tnn.Module()
+            resnets = []
+            for j in range(cfg.layers_per_block + 1):
+                skip = skip_chs.pop()
+                resnets.append(
+                    TorchResnetBlock(h_ch + skip, ch, tdim, groups))
+                h_ch = ch
+            blk.resnets = tnn.ModuleList(resnets)
+            if cfg.attention_levels[i]:
+                blk.attentions = tnn.ModuleList(
+                    [TorchTransformer2D(ch, heads, ctx, groups)
+                     for _ in range(cfg.layers_per_block + 1)])
+            if idx < len(chans) - 1:
+                us = tnn.Module()
+                us.conv = tnn.Conv2d(ch, ch, 3, padding=1)
+                blk.upsamplers = tnn.ModuleList([us])
+            self.up_blocks.append(blk)
+        self.conv_norm_out = tnn.GroupNorm(groups, chans[0])
+        self.conv_out = tnn.Conv2d(chans[0], cfg.out_channels, 3, padding=1)
+
+    def forward(self, x, t, ctx):
+        half = self.cfg.block_out_channels[0] // 2
+        freqs = torch.exp(-math.log(10000) *
+                          torch.arange(half, dtype=torch.float32) / half)
+        args = t.float()[:, None] * freqs[None]
+        temb = torch.cat([args.cos(), args.sin()], dim=-1)
+        temb = self.time_embedding.linear_2(
+            torch.nn.functional.silu(self.time_embedding.linear_1(temb)))
+
+        h = self.conv_in(x)
+        skips = [h]
+        for i, blk in enumerate(self.down_blocks):
+            for j, res in enumerate(blk.resnets):
+                h = res(h, temb)
+                if hasattr(blk, "attentions"):
+                    h = blk.attentions[j](h, ctx)
+                skips.append(h)
+            if hasattr(blk, "downsamplers"):
+                h = blk.downsamplers[0].conv(h)
+                skips.append(h)
+        h = self.mid_block.resnets[0](h, temb)
+        h = self.mid_block.attentions[0](h, ctx)
+        h = self.mid_block.resnets[1](h, temb)
+        for idx, blk in enumerate(self.up_blocks):
+            for j, res in enumerate(blk.resnets):
+                h = torch.cat([h, skips.pop()], dim=1)
+                h = res(h, temb)
+                if hasattr(blk, "attentions"):
+                    h = blk.attentions[j](h, ctx)
+            if hasattr(blk, "upsamplers"):
+                h = torch.nn.functional.interpolate(h, scale_factor=2,
+                                                    mode="nearest")
+                h = blk.upsamplers[0].conv(h)
+        h = torch.nn.functional.silu(self.conv_norm_out(h))
+        return self.conv_out(h)
+
+
+def test_full_unet_parity_vs_torch():
+    """End-to-end: torch mini-UNet state dict → port_unet → flax UNet
+    produces the same epsilon. Validates skip ordering, time embedding,
+    up/downsampling, attention plumbing, and the whole name mapping."""
+    from theatergen_tpu.models.unet import UNet2DCondition
+
+    ucfg = CFG.unet
+    tu = TorchMiniUNet(ucfg).eval()
+    sd = {}
+    for k, v in tu.state_dict().items():
+        k = k.replace("to_out.weight", "to_out.0.weight")
+        k = k.replace("to_out.bias", "to_out.0.bias")
+        k = k.replace("ff.proj.", "ff.net.0.proj.")
+        k = k.replace("ff.out.", "ff.net.2.")
+        sd[k] = v.numpy()
+    params = W.port_unet(sd)
+
+    unet = UNet2DCondition(ucfg)
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 8, 8, 4).astype(np.float32)
+    t = np.array([7, 615], np.int64)
+    ctx = rng.randn(2, CFG.text.max_length,
+                    ucfg.cross_attention_dim).astype(np.float32)
+    out_f = unet.apply({"params": params}, jnp.asarray(x),
+                       jnp.asarray(t.astype(np.int32)), jnp.asarray(ctx))
+    with torch.no_grad():
+        out_t = tu(torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(t),
+                   torch.tensor(ctx))
+    np.testing.assert_allclose(
+        np.asarray(out_f), t2n(out_t.permute(0, 2, 3, 1)), atol=5e-5,
+        err_msg="full UNet forward diverges from the torch reference")
