@@ -376,3 +376,193 @@ def test_full_unet_parity_vs_torch():
     np.testing.assert_allclose(
         np.asarray(out_f), t2n(out_t.permute(0, 2, 3, 1)), atol=5e-5,
         err_msg="full UNet forward diverges from the torch reference")
+
+
+class TorchCLIPLayer(tnn.Module):
+    def __init__(self, dim, heads, inter):
+        super().__init__()
+        self.layer_norm1 = tnn.LayerNorm(dim)
+        self.layer_norm2 = tnn.LayerNorm(dim)
+        sa = tnn.Module()
+        sa.q_proj = tnn.Linear(dim, dim)
+        sa.k_proj = tnn.Linear(dim, dim)
+        sa.v_proj = tnn.Linear(dim, dim)
+        sa.out_proj = tnn.Linear(dim, dim)
+        self.self_attn = sa
+        mlp = tnn.Module()
+        mlp.fc1 = tnn.Linear(dim, inter)
+        mlp.fc2 = tnn.Linear(inter, dim)
+        self.mlp = mlp
+        self.heads = heads
+
+    def forward(self, x, causal=True):
+        b, l, c = x.shape
+        hd = c // self.heads
+        h = self.layer_norm1(x)
+        q = self.self_attn.q_proj(h).view(b, l, self.heads, hd)
+        k = self.self_attn.k_proj(h).view(b, l, self.heads, hd)
+        v = self.self_attn.v_proj(h).view(b, l, self.heads, hd)
+        logits = torch.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        if causal:
+            mask = torch.tril(torch.ones(l, l, dtype=torch.bool))
+            logits = logits.masked_fill(~mask, float("-inf"))
+        attn = logits.softmax(-1)
+        out = torch.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, l, c)
+        x = x + self.self_attn.out_proj(out)
+        h = self.layer_norm2(x)
+        h = self.mlp.fc1(h)
+        h = h * torch.sigmoid(1.702 * h)          # quick_gelu
+        return x + self.mlp.fc2(h)
+
+
+class TorchCLIPText(tnn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        emb = tnn.Module()
+        emb.token_embedding = tnn.Embedding(cfg.vocab_size, cfg.hidden_size)
+        emb.position_embedding = tnn.Embedding(cfg.max_length, cfg.hidden_size)
+        self.embeddings = emb
+        enc = tnn.Module()
+        enc.layers = tnn.ModuleList(
+            [TorchCLIPLayer(cfg.hidden_size, cfg.num_heads,
+                            cfg.intermediate_size)
+             for _ in range(cfg.num_layers)])
+        self.encoder = enc
+        self.final_layer_norm = tnn.LayerNorm(cfg.hidden_size)
+
+    def forward(self, ids):
+        x = (self.embeddings.token_embedding(ids)
+             + self.embeddings.position_embedding.weight[None, : ids.shape[1]])
+        for layer in self.encoder.layers:
+            x = layer(x)
+        x = self.final_layer_norm(x)
+        pooled = x[torch.arange(x.shape[0]), ids.argmax(-1)]
+        return x, pooled
+
+
+def test_clip_text_parity():
+    """HF-convention CLIP text tower → port_clip_text → our encoder."""
+    from theatergen_tpu.models.clip import CLIPTextEncoder
+
+    tcfg = CFG.text
+    tt = TorchCLIPText(tcfg).eval()
+    sd = {}
+    for k, v in tt.state_dict().items():
+        sd["text_model." + k] = v.numpy()
+    params = W.port_clip_text(sd)
+    enc = CLIPTextEncoder(tcfg)
+    ids = np.array([[1000, 5, 9, 2, 800, 1023, 0, 0,
+                     0, 0, 0, 0, 0, 0, 0, 0]], np.int64) % tcfg.vocab_size
+    h_f, p_f = enc.apply({"params": params}, jnp.asarray(ids, jnp.int32))
+    with torch.no_grad():
+        h_t, p_t = tt(torch.tensor(ids))
+    np.testing.assert_allclose(np.asarray(h_f), t2n(h_t), atol=3e-5,
+                               err_msg="CLIP text hidden mismatch")
+    np.testing.assert_allclose(np.asarray(p_f), t2n(p_t), atol=3e-5,
+                               err_msg="CLIP text pooled mismatch")
+
+
+class TorchVAEAttn(tnn.Module):
+    def __init__(self, ch, groups):
+        super().__init__()
+        self.group_norm = tnn.GroupNorm(groups, ch)
+        self.to_q = tnn.Linear(ch, ch)
+        self.to_k = tnn.Linear(ch, ch)
+        self.to_v = tnn.Linear(ch, ch)
+        self.to_out = tnn.Linear(ch, ch)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        y = self.group_norm(x).permute(0, 2, 3, 1).reshape(b, h * w, c)
+        q, k, v = self.to_q(y), self.to_k(y), self.to_v(y)
+        attn = (q @ k.transpose(1, 2)) / math.sqrt(c)
+        y = attn.softmax(-1) @ v
+        y = self.to_out(y).reshape(b, h, w, c).permute(0, 3, 1, 2)
+        return x + y
+
+
+class TorchVAEDecoder(tnn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        chans = cfg.block_out_channels
+        g = cfg.norm_num_groups
+        self.post_quant_conv = tnn.Conv2d(cfg.latent_channels,
+                                          cfg.latent_channels, 1)
+        self.conv_in = tnn.Conv2d(cfg.latent_channels, chans[-1], 3,
+                                  padding=1)
+        mid = tnn.Module()
+        mid.resnets = tnn.ModuleList(
+            [TorchResnetBlockNoTemb(chans[-1], chans[-1], g)
+             for _ in range(2)])
+        mid.attentions = tnn.ModuleList([TorchVAEAttn(chans[-1], g)])
+        self.mid_block = mid
+        self.up_blocks = tnn.ModuleList()
+        in_ch = chans[-1]
+        for idx, ch in enumerate(reversed(chans)):
+            blk = tnn.Module()
+            blk.resnets = tnn.ModuleList(
+                [TorchResnetBlockNoTemb(in_ch if j == 0 else ch, ch, g)
+                 for j in range(cfg.layers_per_block + 1)])
+            if idx < len(chans) - 1:
+                us = tnn.Module()
+                us.conv = tnn.Conv2d(ch, ch, 3, padding=1)
+                blk.upsamplers = tnn.ModuleList([us])
+            self.up_blocks.append(blk)
+            in_ch = ch
+        self.conv_norm_out = tnn.GroupNorm(g, chans[0])
+        self.conv_out = tnn.Conv2d(chans[0], cfg.out_channels, 3, padding=1)
+
+    def forward(self, z):
+        h = self.conv_in(self.post_quant_conv(z))
+        h = self.mid_block.resnets[0](h, None)
+        h = self.mid_block.attentions[0](h)
+        h = self.mid_block.resnets[1](h, None)
+        for blk in self.up_blocks:
+            for res in blk.resnets:
+                h = res(h, None)
+            if hasattr(blk, "upsamplers"):
+                h = torch.nn.functional.interpolate(h, scale_factor=2,
+                                                    mode="nearest")
+                h = blk.upsamplers[0].conv(h)
+        return self.conv_out(
+            torch.nn.functional.silu(self.conv_norm_out(h)))
+
+
+class TorchResnetBlockNoTemb(TorchResnetBlock):
+    def __init__(self, in_ch, out_ch, groups):
+        super().__init__(in_ch, out_ch, 4, groups)
+        del self.time_emb_proj
+
+    def forward(self, x, temb):
+        h = torch.nn.functional.silu(self.norm1(x))
+        h = self.conv1(h)
+        h = torch.nn.functional.silu(self.norm2(h))
+        h = self.conv2(h)
+        res = x if self.conv_shortcut is None else self.conv_shortcut(x)
+        return res + h
+
+
+def test_vae_decoder_parity():
+    from theatergen_tpu.models.vae import AutoencoderKL
+
+    vcfg = CFG.vae
+    td = TorchVAEDecoder(vcfg).eval()
+    sd = {}
+    for k, v in td.state_dict().items():
+        k = "decoder." + k if not k.startswith("post_quant_conv") else k
+        k = k.replace("to_out.weight", "to_out.0.weight")
+        k = k.replace("to_out.bias", "to_out.0.bias")
+        sd[k] = v.numpy()
+    params = W.port_vae(sd)["decoder"]
+    vae = AutoencoderKL(__import__("dataclasses").replace(
+        vcfg, dtype="float32"))
+    z = np.random.RandomState(0).randn(1, 8, 8,
+                                       vcfg.latent_channels).astype(np.float32)
+    out_f = vae.apply({"params": {"decoder": params,
+                                  "encoder": {}}},
+                      jnp.asarray(z), method="decode")
+    with torch.no_grad():
+        out_t = td(torch.tensor(z).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(out_f), t2n(out_t.permute(0, 2, 3, 1)), atol=5e-5,
+        err_msg="VAE decoder diverges from the torch reference")
