@@ -62,3 +62,23 @@ def test_cli_end_to_end_tiny(tmp_path):
     mtime = os.path.getmtime(img)
     cli.main(argv)
     assert os.path.getmtime(img) == mtime
+
+
+@pytest.mark.slow
+def test_cli_run_log(tmp_path):
+    dataset = {"d0": {"turn 1": {
+        "caption": "a cat", "background": "a room", "negative": "",
+        "objects": [["a cat", [100, 100, 200, 200], 0]]}}}
+    ds = tmp_path / "ds"; ds.mkdir()
+    (ds / "story.json").write_text(json.dumps(dataset))
+    cli.main(["--tiny", "--dataset_path", str(ds), "--num_steps", "2",
+              "--base_save_dir", str(tmp_path / "o"),
+              "--database_path_base", str(tmp_path / "db")])
+    log_path = tmp_path / "o" / "story" / "run0" / "run_log.jsonl"
+    lines = [json.loads(l) for l in log_path.read_text().splitlines()]
+    events = [l["event"] for l in lines]
+    assert "turn" in events and "dialogue" in events and "summary" in events
+    turn = next(l for l in lines if l["event"] == "turn")
+    assert turn["characters"] == 1 and turn["seconds"] > 0
+    dlg = next(l for l in lines if l["event"] == "dialogue")
+    assert "character" in dlg["phase_summary"]

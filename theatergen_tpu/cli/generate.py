@@ -133,6 +133,13 @@ def main(argv: Optional[list] = None) -> None:
                             f"run{args.force_run_ind}")
     print(f"Save dir: {save_dir}")
     use_time = []
+    # structured run log (the reference only print()s — SURVEY §5)
+    os.makedirs(save_dir, exist_ok=True)
+    run_log = open(os.path.join(save_dir, "run_log.jsonl"), "a")
+
+    def log(**kw):
+        run_log.write(json.dumps(kw) + "\n")
+        run_log.flush()
 
     for regen_ind in range(args.regenerate):
         for d_idx, dialogue in enumerate(dialogues):
@@ -169,15 +176,26 @@ def main(argv: Optional[list] = None) -> None:
                     for i, so in enumerate(res.so_images):
                         save_image(os.path.join(turn_dir, f"so_{rep}_{i}.png"),
                                    so)
+                    log(event="turn", dialogue=str(dialogue), turn=turn,
+                        repeat=rep, seed=seed, seconds=round(res.seconds, 2),
+                        characters=len(res.so_images),
+                        detections=res.detections)
             dt = time.time() - t0
             use_time.append(dt)
             print(f"dialogue {dialogue}: {dt:.1f}s "
                   f"(avg {np.mean(use_time):.1f}s, p50 "
                   f"{np.median(use_time):.1f}s)")
+            log(event="dialogue", dialogue=str(dialogue),
+                seconds=round(dt, 2),
+                phase_summary=theater.timer.summary())
 
     if use_time:
         print(f"Total {len(use_time)} dialogues, avg {np.mean(use_time):.1f}s,"
               f" p50 {np.median(use_time):.1f}s per 4-turn dialogue")
+        log(event="summary", dialogues=len(use_time),
+            avg_s=round(float(np.mean(use_time)), 2),
+            p50_s=round(float(np.median(use_time)), 2))
+    run_log.close()
 
 
 if __name__ == "__main__":
