@@ -1,0 +1,89 @@
+"""Export the reference's checkpoints into the layout load_bundle expects.
+
+Run this on a machine WITH network access and diffusers/transformers
+installed (this benchmark container has neither); copy the output
+directory here and pass it as ``--weights`` to the CLI.
+
+Produces, in --out:
+  unet.safetensors            runwayml/stable-diffusion-v1-5 (unet)
+  vae.safetensors             stabilityai/sd-vae-ft-mse
+  text_encoder.safetensors    SD1.5 CLIP ViT-L text encoder
+  controlnet.safetensors      lllyasviel/control_v11p_sd15_lineart
+  image_encoder.safetensors   h94/IP-Adapter image encoder (CLIP ViT-H)
+  ip-adapter_sd15.bin         h94/IP-Adapter
+  merges.txt, vocab.json      CLIP tokenizer assets
+  (optionally, with --xl)     SDXL unet/text_encoder_2/t2i adapter
+
+These are exactly the models the reference loads (generate.py:55-147,
+SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def export(out: str, xl: bool = False) -> None:
+    os.makedirs(out, exist_ok=True)
+    import torch
+    from safetensors.torch import save_file
+
+    def save(sd, name):
+        sd = {k: v.contiguous().to(torch.float32) for k, v in sd.items()}
+        save_file(sd, os.path.join(out, name))
+        print("wrote", name)
+
+    from diffusers import AutoencoderKL, ControlNetModel, UNet2DConditionModel
+    from transformers import (CLIPTextModel, CLIPTokenizer,
+                              CLIPVisionModelWithProjection)
+
+    unet = UNet2DConditionModel.from_pretrained(
+        "runwayml/stable-diffusion-v1-5", subfolder="unet")
+    save(unet.state_dict(), "unet.safetensors")
+
+    vae = AutoencoderKL.from_pretrained("stabilityai/sd-vae-ft-mse")
+    save(vae.state_dict(), "vae.safetensors")
+
+    text = CLIPTextModel.from_pretrained(
+        "runwayml/stable-diffusion-v1-5", subfolder="text_encoder")
+    save(text.state_dict(), "text_encoder.safetensors")
+
+    cn = ControlNetModel.from_pretrained(
+        "lllyasviel/control_v11p_sd15_lineart")
+    save(cn.state_dict(), "controlnet.safetensors")
+
+    vision = CLIPVisionModelWithProjection.from_pretrained(
+        "h94/IP-Adapter", subfolder="models/image_encoder")
+    save(vision.state_dict(), "image_encoder.safetensors")
+
+    from huggingface_hub import hf_hub_download
+    import shutil
+
+    ip = hf_hub_download("h94/IP-Adapter", "models/ip-adapter_sd15.bin")
+    shutil.copy(ip, os.path.join(out, "ip-adapter_sd15.bin"))
+    print("wrote ip-adapter_sd15.bin")
+
+    tok = CLIPTokenizer.from_pretrained(
+        "runwayml/stable-diffusion-v1-5", subfolder="tokenizer")
+    tok.save_vocabulary(out)
+    print("wrote merges.txt / vocab.json")
+
+    if xl:
+        unet = UNet2DConditionModel.from_pretrained(
+            "stabilityai/stable-diffusion-xl-base-1.0", subfolder="unet")
+        save(unet.state_dict(), "unet_xl.safetensors")
+        from transformers import CLIPTextModelWithProjection
+
+        t2 = CLIPTextModelWithProjection.from_pretrained(
+            "stabilityai/stable-diffusion-xl-base-1.0",
+            subfolder="text_encoder_2")
+        save(t2.state_dict(), "text_encoder_2.safetensors")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="weights")
+    ap.add_argument("--xl", action="store_true")
+    args = ap.parse_args()
+    export(args.out, args.xl)
