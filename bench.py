@@ -21,6 +21,8 @@ BATCH = int(os.environ.get("THEATERGEN_BENCH_BATCH", "4"))
 STEPS = int(os.environ.get("THEATERGEN_BENCH_STEPS", "50"))
 USE_FLASH = os.environ.get("THEATERGEN_BENCH_FLASH", "1") == "1"
 USE_INT8 = os.environ.get("THEATERGEN_BENCH_INT8", "0") == "1"
+CFG_CUTOFF = os.environ.get("THEATERGEN_BENCH_CFG_CUTOFF")
+CFG_CUTOFF = int(CFG_CUTOFF) if CFG_CUTOFF else None
 TARGET = 4.0  # images/sec/chip, BASELINE.json
 
 
@@ -67,7 +69,8 @@ def main() -> None:
                               jnp.broadcast_to(t[None], (x.shape[0],)), c)
 
         final, _ = sd.denoise(unet_apply, sched, lat, context,
-                              cfg.pipeline.guidance_scale)
+                              cfg.pipeline.guidance_scale,
+                              cfg_cutoff_steps=CFG_CUTOFF)
         return final
 
     run(params, lat0, ctx).block_until_ready()  # compile
@@ -81,6 +84,8 @@ def main() -> None:
     ips = BATCH / best
 
     tag = " int8-W8A8" if USE_INT8 else ""
+    if CFG_CUTOFF:
+        tag += f" cfg-cutoff-{CFG_CUTOFF}"
     print(json.dumps({
         "metric": f"SD1.5 512px {STEPS}-step DDIM (CFG) denoise throughput,"
                   f" batch {BATCH}{tag}",

@@ -79,3 +79,30 @@ def test_cfg_combine():
     eps = jnp.stack([jnp.zeros((2, 2)), jnp.ones((2, 2))])
     out = sd.cfg_combine(eps.reshape(2, 2, 2), 7.5)
     np.testing.assert_allclose(np.asarray(out), 7.5)
+
+
+def test_denoise_cfg_cutoff(bundle):
+    """CFG truncation: cutoff >= S matches exact CFG; cutoff < S runs and
+    stays finite with a full-length trajectory."""
+    from theatergen_tpu.ops import scheduler as S
+
+    cfg = bundle.cfg
+    sched_obj = S.make_schedule(cfg.scheduler, 4)
+    lat = sd.seeded_latents(jax.random.key(0), 1, 8, 8)
+    ctx = jax.random.normal(
+        jax.random.key(1), (2, cfg.text.max_length, cfg.unet.cross_attention_dim))
+
+    def unet_apply(x, t, c):
+        return bundle.unet.apply(
+            {"params": bundle.unet_params}, x,
+            jnp.broadcast_to(t[None], (x.shape[0],)), c)
+
+    exact, _ = sd.denoise(unet_apply, sched_obj, lat, ctx, 7.5)
+    same, _ = sd.denoise(unet_apply, sched_obj, lat, ctx, 7.5,
+                         cfg_cutoff_steps=4)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(same))
+    fast, traj = sd.denoise(unet_apply, sched_obj, lat, ctx, 7.5,
+                            cfg_cutoff_steps=2, collect_trajectory=True)
+    assert traj.shape == (5, 1, 8, 8, 4)
+    assert np.isfinite(np.asarray(fast)).all()
+    assert np.abs(np.asarray(fast - exact)).max() > 1e-7  # tail differs

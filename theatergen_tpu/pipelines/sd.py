@@ -46,6 +46,7 @@ def denoise(
     guidance_scale: float,
     *,
     collect_trajectory: bool = False,
+    cfg_cutoff_steps: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Scan the DDIM loop. Returns (final_latents, trajectory or None).
 
@@ -53,9 +54,15 @@ def denoise(
     the initial noise); with the final latents appended it matches the
     reference's ``latents_all`` stack of steps+1 states
     (``models/pipelines.py:375-381,449-453``, ``utils/latents.py:169-218``).
+
+    ``cfg_cutoff_steps``: optional acceleration — run classifier-free
+    guidance (2× UNet batch) only for the first N steps, then cond-only
+    (guidance has little late-step effect; the temporal-attention-
+    decomposition observation, arXiv 2404.02747).  Saves ~half the UNet
+    work on the truncated tail.  ``None`` or >= num_steps ≡ exact CFG.
     """
 
-    def step(lat, i):
+    def cfg_step(lat, i):
         lat_in = jnp.concatenate([lat, lat], axis=0)
         t = sched.timesteps[i]
         eps = unet_apply(lat_in, t, context)
@@ -63,10 +70,23 @@ def denoise(
         nxt = sched_ops.ddim_step(sched, eps, i, lat)
         return nxt, (lat if collect_trajectory else None)
 
-    steps = jnp.arange(sched.num_steps)
-    final, traj = jax.lax.scan(step, latents, steps)
+    def cond_step(lat, i):
+        t = sched.timesteps[i]
+        eps = unet_apply(lat, t, context[context.shape[0] // 2:])
+        nxt = sched_ops.ddim_step(sched, eps.astype(jnp.float32), i, lat)
+        return nxt, (lat if collect_trajectory else None)
+
+    s_total = sched.num_steps
+    cutoff = s_total if cfg_cutoff_steps is None else min(
+        int(cfg_cutoff_steps), s_total)
+    final, traj = jax.lax.scan(cfg_step, latents, jnp.arange(cutoff))
+    if cutoff < s_total:
+        final, traj2 = jax.lax.scan(cond_step, final,
+                                    jnp.arange(cutoff, s_total))
+        if collect_trajectory:
+            traj = jnp.concatenate([traj, traj2], axis=0)
     if collect_trajectory:
-        traj = jnp.concatenate([traj, final[None]], axis=0)  # [S+1, B, h, w, 4]
+        traj = jnp.concatenate([traj, final[None]], axis=0)
     else:
         traj = None
     return final, traj
