@@ -82,3 +82,18 @@ def test_cli_run_log(tmp_path):
     assert turn["characters"] == 1 and turn["seconds"] > 0
     dlg = next(l for l in lines if l["event"] == "dialogue")
     assert "character" in dlg["phase_summary"]
+
+
+@pytest.mark.slow
+def test_cli_xl_backbone(tmp_path):
+    """--sd_version xl drives the SDXL-shaped stack end-to-end."""
+    dataset = {"d0": {"turn 1": {
+        "caption": "a knight", "background": "a forest", "negative": "",
+        "objects": [["a knight", [100, 100, 200, 300], 0]]}}}
+    ds = tmp_path / "ds"; ds.mkdir()
+    (ds / "story.json").write_text(json.dumps(dataset))
+    cli.main(["--tiny", "--sd_version", "xl", "--dataset_path", str(ds),
+              "--num_steps", "2", "--base_save_dir", str(tmp_path / "o"),
+              "--database_path_base", str(tmp_path / "db")])
+    assert (tmp_path / "o" / "story" / "run0" / "d0" / "turn 1"
+            / "img_0.png").exists()

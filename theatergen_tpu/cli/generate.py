@@ -105,7 +105,17 @@ def build_theater(args):
     from ..utils.fastinit import setup_compile_cache
 
     setup_compile_cache()
-    cfg = tiny_config() if args.tiny else sd15_config()
+    if args.tiny:
+        from ..config import tiny_xl_config
+
+        cfg = tiny_xl_config() if args.sd_version == "xl" else tiny_config()
+    elif args.sd_version == "xl":
+        from ..config import sdxl_config
+
+        cfg = sdxl_config()
+    else:
+        cfg = sd15_config()
+    is_xl = args.sd_version == "xl"
     if args.weights:
         from ..models.weights import load_bundle
 
@@ -113,7 +123,8 @@ def build_theater(args):
     else:
         bundle = init_bundle(
             cfg, jax.random.key(0),
-            with_ip=True, with_controlnet=True, with_vision=True,
+            with_ip=True, with_controlnet=not is_xl, with_vision=True,
+            with_t2i_adapter=is_xl,
         )
     return bundle
 
