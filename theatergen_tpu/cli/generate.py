@@ -152,6 +152,7 @@ def main(argv: Optional[list] = None) -> None:
         run_log.write(json.dumps(kw) + "\n")
         run_log.flush()
 
+    profiled = False
     for regen_ind in range(args.regenerate):
         for d_idx, dialogue in enumerate(dialogues):
             db = CharacterDB(os.path.join(
@@ -162,6 +163,13 @@ def main(argv: Optional[list] = None) -> None:
             )
             base = (args.freeze_dialogue_seed
                     if args.freeze_dialogue_seed is not None else d_idx)
+            profile_ctx = None
+            if args.profile and not profiled:
+                from ..utils.profiling import trace
+
+                profile_ctx = trace(os.path.join(save_dir, "profile"))
+                profile_ctx.__enter__()
+                profiled = True
             t0 = time.time()
             for t_idx in range(4):
                 turn = f"turn {t_idx + 1}"
@@ -191,6 +199,9 @@ def main(argv: Optional[list] = None) -> None:
                         repeat=rep, seed=seed, seconds=round(res.seconds, 2),
                         characters=len(res.so_images),
                         detections=res.detections)
+            if profile_ctx is not None:
+                profile_ctx.__exit__(None, None, None)
+                print(f"profiler trace: {os.path.join(save_dir, 'profile')}")
             dt = time.time() - t0
             use_time.append(dt)
             print(f"dialogue {dialogue}: {dt:.1f}s "
