@@ -24,6 +24,9 @@
 namespace {
 
 constexpr char kMagic[4] = {'T', 'S', 'T', 'R'};
+// on-disk tombstone for deleted records (deletes must survive reopen —
+// the character DB's delete-before-retry contract, theatergen.py:158-159)
+constexpr int64_t kTombstone = INT64_MIN;
 
 struct Store {
   std::FILE* f = nullptr;
@@ -76,7 +79,7 @@ void* ts_open(const char* path, uint32_t dim) {
   }
   s->dim = file_dim;
   s->count = count;
-  // rebuild index
+  // rebuild index, skipping tombstoned records
   for (uint64_t i = 0; i < count; ++i) {
     int64_t key;
     if (std::fseek(s->f, (long)s->record_offset(i), SEEK_SET) != 0 ||
@@ -85,7 +88,7 @@ void* ts_open(const char* path, uint32_t dim) {
       delete s;
       return nullptr;
     }
-    s->index[key] = i;
+    if (key != kTombstone) s->index[key] = i;
   }
   return s;
 }
@@ -128,11 +131,18 @@ int ts_has(void* handle, int64_t key) {
   return s->index.count(key) ? 1 : 0;
 }
 
-// Removes a key from the index (record space is not reclaimed — matches
-// the reference's delete-before-retry semantics, theatergen.py:158-159).
+// Removes a key: tombstones the on-disk record (persists across reopen)
+// and drops it from the index. Record space is not reclaimed.
 int ts_delete(void* handle, int64_t key) {
   auto* s = static_cast<Store*>(handle);
-  return s->index.erase(key) ? 1 : 0;
+  auto it = s->index.find(key);
+  if (it == s->index.end()) return 0;
+  if (std::fseek(s->f, (long)s->record_offset(it->second), SEEK_SET) == 0) {
+    std::fwrite(&kTombstone, 8, 1, s->f);
+    std::fflush(s->f);
+  }
+  s->index.erase(it);
+  return 1;
 }
 
 // Fills `keys_out` (size ts_count) with all live keys; returns count.

@@ -102,3 +102,11 @@ def test_flash_attention_grad_matches_xla():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2,
                                    rtol=1e-2)
+
+
+def test_flash_block_validation():
+    q = jax.random.normal(jax.random.key(0), (1, 1024, 1, 64))
+    with pytest.raises(ValueError):
+        fa.flash_attention(q, q, q, q_block=100)
+    with pytest.raises(ValueError):
+        fa.flash_attention(q, q, q, k_block=100)

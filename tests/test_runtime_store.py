@@ -74,3 +74,28 @@ def test_character_db_string_ids(tmp_path):
     emb = np.random.rand(8).astype(np.float32)
     db.save("hero", np.zeros((4, 4, 3)), emb)
     np.testing.assert_allclose(db.load_embedding("hero"), emb)
+
+
+def test_delete_persists_across_reopen(tmp_path):
+    """Deletes must survive close/reopen (tombstoned records)."""
+    path = str(tmp_path / "e.bin")
+    s = rt.EmbeddingStore(path, dim=4)
+    s.put(1, np.ones(4, np.float32))
+    s.put(2, np.full(4, 2.0, np.float32))
+    s.delete(1)
+    s.close()
+    s2 = rt.EmbeddingStore(path, dim=4)
+    assert s2.get(1) is None
+    np.testing.assert_array_equal(s2.get(2), np.full(4, 2.0))
+    assert s2.keys() == [2]
+
+
+def test_closed_store_raises(tmp_path):
+    s = rt.EmbeddingStore(str(tmp_path / "e.bin"), dim=4)
+    s.close()
+    with pytest.raises(ValueError):
+        len(s)
+    with pytest.raises(ValueError):
+        s.get(1)
+    with pytest.raises(ValueError):
+        s.put(1, np.zeros(4, np.float32))

@@ -38,9 +38,13 @@ import numpy as np
 
 
 def turn_seed(seed_offset: int, dialogue_base: int, turn_idx: int,
-              repeat: int) -> int:
-    return (seed_offset * 1_000_003 + dialogue_base * 10_007
-            + turn_idx * 101 + repeat) % (2**31 - 1)
+              repeat: int, regen: int = 0) -> int:
+    """Deterministic per-(regenerate-pass, dialogue, turn, repeat) seed;
+    regenerate passes must see fresh randomness or deterministic failures
+    can never self-heal (the reference advances seed_offset per pass,
+    generate.py:157-160)."""
+    return (seed_offset * 1_000_003 + regen * 7_919_997
+            + dialogue_base * 10_007 + turn_idx * 101 + repeat) % (2**31 - 1)
 
 
 def build_spec(turn_data: dict) -> dict:
@@ -180,7 +184,8 @@ def main(argv: Optional[list] = None) -> None:
                     continue
                 spec = build_spec(dataset[dialogue][turn])
                 for rep in range(args.repeats):
-                    seed = turn_seed(args.seed_offset, base, t_idx, rep)
+                    seed = turn_seed(args.seed_offset, base, t_idx, rep,
+                                     regen=regen_ind)
                     try:
                         res = theater.run_turn(
                             spec, seed,

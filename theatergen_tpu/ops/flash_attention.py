@@ -112,15 +112,20 @@ def _flash_attention_impl(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q_block: int, k_block: int,
 ) -> jnp.ndarray:
+    if q_block % LANE != 0 or k_block % LANE != 0:
+        raise ValueError(
+            f"q_block and k_block must be multiples of {LANE}; got "
+            f"({q_block}, {k_block})")
     b, sq, h, d = q.shape
     sk = k.shape[1]
     dp = _pad_head_dim(d)
     bq = min(q_block, _round_up(sq, LANE))
     # K blocks must tile sk exactly or trailing keys would be dropped; sk is
-    # a 512-multiple (supported()), so a 512-multiple divisor always exists.
+    # a 512-multiple (supported()), so a 128-multiple divisor always exists
+    # (worst case bk = 128).
     bk = min(k_block, sk)
     while sk % bk != 0:
-        bk -= 512
+        bk -= LANE
     sq_p = _round_up(sq, bq)
 
     # fold softmax scale (and the base-2 conversion) into q

@@ -60,18 +60,24 @@ def make_mesh(dp: int = -1, tp: int = 1,
 # "row" sharding the input dim (followed by an XLA-inserted all-reduce).
 _TP_RULES = [
     # attention projections: q/k/v column-sharded, out row-sharded
-    (re.compile(r".*/(to_q|to_k|to_v|to_k_ip|to_v_ip)/kernel$"), P(None, "tp")),
-    (re.compile(r".*/(q_proj|k_proj|v_proj)/kernel$"), P(None, "tp")),
-    (re.compile(r".*/to_out_0/kernel$"), P("tp", None)),
+    # (kernel_q = int8 serving twin, ops/quant.py; its per-output `scale`
+    # vector shards with column-parallel layers, replicates with row ones)
+    (re.compile(r".*/(to_q|to_k|to_v|to_k_ip|to_v_ip)/kernel(_q)?$"),
+     P(None, "tp")),
+    (re.compile(r".*/(to_q|to_k|to_v|to_k_ip|to_v_ip)/scale$"), P("tp")),
+    (re.compile(r".*/(q_proj|k_proj|v_proj)/kernel(_q)?$"), P(None, "tp")),
+    (re.compile(r".*/to_out_0/kernel(_q)?$"), P("tp", None)),
     (re.compile(r".*/out_proj/kernel$"), P("tp", None)),
     # transformer FFN: GEGLU proj column, net_2 row
-    (re.compile(r".*/ff/net_0/proj/kernel$"), P(None, "tp")),
-    (re.compile(r".*/ff/net_2/kernel$"), P("tp", None)),
+    (re.compile(r".*/ff/net_0/proj/kernel(_q)?$"), P(None, "tp")),
+    (re.compile(r".*/ff/net_0/proj/scale$"), P("tp")),
+    (re.compile(r".*/ff/net_2/kernel(_q)?$"), P("tp", None)),
     (re.compile(r".*/mlp/fc1/kernel$"), P(None, "tp")),
     (re.compile(r".*/mlp/fc2/kernel$"), P("tp", None)),
     # time-embedding MLP (large: 1280×1280)
-    (re.compile(r".*/time_embedding/linear_1/kernel$"), P(None, "tp")),
-    (re.compile(r".*/time_embedding/linear_2/kernel$"), P("tp", None)),
+    (re.compile(r".*/time_embedding/linear_1/kernel(_q)?$"), P(None, "tp")),
+    (re.compile(r".*/time_embedding/linear_1/scale$"), P("tp")),
+    (re.compile(r".*/time_embedding/linear_2/kernel(_q)?$"), P("tp", None)),
 ]
 
 

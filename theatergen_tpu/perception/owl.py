@@ -89,6 +89,10 @@ class OwlDetector(nn.Module):
         return boxes, logits
 
 
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
 class OwlBackend:
     """``detect(image, phrase)`` backend wrapping an OwlDetector."""
 
@@ -102,36 +106,36 @@ class OwlBackend:
         self._fwd = jax.jit(
             lambda p, img, ids: detector.apply({"params": p}, img, ids))
 
-    def __call__(self, image: np.ndarray, phrase: str
-                 ) -> Tuple[np.ndarray, float, bool]:
+    def _detect(self, image: np.ndarray, phrase: str):
+        """Shared preprocessing + forward: CLIP-normalized pixels (the
+        vision tower is CLIP; raw [0,1] inputs would be out of
+        distribution for ported weights) → (boxes [N,4], probs [N])."""
         size = self.detector.vision_cfg.image_size
         img = jax.image.resize(jnp.asarray(image, jnp.float32),
-                               (size, size, 3), "bilinear")[None]
+                               (size, size, 3), "bilinear")
+        img = ((img - CLIP_MEAN) / CLIP_STD)[None]
         ids = jnp.asarray(self.tokenizer([phrase],
                                          max_length=self.max_length))
         boxes, logits = self._fwd(self.params, img, ids)
-        probs = jax.nn.sigmoid(logits[0, :, 0])
-        best = int(jnp.argmax(probs))
+        return np.asarray(boxes[0]), np.asarray(jax.nn.sigmoid(logits[0, :, 0]))
+
+    def __call__(self, image: np.ndarray, phrase: str
+                 ) -> Tuple[np.ndarray, float, bool]:
+        boxes, probs = self._detect(image, phrase)
+        best = int(np.argmax(probs))
         conf = float(probs[best])
-        return np.asarray(boxes[0, best]), conf, conf > self.box_threshold
+        return boxes[best], conf, conf > self.box_threshold
 
     def count_instances(self, image: np.ndarray, phrase: str,
                         max_n: int = 8, iou_nms: float = 0.5) -> int:
-        size = self.detector.vision_cfg.image_size
-        img = jax.image.resize(jnp.asarray(image, jnp.float32),
-                               (size, size, 3), "bilinear")[None]
-        ids = jnp.asarray(self.tokenizer([phrase],
-                                         max_length=self.max_length))
-        boxes, logits = self._fwd(self.params, img, ids)
-        probs = np.asarray(jax.nn.sigmoid(logits[0, :, 0]))
-        bxs = np.asarray(boxes[0])
+        boxes, probs = self._detect(image, phrase)
         order = np.argsort(-probs)
         picked: List[np.ndarray] = []
         for i in order:
             if probs[i] <= self.box_threshold or len(picked) >= max_n:
                 break
-            if all(_iou(bxs[i], p) < iou_nms for p in picked):
-                picked.append(bxs[i])
+            if all(_iou(boxes[i], p) < iou_nms for p in picked):
+                picked.append(boxes[i])
         return len(picked)
 
 

@@ -41,7 +41,12 @@ def _load() -> Optional[ctypes.CDLL]:
             except Exception:
                 _build_failed = True
                 return None
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            # corrupt / wrong-arch .so: fall back cleanly per contract
+            _build_failed = True
+            return None
         lib.ts_open.restype = ctypes.c_void_p
         lib.ts_open.argtypes = [ctypes.c_char_p, ctypes.c_uint32]
         lib.ts_dim.restype = ctypes.c_uint32
@@ -85,7 +90,12 @@ class EmbeddingStore:
         if not self._h:
             raise IOError(f"cannot open embedding store {path!r}")
 
+    def _check_open(self) -> None:
+        if not self._h:
+            raise ValueError("EmbeddingStore is closed")
+
     def put(self, key: int, vec: np.ndarray) -> None:
+        self._check_open()
         v = np.ascontiguousarray(vec, np.float32)
         assert v.shape == (self.dim,), (v.shape, self.dim)
         ok = self._lib.ts_put(
@@ -94,6 +104,7 @@ class EmbeddingStore:
             raise IOError("ts_put failed")
 
     def get(self, key: int) -> Optional[np.ndarray]:
+        self._check_open()
         out = np.empty(self.dim, np.float32)
         ok = self._lib.ts_get(
             self._h, int(key),
@@ -101,12 +112,15 @@ class EmbeddingStore:
         return out if ok else None
 
     def __contains__(self, key: int) -> bool:
+        self._check_open()
         return bool(self._lib.ts_has(self._h, int(key)))
 
     def delete(self, key: int) -> bool:
+        self._check_open()
         return bool(self._lib.ts_delete(self._h, int(key)))
 
     def keys(self) -> List[int]:
+        self._check_open()
         n = self._lib.ts_count(self._h)
         buf = np.empty(max(int(n), 1), np.int64)
         got = self._lib.ts_keys(
@@ -114,6 +128,7 @@ class EmbeddingStore:
         return sorted(int(k) for k in buf[: int(got)])
 
     def __len__(self) -> int:
+        self._check_open()
         return int(self._lib.ts_count(self._h))
 
     def close(self) -> None:
