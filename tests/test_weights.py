@@ -318,3 +318,43 @@ def test_port_clip_vision_round_trip():
     for k in flat:
         np.testing.assert_allclose(flat_ported[k], flat[k], rtol=1e-6,
                                    err_msg=k)
+
+
+def test_apply_lora_unet():
+    """LoRA deltas merge into the right kernels: W' = W + scale*B@A."""
+    from theatergen_tpu.models import lora as LR
+    from theatergen_tpu.models.unet import UNet2DCondition
+
+    unet = UNet2DCondition(CFG.unet)
+    params = unet.init(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, CFG.text.max_length, CFG.unet.cross_attention_dim)),
+    )["params"]
+    mod = "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q"
+    kernel = params["encoder"]["down_blocks_0_attentions_0"][
+        "transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+    in_f, out_f = kernel.shape
+    rng = np.random.RandomState(0)
+    A = rng.randn(2, in_f).astype(np.float32)   # [r, in]
+    B = rng.randn(out_f, 2).astype(np.float32)  # [out, r]
+    sd = {f"unet.{mod}.lora_A.weight": A, f"{mod}.lora_B.weight": B}
+    merged = LR.apply_lora_unet(params, sd, scale=0.5)
+    got = merged["encoder"]["down_blocks_0_attentions_0"][
+        "transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+    expect = np.asarray(kernel) + 0.5 * (B @ A).T
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-5)
+    # all other leaves untouched
+    f_old = flatten(params)
+    f_new = flatten(merged)
+    changed = [k for k in f_old if not np.array_equal(f_old[k], f_new[k])]
+    assert changed == ["encoder/down_blocks_0_attentions_0/"
+                       "transformer_blocks_0/attn1/to_q/kernel"]
+    # unmatched module raises
+    with pytest.raises(ValueError):
+        LR.apply_lora_unet(params, {"bogus.module.lora_A.weight": A,
+                                    "bogus.module.lora_B.weight": B})
+    # kohya aliases accepted
+    sd2 = {f"{mod}.lora_down.weight": A, f"{mod}.lora_up.weight": B}
+    merged2 = LR.apply_lora_unet(params, sd2, scale=0.5)
+    np.testing.assert_allclose(
+        np.asarray(flatten(merged2)[changed[0]]), expect, rtol=1e-5)
