@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--num_steps", type=int, default=50)
     ap.add_argument("--guided", action="store_true")
     ap.add_argument("--dialogues", type=int, default=1)
+    ap.add_argument("--cfg_cutoff", type=float, default=None,
+                    help="CFG-truncation fraction (see PipelineConfig)")
     args = ap.parse_args()
 
     from theatergen_tpu.cli.generate import build_spec
@@ -39,6 +41,11 @@ def main():
     from theatergen_tpu.theater import Theater
 
     cfg = sd15_config()
+    if args.cfg_cutoff is not None:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, pipeline=_dc.replace(
+            cfg.pipeline, cfg_cutoff_fraction=args.cfg_cutoff))
     print("materializing params...", flush=True)
     t0 = time.time()
     # build the bundle with fast host-side init to avoid giant init compiles
@@ -128,7 +135,8 @@ def main():
 
     print(json.dumps({
         "metric": f"sec per 4-turn dialogue (512px {args.num_steps}-step,"
-                  f" guided={args.guided}, incl. first-turn compile)",
+                  f" guided={args.guided}, cfg_cutoff={args.cfg_cutoff},"
+                  f" incl. first-turn compile)",
         "value": round(float(np.median(times)), 2),
         "unit": "seconds",
     }))

@@ -102,6 +102,75 @@ def test_character_pipeline_guided_runs(bundle):
     assert np.abs(np.asarray(res.latents - res_u.latents)).max() > 1e-7
 
 
+def test_character_pipeline_cfg_cutoff(bundle):
+    """CFG truncation: frac=1.0 ≡ exact; frac<1 runs finite with full-length
+    trajectory AND full-length ref-attn capture; tail differs from exact."""
+    cfg = bundle.cfg
+    steps = 4
+    lat = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+    ctx = jax.random.normal(
+        jax.random.key(2),
+        (2, cfg.text.max_length + 4, cfg.unet.cross_attention_dim),
+    )
+    run_exact, _ = make_character_pipeline(
+        bundle, steps, use_ip=True, capture_ref_attn=True)
+    run_same, _ = make_character_pipeline(
+        bundle, steps, use_ip=True, capture_ref_attn=True,
+        cfg_cutoff_fraction=1.0)
+    run_fast, _ = make_character_pipeline(
+        bundle, steps, use_ip=True, capture_ref_attn=True,
+        cfg_cutoff_fraction=0.5)
+    g = _gin(cfg)
+    exact = run_exact(bundle.unet_ip_params, lat, ctx, jnp.float32(0.4), g)
+    same = run_same(bundle.unet_ip_params, lat, ctx, jnp.float32(0.4), g)
+    np.testing.assert_array_equal(np.asarray(exact.latents),
+                                  np.asarray(same.latents))
+    fast = run_fast(bundle.unet_ip_params, lat, ctx, jnp.float32(0.4), g)
+    assert fast.trajectory.shape == (steps + 1, 1, 8, 8, 4)
+    assert np.isfinite(np.asarray(fast.latents)).all()
+    assert np.abs(np.asarray(fast.latents - exact.latents)).max() > 1e-7
+    # capture stays live through the cond-only tail, full step count
+    for m_fast, m_exact in zip(fast.ref_attn, exact.ref_attn):
+        assert m_fast.shape == m_exact.shape
+        assert m_fast.shape[0] == steps
+        assert np.isfinite(np.asarray(m_fast)).all()
+    # CFG-phase steps are identical work → identical captures
+    np.testing.assert_allclose(np.asarray(fast.ref_attn[0][:2]),
+                               np.asarray(exact.ref_attn[0][:2]), atol=1e-6)
+
+
+def test_final_pipeline_cfg_cutoff(bundle):
+    """Final pass honors the truncation (incl. batch-1 ControlNet) and keeps
+    the frozen-latent replacement exact in the cond-only tail."""
+    cfg = bundle.cfg
+    steps = 4
+    run_exact, _ = make_final_pipeline(
+        bundle, steps, use_ip=True, use_controlnet=True)
+    run_fast, _ = make_final_pipeline(
+        bundle, steps, use_ip=True, use_controlnet=True,
+        cfg_cutoff_fraction=0.5)
+    latents_all = jax.random.normal(jax.random.key(3), (steps + 1, 1, 8, 8, 4))
+    frozen_mask = jnp.zeros((8, 8)).at[:4, :4].set(1.0)
+    ctx = jax.random.normal(
+        jax.random.key(4),
+        (2, cfg.text.max_length + 4, cfg.unet.cross_attention_dim),
+    )
+    cn_ctx = ctx[:, : cfg.text.max_length]
+    cond_img = jnp.zeros((16, 16, 3))
+    args = (bundle.unet_ip_params, bundle.controlnet_params, latents_all,
+            frozen_mask, jnp.int32(steps), ctx, cn_ctx, cond_img,
+            jnp.float32(0.1), None)
+    exact, traj_e = run_exact(*args)
+    fast, traj_f = run_fast(*args)
+    assert traj_f.shape == traj_e.shape == (steps + 1, 1, 8, 8, 4)
+    assert np.isfinite(np.asarray(fast)).all()
+    assert np.abs(np.asarray(fast - exact)).max() > 1e-7
+    # frozen region still comes from the composed trajectory in BOTH modes
+    np.testing.assert_allclose(
+        np.asarray(fast[0, :4, :4]), np.asarray(latents_all[-1][0, :4, :4]),
+        atol=1e-5)
+
+
 def test_final_pipeline_frozen_replacement(bundle):
     cfg = bundle.cfg
     steps = 3

@@ -64,6 +64,13 @@ def test_cli_end_to_end_tiny(tmp_path):
     assert os.path.getmtime(img) == mtime
 
 
+def test_cli_cfg_cutoff_flag():
+    args = cli.make_parser().parse_args(["--tiny", "--cfg_cutoff", "0.5"])
+    assert args.cfg_cutoff == 0.5
+    bundle = cli.build_theater(args)
+    assert bundle.cfg.pipeline.cfg_cutoff_fraction == 0.5
+
+
 @pytest.mark.slow
 def test_cli_run_log(tmp_path):
     dataset = {"d0": {"turn 1": {

@@ -127,6 +127,38 @@ def test_turn_with_fast_schedule(tmp_path):
     assert np.isfinite(res.image).all()
 
 
+def test_turn_with_cfg_cutoff(tmp_path):
+    """cfg_cutoff_fraction wires from PipelineConfig through both the
+    character and final pipelines and still yields a finite image."""
+    import dataclasses
+
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.pipelines.bundle import init_bundle
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, cfg_cutoff_fraction=0.5))
+    bundle = init_bundle(cfg, jax.random.key(0), with_ip=True,
+                         with_controlnet=True, with_vision=True)
+    t = Theater(bundle, CharacterDB(str(tmp_path)), num_steps=4)
+    res = t.run_turn(SPEC_T2, seed=0)
+    assert np.isfinite(res.image).all()
+    assert res.image.min() >= 0.0 and res.image.max() <= 1.0
+
+
+def test_cfg_cutoff_steps_helper():
+    from theatergen_tpu.ops.scheduler import cfg_cutoff_steps
+
+    assert cfg_cutoff_steps(50, None) == 50
+    assert cfg_cutoff_steps(50, 1.0) == 50
+    assert cfg_cutoff_steps(50, 1.5) == 50
+    assert cfg_cutoff_steps(50, 0.5) == 25
+    assert cfg_cutoff_steps(50, 0.49) == 25   # ceil
+    assert cfg_cutoff_steps(50, 0.0) == 1     # at least one CFG step
+    assert cfg_cutoff_steps(3, 0.5) == 2
+
+
 def test_overall_guidance_uses_plural_word(theater):
     """Duplicate objects pluralize in the overall prompt; guidance must
     anchor to the plural token, not fall back to position 1."""

@@ -88,6 +88,9 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--weights", default=None,
                     help="directory of ported checkpoints (models/weights.py)")
     ap.add_argument("--no_guidance", action="store_true")
+    ap.add_argument("--cfg_cutoff", type=float, default=None,
+                    help="CFG truncation fraction: full CFG for the first "
+                         "frac of steps, cond-only after (~2x faster tail)")
     ap.add_argument("--max_dialogues", type=int, default=None)
     ap.add_argument("--profile", action="store_true",
                     help="emit a jax.profiler trace for the first dialogue")
@@ -119,6 +122,11 @@ def build_theater(args):
         cfg = sdxl_config()
     else:
         cfg = sd15_config()
+    if args.cfg_cutoff is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, cfg_cutoff_fraction=args.cfg_cutoff))
     is_xl = args.sd_version == "xl"
     if args.weights:
         from ..models.weights import load_bundle

@@ -211,6 +211,9 @@ class PipelineConfig:
     ip_scale_final: float = 0.1         # models/pipelines.py:701
     fast_after_steps: Optional[int] = None
     fast_rate: int = 2
+    # CFG truncation: full classifier-free guidance for the first
+    # ceil(frac·steps), cond-only after (arXiv 2404.02747). None ≡ exact.
+    cfg_cutoff_fraction: Optional[float] = None
     max_objects: int = 8                # static pad for jit (SURVEY §7 hard parts)
     vae_scale: int = 8                  # spatial down-factor of the VAE
     scheduler_type: str = "ddim"        # "ddim" | "euler_ancestral" (XL)

@@ -23,6 +23,7 @@ static-shaped.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax.numpy as jnp
@@ -357,3 +358,16 @@ def make_sampler(cfg: SchedulerConfig, num_steps: int, *,
     return Sampler(kind="ddim", ddim=make_schedule(
         cfg, num_steps, fast_after_steps=fast_after_steps,
         fast_rate=fast_rate))
+
+
+def cfg_cutoff_steps(num_steps: int,
+                     fraction: Optional[float]) -> int:
+    """Steps to run with full CFG before switching cond-only.
+
+    ``fraction=None`` (or >=1) ≡ exact CFG for all steps; otherwise
+    ``ceil(fraction · num_steps)`` clamped to [1, num_steps] — at least one
+    CFG step so guidance always shapes the high-noise start.
+    """
+    if fraction is None or fraction >= 1.0:
+        return num_steps
+    return max(1, min(num_steps, int(math.ceil(fraction * num_steps))))

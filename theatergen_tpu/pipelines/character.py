@@ -103,12 +103,19 @@ def make_character_pipeline(
     guided: bool = False,
     capture_ref_attn: bool = False,
     guidance_scale: Optional[float] = None,
+    cfg_cutoff_fraction: Optional[float] = None,
 ):
     """Build the jitted per-character runner.
 
     Returns ``run(unet_params, input_latents, context, ip_scale, gin)
     -> CharacterResult`` (pass ``gin=None`` when ``guided=False``).
     Params are explicit args (never closed over — multi-GB constants).
+
+    ``cfg_cutoff_fraction``: run classifier-free guidance (2× UNet batch)
+    only for the first ``ceil(frac·steps)`` steps, then cond-only — CFG has
+    little late-step effect (arXiv 2404.02747), so the tail costs half.
+    ``None`` / ``1.0`` ≡ exact CFG. Latent guidance and attention capture
+    stay live in both phases.
     """
     cfg = bundle.cfg
     gcfg = cfg.guidance
@@ -151,42 +158,60 @@ def make_character_pipeline(
                            cfg.pipeline.latent_width),
             )
 
-        def step(carry, i):
-            lat, gloss = carry
-            if guided:
-                lat, gloss = jax.lax.cond(
-                    i < gcfg.guidance_steps,
-                    lambda l, gl: guidance_update(
-                        energy, sched, gcfg, l, i, cond_context, gin,
-                        prev_loss=gl,
-                    ),
-                    lambda l, gl: (l, gl),
-                    lat, gloss,
-                )
-            scaled = sched.scale_model_input(lat, i)
-            lat_in = jnp.concatenate([scaled, scaled], axis=0)
-            t = sched.timesteps[i]
-            if capture_ref_attn:
-                eps, state = unet_apply(lat_in, t, context, capture=True)
-                from ..ops import guidance as guidance_ops
+        def make_step(cfg_on: bool):
+            def step(carry, i):
+                lat, gloss = carry
+                if guided:
+                    lat, gloss = jax.lax.cond(
+                        i < gcfg.guidance_steps,
+                        lambda l, gl: guidance_update(
+                            energy, sched, gcfg, l, i, cond_context, gin,
+                            prev_loss=gl,
+                        ),
+                        lambda l, gl: (l, gl),
+                        lat, gloss,
+                    )
+                scaled = sched.scale_model_input(lat, i)
+                if cfg_on:
+                    lat_in = jnp.concatenate([scaled, scaled], axis=0)
+                    ctx, cond_idx = context, 1
+                else:
+                    lat_in, ctx, cond_idx = scaled, context[1:2], 0
+                t = sched.timesteps[i]
+                if capture_ref_attn:
+                    eps, state = unet_apply(lat_in, t, ctx, capture=True)
+                    from ..ops import guidance as guidance_ops
 
-                maps = guidance_ops.attn_collection_to_maps(
-                    state["attn"], gcfg.attn_keys, cond_batch_index=1,
-                    text_len=text_len,
-                )
-                word = gin.word_token[0] if gin is not None else 0
-                ref = tuple(m[:, :, word] for m in maps)  # [heads, HW] each
-            else:
-                eps = unet_apply(lat_in, t, context)
-                ref = None
-            eps = sd.cfg_combine(eps.astype(jnp.float32), gs)
-            nxt = sched.step(eps, i, lat, rng)
-            return (nxt, gloss), (lat, ref)
+                    maps = guidance_ops.attn_collection_to_maps(
+                        state["attn"], gcfg.attn_keys,
+                        cond_batch_index=cond_idx, text_len=text_len,
+                    )
+                    word = gin.word_token[0] if gin is not None else 0
+                    ref = tuple(m[:, :, word] for m in maps)  # [heads, HW]
+                else:
+                    eps = unet_apply(lat_in, t, ctx)
+                    ref = None
+                if cfg_on:
+                    eps = sd.cfg_combine(eps.astype(jnp.float32), gs)
+                nxt = sched.step(eps.astype(jnp.float32), i, lat, rng)
+                return (nxt, gloss), (lat, ref)
+            return step
 
-        (final, _), (traj, refs) = jax.lax.scan(
-            step, (input_latents, jnp.float32(jnp.inf)),
-            jnp.arange(sched.num_steps)
-        )
+        cutoff = sched_ops.cfg_cutoff_steps(sched.num_steps,
+                                            cfg_cutoff_fraction)
+        carry = (input_latents, jnp.float32(jnp.inf))
+        carry, (traj, refs) = jax.lax.scan(
+            make_step(True), carry, jnp.arange(cutoff))
+        if cutoff < sched.num_steps:
+            carry, (traj2, refs2) = jax.lax.scan(
+                make_step(False), carry,
+                jnp.arange(cutoff, sched.num_steps))
+            traj = jnp.concatenate([traj, traj2], axis=0)
+            if refs is not None:
+                refs = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b], axis=0),
+                    refs, refs2)
+        final = carry[0]
         trajectory = jnp.concatenate([traj, final[None]], axis=0)
         return CharacterResult(final, trajectory, refs)
 

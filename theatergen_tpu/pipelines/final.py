@@ -41,8 +41,13 @@ def make_final_pipeline(
     controlnet_scale: float = 1.0,
     control_guidance_start: float = 0.0,
     control_guidance_end: float = 1.0,
+    cfg_cutoff_fraction: Optional[float] = None,
 ):
     """Build the jitted final-pass runner.
+
+    ``cfg_cutoff_fraction``: run CFG (2× UNet *and* ControlNet batch) only
+    for the first ``ceil(frac·steps)`` steps, then cond-only (see
+    :func:`..pipelines.character.make_character_pipeline`).
 
     Returns ``run(params, latents_all, frozen_mask, frozen_steps, context,
     cn_context, cond_image, ip_scale, gin) -> (final_latents, trajectory)``
@@ -105,50 +110,64 @@ def make_final_pipeline(
 
         cond_pair = jnp.concatenate([cond_image[None]] * 2, axis=0)
 
-        def step(carry, i):
-            lat, gloss = carry
-            if guided:
-                lat, gloss = jax.lax.cond(
-                    i < gcfg.guidance_steps,
-                    lambda l, gl: guidance_update(
-                        energy, sched, gcfg, l, i, cond_context, gin,
-                        prev_loss=gl,
-                    ),
-                    lambda l, gl: (l, gl),
-                    lat, gloss,
+        def make_step(cfg_on: bool):
+            def step(carry, i):
+                lat, gloss = carry
+                if guided:
+                    lat, gloss = jax.lax.cond(
+                        i < gcfg.guidance_steps,
+                        lambda l, gl: guidance_update(
+                            energy, sched, gcfg, l, i, cond_context, gin,
+                            prev_loss=gl,
+                        ),
+                        lambda l, gl: (l, gl),
+                        lat, gloss,
+                    )
+                t = sched.timesteps[i]
+                scaled = sched.scale_model_input(lat, i)
+                if cfg_on:
+                    lat_in = jnp.concatenate([scaled, scaled], axis=0)
+                    ctx, cn_ctx, cond = context, cn_context, cond_pair
+                else:
+                    lat_in, ctx = scaled, context[1:2]
+                    cn_ctx, cond = cn_context[1:2], cond_image[None]
+                if use_controlnet:
+                    # controlnet_keep window (reference models/pipelines.py:
+                    # 725-731): conditioning active only inside
+                    # [control_guidance_start, control_guidance_end]
+                    frac = i.astype(jnp.float32) / max(sched.num_steps - 1, 1)
+                    keep = jnp.logical_and(
+                        frac >= control_guidance_start,
+                        frac <= control_guidance_end).astype(jnp.float32)
+                    down_res, mid_res = bundle.controlnet.apply(
+                        {"params": controlnet_params}, lat_in,
+                        jnp.broadcast_to(t[None], (lat_in.shape[0],)),
+                        cn_ctx, cond, controlnet_scale * keep,
+                    )
+                else:
+                    down_res = mid_res = None
+                eps = unet_apply(lat_in, t, ctx, down_res, mid_res)
+                if cfg_on:
+                    eps = sd.cfg_combine(eps.astype(jnp.float32), gs)
+                nxt = sched.step(eps.astype(jnp.float32), i, lat, rng)
+                nxt = jnp.where(
+                    i < frozen_steps,
+                    latents_all[i + 1] * fm + nxt * (1.0 - fm),
+                    nxt,
                 )
-            t = sched.timesteps[i]
-            scaled = sched.scale_model_input(lat, i)
-            lat_in = jnp.concatenate([scaled, scaled], axis=0)
-            if use_controlnet:
-                # controlnet_keep window (reference models/pipelines.py:
-                # 725-731): conditioning active only inside
-                # [control_guidance_start, control_guidance_end] of the run
-                frac = i.astype(jnp.float32) / max(sched.num_steps - 1, 1)
-                keep = jnp.logical_and(
-                    frac >= control_guidance_start,
-                    frac <= control_guidance_end).astype(jnp.float32)
-                down_res, mid_res = bundle.controlnet.apply(
-                    {"params": controlnet_params}, lat_in,
-                    jnp.broadcast_to(t[None], (lat_in.shape[0],)),
-                    cn_context, cond_pair, controlnet_scale * keep,
-                )
-            else:
-                down_res = mid_res = None
-            eps = unet_apply(lat_in, t, context, down_res, mid_res)
-            eps = sd.cfg_combine(eps.astype(jnp.float32), gs)
-            nxt = sched.step(eps, i, lat, rng)
-            nxt = jnp.where(
-                i < frozen_steps,
-                latents_all[i + 1] * fm + nxt * (1.0 - fm),
-                nxt,
-            )
-            return (nxt, gloss), lat
+                return (nxt, gloss), lat
+            return step
 
-        (final, _), traj = jax.lax.scan(
-            step, (latents_all[0], jnp.float32(jnp.inf)),
-            jnp.arange(sched.num_steps)
-        )
+        cutoff = sched_ops.cfg_cutoff_steps(sched.num_steps,
+                                            cfg_cutoff_fraction)
+        carry = (latents_all[0], jnp.float32(jnp.inf))
+        carry, traj = jax.lax.scan(make_step(True), carry,
+                                   jnp.arange(cutoff))
+        if cutoff < sched.num_steps:
+            carry, traj2 = jax.lax.scan(
+                make_step(False), carry, jnp.arange(cutoff, sched.num_steps))
+            traj = jnp.concatenate([traj, traj2], axis=0)
+        final = carry[0]
         trajectory = jnp.concatenate([traj, final[None]], axis=0)
         return final, trajectory
 

@@ -86,10 +86,12 @@ class Theater:
         self.char_run, self.char_sched = make_character_pipeline(
             bundle, self.num_steps, use_ip=True, guided=guided,
             capture_ref_attn=True,
+            cfg_cutoff_fraction=cfg.pipeline.cfg_cutoff_fraction,
         )
         self.final_run, self.final_sched = make_final_pipeline(
             bundle, self.num_steps, use_ip=True,
             use_controlnet=self.use_controlnet, guided=guided,
+            cfg_cutoff_fraction=cfg.pipeline.cfg_cutoff_fraction,
         )
         self._decode = jax.jit(
             lambda vp, z: sd.decode_with(bundle.vae, vp,
