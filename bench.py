@@ -23,6 +23,8 @@ USE_FLASH = os.environ.get("THEATERGEN_BENCH_FLASH", "1") == "1"
 USE_INT8 = os.environ.get("THEATERGEN_BENCH_INT8", "0") == "1"
 CFG_CUTOFF = os.environ.get("THEATERGEN_BENCH_CFG_CUTOFF")
 CFG_CUTOFF = int(CFG_CUTOFF) if CFG_CUTOFF else None
+DEEPCACHE = os.environ.get("THEATERGEN_BENCH_DEEPCACHE")
+DEEPCACHE = int(DEEPCACHE) if DEEPCACHE else None
 TARGET = 4.0  # images/sec/chip, BASELINE.json
 
 
@@ -90,13 +92,15 @@ def main() -> None:
 
     @jax.jit
     def run(p, lat, context):
-        def unet_apply(x, t, c):
+        def unet_apply(x, t, c, **kw):
             return unet.apply({"params": p}, x,
-                              jnp.broadcast_to(t[None], (x.shape[0],)), c)
+                              jnp.broadcast_to(t[None], (x.shape[0],)), c,
+                              **kw)
 
         final, _ = sd.denoise(unet_apply, sched, lat, context,
                               cfg.pipeline.guidance_scale,
-                              cfg_cutoff_steps=CFG_CUTOFF)
+                              cfg_cutoff_steps=CFG_CUTOFF,
+                              deepcache_interval=DEEPCACHE)
         return final
 
     run(params, lat0, ctx).block_until_ready()  # compile
@@ -112,6 +116,8 @@ def main() -> None:
     tag = " int8-W8A8" if USE_INT8 else ""
     if CFG_CUTOFF:
         tag += f" cfg-cutoff-{CFG_CUTOFF}"
+    if DEEPCACHE:
+        tag += f" deepcache-{DEEPCACHE}"
     print(json.dumps({
         "metric": f"SD1.5 512px {STEPS}-step DDIM (CFG) denoise throughput,"
                   f" batch {BATCH}{tag}",

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--dialogues", type=int, default=1)
     ap.add_argument("--cfg_cutoff", type=float, default=None,
                     help="CFG-truncation fraction (see PipelineConfig)")
+    ap.add_argument("--deepcache", type=int, default=None,
+                    help="DeepCache interval (see PipelineConfig)")
     args = ap.parse_args()
 
     from theatergen_tpu.cli.generate import build_spec
@@ -41,11 +43,15 @@ def main():
     from theatergen_tpu.theater import Theater
 
     cfg = sd15_config()
-    if args.cfg_cutoff is not None:
+    if args.cfg_cutoff is not None or args.deepcache is not None:
         import dataclasses as _dc
 
-        cfg = _dc.replace(cfg, pipeline=_dc.replace(
-            cfg.pipeline, cfg_cutoff_fraction=args.cfg_cutoff))
+        pl = cfg.pipeline
+        if args.cfg_cutoff is not None:
+            pl = _dc.replace(pl, cfg_cutoff_fraction=args.cfg_cutoff)
+        if args.deepcache is not None:
+            pl = _dc.replace(pl, deepcache_interval=args.deepcache)
+        cfg = _dc.replace(cfg, pipeline=pl)
     print("materializing params...", flush=True)
     t0 = time.time()
     # build the bundle with fast host-side init to avoid giant init compiles
@@ -136,6 +142,7 @@ def main():
     print(json.dumps({
         "metric": f"sec per 4-turn dialogue (512px {args.num_steps}-step,"
                   f" guided={args.guided}, cfg_cutoff={args.cfg_cutoff},"
+                  f" deepcache={args.deepcache},"
                   f" incl. first-turn compile)",
         "value": round(float(np.median(times)), 2),
         "unit": "seconds",

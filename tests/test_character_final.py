@@ -139,6 +139,81 @@ def test_character_pipeline_cfg_cutoff(bundle):
                                np.asarray(exact.ref_attn[0][:2]), atol=1e-6)
 
 
+def test_character_pipeline_deepcache(bundle):
+    """interval=1 ≡ exact; interval=2 runs finite with the cached steps
+    reusing the previous full step's ref-attn maps; composes with CFG
+    truncation."""
+    cfg = bundle.cfg
+    steps = 4
+    lat = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+    ctx = jax.random.normal(
+        jax.random.key(2),
+        (2, cfg.text.max_length + 4, cfg.unet.cross_attention_dim),
+    )
+    run_base, _ = make_character_pipeline(
+        bundle, steps, use_ip=True, capture_ref_attn=True)
+    run_dc1, _ = make_character_pipeline(
+        bundle, steps, use_ip=True, capture_ref_attn=True,
+        deepcache_interval=1)
+    run_dc2, _ = make_character_pipeline(
+        bundle, steps, use_ip=True, capture_ref_attn=True,
+        deepcache_interval=2)
+    run_combo, _ = make_character_pipeline(
+        bundle, steps, use_ip=True, capture_ref_attn=True,
+        deepcache_interval=2, cfg_cutoff_fraction=0.5)
+    base = run_base(bundle.unet_ip_params, lat, ctx, jnp.float32(0.4), None)
+    same = run_dc1(bundle.unet_ip_params, lat, ctx, jnp.float32(0.4), None)
+    np.testing.assert_array_equal(np.asarray(base.latents),
+                                  np.asarray(same.latents))
+    fast = run_dc2(bundle.unet_ip_params, lat, ctx, jnp.float32(0.4), None)
+    assert np.isfinite(np.asarray(fast.latents)).all()
+    assert fast.trajectory.shape == (steps + 1, 1, 8, 8, 4)
+    assert np.abs(np.asarray(fast.latents - base.latents)).max() > 1e-7
+    m = np.asarray(fast.ref_attn[0])
+    assert m.shape[0] == steps and np.isfinite(m).all()
+    np.testing.assert_array_equal(m[1], m[0])   # cached step reuses maps
+    assert np.abs(m[2] - m[1]).max() > 0        # full step refreshes
+    combo = run_combo(bundle.unet_ip_params, lat, ctx,
+                      jnp.float32(0.4), None)
+    assert np.isfinite(np.asarray(combo.latents)).all()
+    assert combo.trajectory.shape == (steps + 1, 1, 8, 8, 4)
+
+
+def test_final_pipeline_deepcache(bundle):
+    """Final pass under DeepCache: finite, frozen replacement exact,
+    interval=1 ≡ baseline."""
+    cfg = bundle.cfg
+    steps = 4
+    latents_all = jax.random.normal(jax.random.key(3), (steps + 1, 1, 8, 8, 4))
+    frozen_mask = jnp.zeros((8, 8)).at[:4, :4].set(1.0)
+    ctx = jax.random.normal(
+        jax.random.key(4),
+        (2, cfg.text.max_length + 4, cfg.unet.cross_attention_dim),
+    )
+    cn_ctx = ctx[:, : cfg.text.max_length]
+    cond_img = jnp.zeros((16, 16, 3))
+    args = (bundle.unet_ip_params, bundle.controlnet_params, latents_all,
+            frozen_mask, jnp.int32(steps), ctx, cn_ctx, cond_img,
+            jnp.float32(0.1), None)
+    run_base, _ = make_final_pipeline(
+        bundle, steps, use_ip=True, use_controlnet=True)
+    run_dc1, _ = make_final_pipeline(
+        bundle, steps, use_ip=True, use_controlnet=True,
+        deepcache_interval=1)
+    run_dc2, _ = make_final_pipeline(
+        bundle, steps, use_ip=True, use_controlnet=True,
+        deepcache_interval=2, cfg_cutoff_fraction=0.5)
+    base, _ = run_base(*args)
+    same, _ = run_dc1(*args)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    fast, traj = run_dc2(*args)
+    assert traj.shape == (steps + 1, 1, 8, 8, 4)
+    assert np.isfinite(np.asarray(fast)).all()
+    np.testing.assert_allclose(
+        np.asarray(fast[0, :4, :4]), np.asarray(latents_all[-1][0, :4, :4]),
+        atol=1e-5)
+
+
 def test_final_pipeline_cfg_cutoff(bundle):
     """Final pass honors the truncation (incl. batch-1 ControlNet) and keeps
     the frozen-latent replacement exact in the cond-only tail."""

@@ -71,6 +71,14 @@ def test_cli_cfg_cutoff_flag():
     assert bundle.cfg.pipeline.cfg_cutoff_fraction == 0.5
 
 
+def test_cli_deepcache_flag():
+    args = cli.make_parser().parse_args(["--tiny", "--deepcache", "2"])
+    assert args.deepcache == 2
+    bundle = cli.build_theater(args)
+    assert bundle.cfg.pipeline.deepcache_interval == 2
+    assert bundle.cfg.pipeline.cfg_cutoff_fraction is None
+
+
 @pytest.mark.slow
 def test_cli_run_log(tmp_path):
     dataset = {"d0": {"turn 1": {

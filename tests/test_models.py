@@ -109,6 +109,61 @@ def test_unet_controlnet_residual_inputs(unet_and_params):
     assert np.abs(np.asarray(out - base)).max() > 1e-6
 
 
+def test_unet_deepcache_shallow_exactness(unet_and_params):
+    """Shallow forward with a same-input cache is EXACTLY the full forward
+    (DeepCache, arXiv 2312.00858); a perturbed input must change the
+    shallow output (proving the shallow blocks actually recompute)."""
+    unet, params = unet_and_params
+    x = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    t = jnp.array([10, 10], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (2, CFG.text.max_length, 32))
+    full = unet.apply({"params": params}, x, t, ctx)
+    full2, cache = unet.apply({"params": params}, x, t, ctx,
+                              return_deep_cache=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(full2))
+    # cache = feature entering the shallowest up block: full latent res,
+    # channels of level 1 (after the preceding Upsample2D)
+    assert cache.shape == (2, 8, 8, CFG.unet.block_out_channels[1])
+    shallow = unet.apply({"params": params}, x, t, ctx, deep_cache=cache)
+    np.testing.assert_array_equal(np.asarray(shallow), np.asarray(full))
+    sh2 = unet.apply({"params": params}, x + 0.1, t, ctx, deep_cache=cache)
+    assert np.abs(np.asarray(sh2 - shallow)).max() > 1e-6
+
+
+def test_unet_deepcache_with_controlnet_residuals(unet_and_params):
+    """Shallow-path skip/residual alignment: with ControlNet residuals the
+    shallow forward must still exactly match the full forward (the shallow
+    skips are a prefix of the full stack; zip must line up)."""
+    unet, params = unet_and_params
+    x = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+    t = jnp.array([10], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (1, CFG.text.max_length, 32))
+    n_levels = len(CFG.unet.block_out_channels)
+    chans, h = [(CFG.unet.block_out_channels[0], 8)], 8
+    for i, ch in enumerate(CFG.unet.block_out_channels):
+        for _ in range(CFG.unet.layers_per_block):
+            chans.append((ch, h))
+        if i < n_levels - 1:
+            h //= 2
+            chans.append((ch, h))
+    down_res = tuple(
+        jax.random.normal(jax.random.key(10 + k), (1, s, s, c)) * 0.1
+        for k, (c, s) in enumerate(chans))
+    mid_res = jnp.ones((1, h, h, CFG.unet.block_out_channels[-1])) * 0.1
+    full, cache = unet.apply(
+        {"params": params}, x, t, ctx, down_residuals=down_res,
+        mid_residual=mid_res, return_deep_cache=True)
+    shallow = unet.apply(
+        {"params": params}, x, t, ctx, down_residuals=down_res,
+        deep_cache=cache)
+    np.testing.assert_array_equal(np.asarray(shallow), np.asarray(full))
+    # and the shallow residuals must matter on the shallow path
+    zeroed = tuple(jnp.zeros_like(r) for r in down_res)
+    sh0 = unet.apply({"params": params}, x, t, ctx,
+                     down_residuals=zeroed, deep_cache=cache)
+    assert np.abs(np.asarray(sh0 - shallow)).max() > 1e-6
+
+
 def test_vae_roundtrip():
     vae = AutoencoderKL(CFG.vae)
     img = jax.random.uniform(jax.random.key(0), (1, 32, 32, 3)) * 2 - 1

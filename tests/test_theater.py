@@ -147,6 +147,26 @@ def test_turn_with_cfg_cutoff(tmp_path):
     assert res.image.min() >= 0.0 and res.image.max() <= 1.0
 
 
+def test_turn_with_deepcache(tmp_path):
+    """deepcache_interval wires from PipelineConfig through both pipelines
+    and still yields a finite, in-range image."""
+    import dataclasses
+
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.pipelines.bundle import init_bundle
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, deepcache_interval=2))
+    bundle = init_bundle(cfg, jax.random.key(0), with_ip=True,
+                         with_controlnet=True, with_vision=True)
+    t = Theater(bundle, CharacterDB(str(tmp_path)), num_steps=4)
+    res = t.run_turn(SPEC_T2, seed=0)
+    assert np.isfinite(res.image).all()
+    assert res.image.min() >= 0.0 and res.image.max() <= 1.0
+
+
 def test_cfg_cutoff_steps_helper():
     from theatergen_tpu.ops.scheduler import cfg_cutoff_steps
 

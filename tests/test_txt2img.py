@@ -106,3 +106,34 @@ def test_denoise_cfg_cutoff(bundle):
     assert traj.shape == (5, 1, 8, 8, 4)
     assert np.isfinite(np.asarray(fast)).all()
     assert np.abs(np.asarray(fast - exact)).max() > 1e-7  # tail differs
+
+
+def test_denoise_deepcache(bundle):
+    """DeepCache in the denoise scan: interval=1 ≡ exact, interval=2 runs
+    finite and differs; composes with CFG truncation (batched cache rows
+    sliced to cond at the phase boundary)."""
+    from theatergen_tpu.ops import scheduler as S
+
+    cfg = bundle.cfg
+    sched_obj = S.make_schedule(cfg.scheduler, 4)
+    lat = sd.seeded_latents(jax.random.key(0), 1, 8, 8)
+    ctx = jax.random.normal(
+        jax.random.key(1), (2, cfg.text.max_length, cfg.unet.cross_attention_dim))
+
+    def unet_apply(x, t, c, **kw):
+        return bundle.unet.apply(
+            {"params": bundle.unet_params}, x,
+            jnp.broadcast_to(t[None], (x.shape[0],)), c, **kw)
+
+    exact, _ = sd.denoise(unet_apply, sched_obj, lat, ctx, 7.5)
+    same, _ = sd.denoise(unet_apply, sched_obj, lat, ctx, 7.5,
+                         deepcache_interval=1)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(same))
+    fast, traj = sd.denoise(unet_apply, sched_obj, lat, ctx, 7.5,
+                            deepcache_interval=2, collect_trajectory=True)
+    assert traj.shape == (5, 1, 8, 8, 4)
+    assert np.isfinite(np.asarray(fast)).all()
+    assert np.abs(np.asarray(fast - exact)).max() > 1e-7
+    combo, _ = sd.denoise(unet_apply, sched_obj, lat, ctx, 7.5,
+                          deepcache_interval=2, cfg_cutoff_steps=2)
+    assert np.isfinite(np.asarray(combo)).all()

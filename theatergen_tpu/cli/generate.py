@@ -91,6 +91,9 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cfg_cutoff", type=float, default=None,
                     help="CFG truncation fraction: full CFG for the first "
                          "frac of steps, cond-only after (~2x faster tail)")
+    ap.add_argument("--deepcache", type=int, default=None,
+                    help="DeepCache interval: full UNet every N-th step, "
+                         "shallow blocks + cached deep feature in between")
     ap.add_argument("--max_dialogues", type=int, default=None)
     ap.add_argument("--profile", action="store_true",
                     help="emit a jax.profiler trace for the first dialogue")
@@ -122,11 +125,15 @@ def build_theater(args):
         cfg = sdxl_config()
     else:
         cfg = sd15_config()
-    if args.cfg_cutoff is not None:
+    if args.cfg_cutoff is not None or args.deepcache is not None:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, pipeline=dataclasses.replace(
-            cfg.pipeline, cfg_cutoff_fraction=args.cfg_cutoff))
+        pl = cfg.pipeline
+        if args.cfg_cutoff is not None:
+            pl = dataclasses.replace(pl, cfg_cutoff_fraction=args.cfg_cutoff)
+        if args.deepcache is not None:
+            pl = dataclasses.replace(pl, deepcache_interval=args.deepcache)
+        cfg = dataclasses.replace(cfg, pipeline=pl)
     is_xl = args.sd_version == "xl"
     if args.weights:
         from ..models.weights import load_bundle

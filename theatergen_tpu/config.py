@@ -214,6 +214,9 @@ class PipelineConfig:
     # CFG truncation: full classifier-free guidance for the first
     # ceil(frac·steps), cond-only after (arXiv 2404.02747). None ≡ exact.
     cfg_cutoff_fraction: Optional[float] = None
+    # DeepCache (arXiv 2312.00858): full UNet every N-th step, shallow
+    # blocks + cached deep feature in between. None/1 ≡ exact.
+    deepcache_interval: Optional[int] = None
     max_objects: int = 8                # static pad for jit (SURVEY §7 hard parts)
     vae_scale: int = 8                  # spatial down-factor of the VAE
     scheduler_type: str = "ddim"        # "ddim" | "euler_ancestral" (XL)

@@ -104,6 +104,7 @@ def make_character_pipeline(
     capture_ref_attn: bool = False,
     guidance_scale: Optional[float] = None,
     cfg_cutoff_fraction: Optional[float] = None,
+    deepcache_interval: Optional[int] = None,
 ):
     """Build the jitted per-character runner.
 
@@ -116,6 +117,13 @@ def make_character_pipeline(
     little late-step effect (arXiv 2404.02747), so the tail costs half.
     ``None`` / ``1.0`` ≡ exact CFG. Latent guidance and attention capture
     stay live in both phases.
+
+    ``deepcache_interval``: DeepCache (arXiv 2312.00858) — full UNet every
+    N-th step, shallow blocks + cached deep feature in between. Ref-attn
+    maps on cached steps reuse the last full step's maps (the captured
+    layers live in the skipped deep blocks; attention is temporally smooth
+    — the premise DeepCache itself rests on). The latent-guidance energy
+    loop always runs the full UNet, so guidance stays exact.
     """
     cfg = bundle.cfg
     gcfg = cfg.guidance
@@ -128,11 +136,14 @@ def make_character_pipeline(
     gs = cfg.pipeline.guidance_scale if guidance_scale is None else guidance_scale
     text_len = cfg.text.max_length
 
+    use_dc = deepcache_interval is not None and deepcache_interval > 1
+
     def run(unet_params, input_latents, context, ip_scale,
             gin: Optional[GuidanceInputs] = None, rng=None,
             extra_cond: Optional[dict] = None) -> CharacterResult:
-        def unet_apply(x, t, ctx, capture=False):
+        def unet_apply(x, t, ctx, capture=False, **kw):
             kwargs = dict(ip_scale=ip_scale) if use_ip else {}
+            kwargs.update(kw)
             if extra_cond:
                 # SDXL micro-conditioning; cond-only passes (guidance) use a
                 # batch-1 input — take the trailing (cond) rows
@@ -149,6 +160,16 @@ def make_character_pipeline(
                 jnp.broadcast_to(t[None], (x.shape[0],)), ctx, **kwargs,
             )
 
+        from ..ops import guidance as guidance_ops
+
+        def compute_ref(state, cond_idx):
+            maps = guidance_ops.attn_collection_to_maps(
+                state["attn"], gcfg.attn_keys, cond_batch_index=cond_idx,
+                text_len=text_len,
+            )
+            word = gin.word_token[0] if gin is not None else 0
+            return tuple(m[:, :, word] for m in maps)  # [heads, HW] each
+
         if guided:
             cond_context = context[1:2]
             energy = make_energy_fn(
@@ -160,7 +181,7 @@ def make_character_pipeline(
 
         def make_step(cfg_on: bool):
             def step(carry, i):
-                lat, gloss = carry
+                lat, gloss, cache, ref_prev = carry
                 if guided:
                     lat, gloss = jax.lax.cond(
                         i < gcfg.guidance_steps,
@@ -178,31 +199,66 @@ def make_character_pipeline(
                 else:
                     lat_in, ctx, cond_idx = scaled, context[1:2], 0
                 t = sched.timesteps[i]
-                if capture_ref_attn:
-                    eps, state = unet_apply(lat_in, t, ctx, capture=True)
-                    from ..ops import guidance as guidance_ops
 
-                    maps = guidance_ops.attn_collection_to_maps(
-                        state["attn"], gcfg.attn_keys,
-                        cond_batch_index=cond_idx, text_len=text_len,
+                def forward_full(cache, ref_prev):
+                    if capture_ref_attn:
+                        out, state = unet_apply(
+                            lat_in, t, ctx, capture=True,
+                            return_deep_cache=use_dc)
+                        eps, cache = out if use_dc else (out, cache)
+                        return eps, cache, compute_ref(state, cond_idx)
+                    if use_dc:
+                        eps, cache = unet_apply(lat_in, t, ctx,
+                                                return_deep_cache=True)
+                        return eps, cache, ref_prev
+                    return unet_apply(lat_in, t, ctx), cache, ref_prev
+
+                if use_dc:
+                    eps, cache, ref = jax.lax.cond(
+                        i % deepcache_interval == 0,
+                        forward_full,
+                        lambda c, r: (unet_apply(lat_in, t, ctx,
+                                                 deep_cache=c), c, r),
+                        cache, ref_prev,
                     )
-                    word = gin.word_token[0] if gin is not None else 0
-                    ref = tuple(m[:, :, word] for m in maps)  # [heads, HW]
                 else:
-                    eps = unet_apply(lat_in, t, ctx)
-                    ref = None
+                    eps, cache, ref = forward_full(cache, ref_prev)
                 if cfg_on:
                     eps = sd.cfg_combine(eps.astype(jnp.float32), gs)
                 nxt = sched.step(eps.astype(jnp.float32), i, lat, rng)
-                return (nxt, gloss), (lat, ref)
+                return (nxt, gloss, cache, ref), (lat, ref)
             return step
+
+        # zeros placeholders, never read: step 0 is always a full step
+        cache0 = None
+        if use_dc:
+            cache_sd = jax.eval_shape(
+                lambda l: unet_apply(
+                    jnp.concatenate([l, l], axis=0), sched.timesteps[0],
+                    context, return_deep_cache=True)[1],
+                input_latents)
+            cache0 = jnp.zeros(cache_sd.shape, cache_sd.dtype)
+        ref0 = None
+        if capture_ref_attn:
+            ref_sd = jax.eval_shape(
+                lambda l: compute_ref(unet_apply(
+                    jnp.concatenate([l, l], axis=0), sched.timesteps[0],
+                    context, capture=True)[1], 1),
+                input_latents)
+            ref0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                ref_sd)
 
         cutoff = sched_ops.cfg_cutoff_steps(sched.num_steps,
                                             cfg_cutoff_fraction)
-        carry = (input_latents, jnp.float32(jnp.inf))
+        b = input_latents.shape[0]
+        carry = (input_latents, jnp.float32(jnp.inf), cache0, ref0)
         carry, (traj, refs) = jax.lax.scan(
             make_step(True), carry, jnp.arange(cutoff))
         if cutoff < sched.num_steps:
+            if use_dc:
+                # cond-only phase: keep the cond rows of the batched cache
+                lat_c, gloss_c, cache_c, ref_c = carry
+                carry = (lat_c, gloss_c, cache_c[b:], ref_c)
             carry, (traj2, refs2) = jax.lax.scan(
                 make_step(False), carry,
                 jnp.arange(cutoff, sched.num_steps))

@@ -42,12 +42,18 @@ def make_final_pipeline(
     control_guidance_start: float = 0.0,
     control_guidance_end: float = 1.0,
     cfg_cutoff_fraction: Optional[float] = None,
+    deepcache_interval: Optional[int] = None,
 ):
     """Build the jitted final-pass runner.
 
     ``cfg_cutoff_fraction``: run CFG (2× UNet *and* ControlNet batch) only
     for the first ``ceil(frac·steps)`` steps, then cond-only (see
     :func:`..pipelines.character.make_character_pipeline`).
+
+    ``deepcache_interval``: DeepCache on the UNet (full forward every N-th
+    step, shallow + cached deep feature between). ControlNet still runs
+    every step — its shallow residuals feed the fresh skip connections;
+    only its deep residuals go unused on cached steps.
 
     Returns ``run(params, latents_all, frozen_mask, frozen_steps, context,
     cn_context, cond_image, ip_scale, gin) -> (final_latents, trajectory)``
@@ -67,6 +73,8 @@ def make_final_pipeline(
     gs = cfg.pipeline.guidance_scale if guidance_scale is None else guidance_scale
     text_len = cfg.text.max_length
 
+    use_dc = deepcache_interval is not None and deepcache_interval > 1
+
     def run(unet_params, controlnet_params, latents_all, frozen_mask,
             frozen_steps, context, cn_context, cond_image, ip_scale,
             gin: Optional[GuidanceInputs] = None, rng=None,
@@ -74,8 +82,10 @@ def make_final_pipeline(
             adapter_feats: Optional[tuple] = None):
         fm = jnp.clip(frozen_mask, 0.0, 1.0)[None, :, :, None]  # [1,h,w,1]
 
-        def unet_apply(x, t, ctx, down_res=None, mid_res=None, capture=False):
+        def unet_apply(x, t, ctx, down_res=None, mid_res=None, capture=False,
+                       **kw):
             kwargs = dict(ip_scale=ip_scale) if use_ip else {}
+            kwargs.update(kw)
             if extra_cond:
                 # SDXL micro-conditioning; cond-only passes (guidance) use a
                 # batch-1 input — take the trailing (cond) rows
@@ -112,7 +122,7 @@ def make_final_pipeline(
 
         def make_step(cfg_on: bool):
             def step(carry, i):
-                lat, gloss = carry
+                lat, gloss, cache = carry
                 if guided:
                     lat, gloss = jax.lax.cond(
                         i < gcfg.guidance_steps,
@@ -146,7 +156,18 @@ def make_final_pipeline(
                     )
                 else:
                     down_res = mid_res = None
-                eps = unet_apply(lat_in, t, ctx, down_res, mid_res)
+                if use_dc:
+                    eps, cache_out = jax.lax.cond(
+                        i % deepcache_interval == 0,
+                        lambda c: unet_apply(lat_in, t, ctx, down_res,
+                                             mid_res, return_deep_cache=True),
+                        lambda c: (unet_apply(lat_in, t, ctx, down_res,
+                                              mid_res, deep_cache=c), c),
+                        cache,
+                    )
+                else:
+                    eps, cache_out = unet_apply(lat_in, t, ctx, down_res,
+                                                mid_res), cache
                 if cfg_on:
                     eps = sd.cfg_combine(eps.astype(jnp.float32), gs)
                 nxt = sched.step(eps.astype(jnp.float32), i, lat, rng)
@@ -155,15 +176,29 @@ def make_final_pipeline(
                     latents_all[i + 1] * fm + nxt * (1.0 - fm),
                     nxt,
                 )
-                return (nxt, gloss), lat
+                return (nxt, gloss, cache_out), lat
             return step
+
+        cache0 = None
+        if use_dc:
+            # zeros placeholder, never read: step 0 is always a full step
+            cache_sd = jax.eval_shape(
+                lambda l: unet_apply(
+                    jnp.concatenate([l, l], axis=0), sched.timesteps[0],
+                    context, return_deep_cache=True)[1],
+                latents_all[0])
+            cache0 = jnp.zeros(cache_sd.shape, cache_sd.dtype)
 
         cutoff = sched_ops.cfg_cutoff_steps(sched.num_steps,
                                             cfg_cutoff_fraction)
-        carry = (latents_all[0], jnp.float32(jnp.inf))
+        b = latents_all.shape[1]
+        carry = (latents_all[0], jnp.float32(jnp.inf), cache0)
         carry, traj = jax.lax.scan(make_step(True), carry,
                                    jnp.arange(cutoff))
         if cutoff < sched.num_steps:
+            if use_dc:
+                # cond-only phase: keep the cond rows of the batched cache
+                carry = (carry[0], carry[1], carry[2][b:])
             carry, traj2 = jax.lax.scan(
                 make_step(False), carry, jnp.arange(cutoff, sched.num_steps))
             traj = jnp.concatenate([traj, traj2], axis=0)

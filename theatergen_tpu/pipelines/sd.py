@@ -47,6 +47,7 @@ def denoise(
     *,
     collect_trajectory: bool = False,
     cfg_cutoff_steps: Optional[int] = None,
+    deepcache_interval: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Scan the DDIM loop. Returns (final_latents, trajectory or None).
 
@@ -60,29 +61,66 @@ def denoise(
     (guidance has little late-step effect; the temporal-attention-
     decomposition observation, arXiv 2404.02747).  Saves ~half the UNet
     work on the truncated tail.  ``None`` or >= num_steps ≡ exact CFG.
-    """
 
-    def cfg_step(lat, i):
+    ``deepcache_interval``: DeepCache (arXiv 2312.00858) — every N-th step
+    runs the full UNet and refreshes the deep-feature cache; the steps in
+    between run only the shallow blocks against the cached feature (~70%
+    FLOPs saved on those steps).  Requires ``unet_apply`` to accept the
+    ``deep_cache`` / ``return_deep_cache`` kwargs
+    (:class:`..models.unet.UNet2DCondition` does).  ``None``/``1`` ≡ exact.
+    """
+    use_dc = deepcache_interval is not None and deepcache_interval > 1
+
+    def apply_dc(lat_in, t, ctx, cache, i):
+        """One UNet eval under the DeepCache policy (or plain if off)."""
+        if not use_dc:
+            return unet_apply(lat_in, t, ctx), cache
+        return jax.lax.cond(
+            i % deepcache_interval == 0,
+            lambda c: unet_apply(lat_in, t, ctx, return_deep_cache=True),
+            lambda c: (unet_apply(lat_in, t, ctx, deep_cache=c), c),
+            cache,
+        )
+
+    def cfg_step(carry, i):
+        lat, cache = carry
         lat_in = jnp.concatenate([lat, lat], axis=0)
         t = sched.timesteps[i]
-        eps = unet_apply(lat_in, t, context)
+        eps, cache = apply_dc(lat_in, t, context, cache, i)
         eps = cfg_combine(eps.astype(jnp.float32), guidance_scale)
         nxt = sched_ops.ddim_step(sched, eps, i, lat)
-        return nxt, (lat if collect_trajectory else None)
+        return (nxt, cache), (lat if collect_trajectory else None)
 
-    def cond_step(lat, i):
+    def cond_step(carry, i):
+        lat, cache = carry
         t = sched.timesteps[i]
-        eps = unet_apply(lat, t, context[context.shape[0] // 2:])
+        eps, cache = apply_dc(lat, t, context[context.shape[0] // 2:],
+                              cache, i)
         nxt = sched_ops.ddim_step(sched, eps.astype(jnp.float32), i, lat)
-        return nxt, (lat if collect_trajectory else None)
+        return (nxt, cache), (lat if collect_trajectory else None)
 
     s_total = sched.num_steps
     cutoff = s_total if cfg_cutoff_steps is None else min(
         int(cfg_cutoff_steps), s_total)
-    final, traj = jax.lax.scan(cfg_step, latents, jnp.arange(cutoff))
+    b = latents.shape[0]
+    if use_dc:
+        # step 0 is always a full step, so the zeros cache is never read
+        cache_sd = jax.eval_shape(
+            lambda l: unet_apply(
+                jnp.concatenate([l, l], axis=0), sched.timesteps[0],
+                context, return_deep_cache=True)[1],
+            latents)
+        cache = jnp.zeros(cache_sd.shape, cache_sd.dtype)
+    else:
+        cache = None
+    (final, cache), traj = jax.lax.scan(
+        cfg_step, (latents, cache), jnp.arange(cutoff))
     if cutoff < s_total:
-        final, traj2 = jax.lax.scan(cond_step, final,
-                                    jnp.arange(cutoff, s_total))
+        if use_dc:
+            # cond-only phase: keep the cond rows of the batched cache
+            cache = cache[b:]
+        (final, _), traj2 = jax.lax.scan(cond_step, (final, cache),
+                                         jnp.arange(cutoff, s_total))
         if collect_trajectory:
             traj = jnp.concatenate([traj, traj2], axis=0)
     if collect_trajectory:
@@ -173,14 +211,15 @@ class Text2Img:
             cfg.pipeline.latent_height, cfg.pipeline.latent_width,
         )
 
-        def unet_apply(x, t, ctx):
+        def unet_apply(x, t, ctx, **kw):
             return b.unet.apply(
                 {"params": unet_params}, x,
-                jnp.broadcast_to(t[None], (x.shape[0],)), ctx,
+                jnp.broadcast_to(t[None], (x.shape[0],)), ctx, **kw,
             )
 
         final, _ = denoise(unet_apply, self.sched, lat, context,
-                           self.guidance_scale)
+                           self.guidance_scale,
+                           deepcache_interval=cfg.pipeline.deepcache_interval)
         return decode_with(b.vae, vae_params, cfg.vae.scaling_factor, final)
 
     def __call__(self, rng: jax.Array, prompt, negative_prompt=None):

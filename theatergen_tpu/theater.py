@@ -87,11 +87,13 @@ class Theater:
             bundle, self.num_steps, use_ip=True, guided=guided,
             capture_ref_attn=True,
             cfg_cutoff_fraction=cfg.pipeline.cfg_cutoff_fraction,
+            deepcache_interval=cfg.pipeline.deepcache_interval,
         )
         self.final_run, self.final_sched = make_final_pipeline(
             bundle, self.num_steps, use_ip=True,
             use_controlnet=self.use_controlnet, guided=guided,
             cfg_cutoff_fraction=cfg.pipeline.cfg_cutoff_fraction,
+            deepcache_interval=cfg.pipeline.deepcache_interval,
         )
         self._decode = jax.jit(
             lambda vp, z: sd.decode_with(bundle.vae, vp,
