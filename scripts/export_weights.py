@@ -10,6 +10,7 @@ Produces, in --out:
   text_encoder.safetensors    SD1.5 CLIP ViT-L text encoder
   controlnet.safetensors      lllyasviel/control_v11p_sd15_lineart
   image_encoder.safetensors   h94/IP-Adapter image encoder (CLIP ViT-H)
+  sam.safetensors             facebook/sam-vit-base (segmenter)
   ip-adapter_sd15.bin         h94/IP-Adapter
   merges.txt, vocab.json      CLIP tokenizer assets
   (optionally, with --xl)     SDXL unet/text_encoder_2/t2i adapter
@@ -56,6 +57,11 @@ def export(out: str, xl: bool = False) -> None:
     vision = CLIPVisionModelWithProjection.from_pretrained(
         "h94/IP-Adapter", subfolder="models/image_encoder")
     save(vision.state_dict(), "image_encoder.safetensors")
+
+    from transformers import SamModel
+
+    sam = SamModel.from_pretrained("facebook/sam-vit-base")
+    save(sam.state_dict(), "sam.safetensors")
 
     from huggingface_hub import hf_hub_download
     import shutil

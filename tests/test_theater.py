@@ -220,6 +220,26 @@ def test_turn_with_sam_masks(tmp_path):
     assert "final" in summary
 
 
+def test_turn_with_sam_hf_backend(tmp_path):
+    """Orchestrator with the checkpoint-faithful SamHF segmenter (tiny):
+    same dual-scale mask branch through the backend dispatch."""
+    import dataclasses
+
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.perception.sam_hf import SamHF
+    from theatergen_tpu.pipelines.bundle import init_bundle
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, sam=dataclasses.replace(cfg.sam, backend="hf"))
+    bundle = init_bundle(cfg, jax.random.key(0), with_ip=True,
+                         with_vision=True, with_sam=True)
+    assert isinstance(bundle.sam, SamHF)
+    t = Theater(bundle, CharacterDB(str(tmp_path)), num_steps=2)
+    res = t.run_turn(SPEC_T2, seed=0)
+    assert np.isfinite(res.image).all()
+
+
 def test_ema_update():
     from theatergen_tpu.training.diffusion import ema_update
 

@@ -161,6 +161,10 @@ class SAMConfig:
     decoder_heads: int = 8
     num_mask_outputs: int = 3  # models/sam.py returns 3 candidates
     dtype: str = "float32"
+    # "lite": weightless TPU-first SAMLite (perception/sam.py);
+    # "hf": checkpoint-faithful SamHF (perception/sam_hf.py) — loads real
+    # facebook/sam-vit-* weights via models/weights.py::port_sam.
+    backend: str = "lite"
 
 
 @dataclasses.dataclass(frozen=True)

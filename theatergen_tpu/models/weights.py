@@ -539,6 +539,154 @@ def port_ip_adapter(ip_sd: Dict[str, np.ndarray], unet_params: Dict[str, Any]
     return tree
 
 
+def convt_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight [in, out, kH, kW] → flax ConvTranspose
+    kernel [kH, kW, in, out].  lax.conv_transpose cross-correlates the
+    zero-dilated input while torch scatters the kernel as-is, so the
+    spatial axes flip."""
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
+
+
+def port_sam(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """HF ``SamModel`` state dict → ``perception.sam_hf.SamHF`` param tree.
+
+    Covers the box-prompt inference path the reference uses
+    (``models/sam.py:26-56``): vision encoder, prompt encoder (points +
+    boxes + no-mask dense), two-way mask decoder.  The mask-input conv
+    tower (``mask_embed``) has no flax counterpart (the reference never
+    feeds dense mask prompts) and is skipped.
+    """
+    params: Dict[str, Any] = {}
+    point_embeds: Dict[int, np.ndarray] = {}
+    _SIMPLE = [
+        # vision encoder
+        (r"vision_encoder\.patch_embed\.projection\.weight",
+         "vision_encoder/patch_embed/kernel", "conv"),
+        (r"vision_encoder\.patch_embed\.projection\.bias",
+         "vision_encoder/patch_embed/bias", "raw"),
+        (r"vision_encoder\.pos_embed", "vision_encoder/pos_embed", "raw"),
+        (r"vision_encoder\.neck\.conv(\d)\.weight",
+         r"vision_encoder/neck_conv\1/kernel", "conv"),
+        (r"vision_encoder\.neck\.layer_norm(\d)\.weight",
+         r"vision_encoder/neck_ln\1/scale", "raw"),
+        (r"vision_encoder\.neck\.layer_norm(\d)\.bias",
+         r"vision_encoder/neck_ln\1/bias", "raw"),
+        # shared fourier point embedding (tied buffer)
+        (r"shared_image_embedding\.positional_embedding",
+         "prompt_encoder/shared_embedding/positional_embedding", "raw"),
+        # prompt encoder scalars
+        (r"prompt_encoder\.not_a_point_embed\.weight",
+         "prompt_encoder/not_a_point_embed", "squeeze"),
+        (r"prompt_encoder\.no_mask_embed\.weight",
+         "prompt_encoder/no_mask_embed", "squeeze"),
+        # mask decoder tokens + upscaling + final norm
+        (r"mask_decoder\.iou_token\.weight", "mask_decoder/iou_token", "raw"),
+        (r"mask_decoder\.mask_tokens\.weight",
+         "mask_decoder/mask_tokens", "raw"),
+        (r"mask_decoder\.upscale_conv(\d)\.weight",
+         r"mask_decoder/upscale_conv\1/kernel", "convt"),
+        (r"mask_decoder\.upscale_conv(\d)\.bias",
+         r"mask_decoder/upscale_conv\1/bias", "raw"),
+        (r"mask_decoder\.upscale_layer_norm\.weight",
+         "mask_decoder/upscale_layer_norm/scale", "raw"),
+        (r"mask_decoder\.upscale_layer_norm\.bias",
+         "mask_decoder/upscale_layer_norm/bias", "raw"),
+        (r"mask_decoder\.transformer\.layer_norm_final_attn\.weight",
+         "mask_decoder/layer_norm_final_attn/scale", "raw"),
+        (r"mask_decoder\.transformer\.layer_norm_final_attn\.bias",
+         "mask_decoder/layer_norm_final_attn/bias", "raw"),
+    ]
+    _ATTN = r"(q_proj|k_proj|v_proj|out_proj)"
+    _RULES = [
+        (r"vision_encoder\.layers\.(\d+)\.layer_norm(\d)\.(weight|bias)",
+         lambda m: (f"vision_encoder/layers_{m.group(1)}/layer_norm"
+                    f"{m.group(2)}/"
+                    f"{'scale' if m.group(3) == 'weight' else 'bias'}", "raw")),
+        (r"vision_encoder\.layers\.(\d+)\.attn\.(qkv|proj)\.(weight|bias)",
+         lambda m: (f"vision_encoder/layers_{m.group(1)}/attn/{m.group(2)}/"
+                    f"{'kernel' if m.group(3) == 'weight' else 'bias'}",
+                    "dense" if m.group(3) == "weight" else "raw")),
+        (r"vision_encoder\.layers\.(\d+)\.attn\.(rel_pos_[hw])",
+         lambda m: (f"vision_encoder/layers_{m.group(1)}/attn/{m.group(2)}",
+                    "raw")),
+        (r"vision_encoder\.layers\.(\d+)\.mlp\.lin(\d)\.(weight|bias)",
+         lambda m: (f"vision_encoder/layers_{m.group(1)}/mlp_lin{m.group(2)}/"
+                    f"{'kernel' if m.group(3) == 'weight' else 'bias'}",
+                    "dense" if m.group(3) == "weight" else "raw")),
+        (r"mask_decoder\.transformer\.layers\.(\d+)\."
+         r"(self_attn|cross_attn_token_to_image|cross_attn_image_to_token)\."
+         + _ATTN + r"\.(weight|bias)",
+         lambda m: (f"mask_decoder/layers_{m.group(1)}/{m.group(2)}/"
+                    f"{m.group(3)}/"
+                    f"{'kernel' if m.group(4) == 'weight' else 'bias'}",
+                    "dense" if m.group(4) == "weight" else "raw")),
+        (r"mask_decoder\.transformer\.layers\.(\d+)\.layer_norm(\d)\."
+         r"(weight|bias)",
+         lambda m: (f"mask_decoder/layers_{m.group(1)}/layer_norm"
+                    f"{m.group(2)}/"
+                    f"{'scale' if m.group(3) == 'weight' else 'bias'}", "raw")),
+        (r"mask_decoder\.transformer\.layers\.(\d+)\.mlp\.lin(\d)\."
+         r"(weight|bias)",
+         lambda m: (f"mask_decoder/layers_{m.group(1)}/mlp_lin{m.group(2)}/"
+                    f"{'kernel' if m.group(3) == 'weight' else 'bias'}",
+                    "dense" if m.group(3) == "weight" else "raw")),
+        (r"mask_decoder\.transformer\.final_attn_token_to_image\."
+         + _ATTN + r"\.(weight|bias)",
+         lambda m: (f"mask_decoder/final_attn_token_to_image/{m.group(1)}/"
+                    f"{'kernel' if m.group(2) == 'weight' else 'bias'}",
+                    "dense" if m.group(2) == "weight" else "raw")),
+        (r"mask_decoder\.output_hypernetworks_mlps\.(\d+)\."
+         r"(proj_in|proj_out|layers\.\d+)\.(weight|bias)",
+         lambda m: (f"mask_decoder/hyper_mlps_{m.group(1)}/"
+                    f"{m.group(2).replace('.', '_')}/"
+                    f"{'kernel' if m.group(3) == 'weight' else 'bias'}",
+                    "dense" if m.group(3) == "weight" else "raw")),
+        (r"mask_decoder\.iou_prediction_head\."
+         r"(proj_in|proj_out|layers\.\d+)\.(weight|bias)",
+         lambda m: (f"mask_decoder/iou_prediction_head/"
+                    f"{m.group(1).replace('.', '_')}/"
+                    f"{'kernel' if m.group(2) == 'weight' else 'bias'}",
+                    "dense" if m.group(2) == "weight" else "raw")),
+    ]
+
+    def convert(w, kind):
+        if kind == "dense":
+            return dense_kernel(w)
+        if kind == "conv":
+            return conv_kernel(w)
+        if kind == "convt":
+            return convt_kernel(w)
+        if kind == "squeeze":
+            return w.reshape(-1)
+        return w
+
+    for name, w in sd.items():
+        m = re.fullmatch(r"prompt_encoder\.point_embed\.(\d+)\.weight", name)
+        if m:
+            point_embeds[int(m.group(1))] = w.reshape(-1)
+            continue
+        matched = False
+        for rx, path, kind in _SIMPLE:
+            m = re.fullmatch(rx, name)
+            if m:
+                set_path(params, m.expand(path) if "\\" in path else path,
+                         convert(w, kind))
+                matched = True
+                break
+        if matched:
+            continue
+        for rx, fn in _RULES:
+            m = re.fullmatch(rx, name)
+            if m:
+                path, kind = fn(m)
+                set_path(params, path, convert(w, kind))
+                break
+    if point_embeds:
+        set_path(params, "prompt_encoder/point_embed",
+                 np.stack([point_embeds[i] for i in sorted(point_embeds)]))
+    return params
+
+
 def load_bundle(cfg, weights_dir: str):
     """Assemble a Bundle from a directory of ported checkpoints:
 
@@ -550,9 +698,17 @@ def load_bundle(cfg, weights_dir: str):
 
     from ..pipelines.bundle import init_bundle
 
+    # SAM weights only make sense through the checkpoint-faithful backend
+    has_sam_ckpt = os.path.exists(os.path.join(weights_dir, "sam.safetensors"))
+    if has_sam_ckpt and getattr(cfg.sam, "backend", "lite") != "hf":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, sam=dataclasses.replace(cfg.sam, backend="hf"))
+
     bundle = init_bundle(
         cfg, jax.random.key(0), with_ip=True, with_controlnet=True,
-        with_vision=True, tokenizer_assets=weights_dir,
+        with_vision=True, with_sam=has_sam_ckpt, tokenizer_assets=weights_dir,
     )
 
     def maybe(path):
@@ -589,6 +745,10 @@ def load_bundle(cfg, weights_dir: str):
     if sd and bundle.vision is not None:
         bundle.vision_params = port_clip_vision(sd)
         loaded.append("vision")
+    sd = maybe("sam.safetensors")
+    if sd and bundle.sam is not None:
+        bundle.sam_params = port_sam(sd)
+        loaded.append("sam")
     ip = maybe("ip-adapter_sd15.bin") or maybe("ip-adapter_sd15.safetensors")
     if ip:
         bundle.image_proj_params = port_image_proj(

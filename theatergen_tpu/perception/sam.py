@@ -209,6 +209,23 @@ def refine_mask(mask: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
     return dilated
 
 
+def sam_input_size(sam) -> int:
+    """Native input side length of a segmenter module (SAMLite or SamHF)."""
+    return sam.cfg.image_size
+
+
+def _apply_sam(sam, params, images: jnp.ndarray, boxes: jnp.ndarray):
+    """Run either backend on [0,1] images + normalized boxes, returning
+    (mask logits [B, Nb, M, h, w], iou [B, Nb, M])."""
+    from .sam_hf import SamHF, preprocess as hf_preprocess
+
+    if isinstance(sam, SamHF):
+        pixels = hf_preprocess(images)
+        boxes_px = boxes * float(sam.cfg.image_size)
+        return sam.apply({"params": params}, pixels, boxes_px)
+    return sam.apply({"params": params}, images, boxes)
+
+
 def segment_with_box(
     sam: SAMLite, params, image: jnp.ndarray, box: jnp.ndarray,
     out_sizes: Tuple[int, ...] = (64, 512),
@@ -217,7 +234,7 @@ def segment_with_box(
     """Box-prompted segmentation returning one selected mask per requested
     scale — the reference's dual-scale ``sam_refine_attn``
     (``models/sam.py:126-174``)."""
-    logits, iou = sam.apply({"params": params}, image[None], box[None, None])
+    logits, iou = _apply_sam(sam, params, image[None], box[None, None])
     logits, iou = logits[0, 0], iou[0, 0]           # [M, h, w], [M]
     probs = jax.nn.sigmoid(logits)
     masks_bin = (probs > 0.5).astype(jnp.float32)
@@ -242,7 +259,7 @@ def segment_with_boxes(
     """Batched multi-box variant selecting by box-IoU (the reference's
     legacy ``sam_refine_box/sam_refine_boxes``, ``models/sam.py:176-215``):
     each prompt box gets the candidate whose mask-bbox best matches it."""
-    logits, iou = sam.apply({"params": params}, image[None], boxes[None])
+    logits, iou = _apply_sam(sam, params, image[None], boxes[None])
     logits, iou = logits[0], iou[0]            # [Nb, M, h, w], [Nb, M]
     probs = jax.nn.sigmoid(logits)
     masks_bin = (probs > 0.5).astype(jnp.float32)

@@ -193,14 +193,32 @@ def init_bundle(
         )["params"]
 
     if with_sam:
-        from ..perception.sam import SAMLite
+        if getattr(cfg.sam, "backend", "lite") == "hf":
+            from ..perception.sam_hf import (
+                SamHF, SamHFConfig, tiny_sam_hf_config,
+            )
 
-        sam = SAMLite(cfg.sam)
-        b.sam = sam
-        b.sam_params = sam.init(
-            keys[7],
-            jnp.zeros((1, cfg.sam.image_size, cfg.sam.image_size, 3)),
-            jnp.zeros((1, 1, 4)),
-        )["params"]
+            # SamHF runs at its own native resolution (1024 for real
+            # facebook/sam-vit-* weights; the tiny instance for tests) —
+            # the orchestrator resizes to ``bundle.sam.cfg.image_size``.
+            hf_cfg = (tiny_sam_hf_config() if cfg.sam.image_size <= 64
+                      else SamHFConfig())
+            sam = SamHF(hf_cfg)
+            b.sam = sam
+            b.sam_params = sam.init(
+                keys[7],
+                jnp.zeros((1, hf_cfg.image_size, hf_cfg.image_size, 3)),
+                jnp.zeros((1, 1, 4)),
+            )["params"]
+        else:
+            from ..perception.sam import SAMLite
+
+            sam = SAMLite(cfg.sam)
+            b.sam = sam
+            b.sam_params = sam.init(
+                keys[7],
+                jnp.zeros((1, cfg.sam.image_size, cfg.sam.image_size, 3)),
+                jnp.zeros((1, 1, 4)),
+            )["params"]
 
     return b

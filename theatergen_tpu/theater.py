@@ -202,7 +202,7 @@ class Theater:
         H = self.cfg.pipeline.height
         W = self.cfg.pipeline.width
         if self.bundle.sam is not None:
-            size = self.cfg.sam.image_size
+            size = sam_lib.sam_input_size(self.bundle.sam)
             img_s = G.resize_bilinear(
                 jnp.transpose(image[0], (2, 0, 1)), size, size
             )
