@@ -11,6 +11,8 @@ Produces, in --out:
   controlnet.safetensors      lllyasviel/control_v11p_sd15_lineart
   image_encoder.safetensors   h94/IP-Adapter image encoder (CLIP ViT-H)
   sam.safetensors             facebook/sam-vit-base (segmenter)
+  gdino.safetensors           IDEA-Research/grounding-dino-tiny (detector)
+  gdino_vocab.txt             BERT wordpiece vocab for the detector
   ip-adapter_sd15.bin         h94/IP-Adapter
   merges.txt, vocab.json      CLIP tokenizer assets
   (optionally, with --xl)     SDXL unet/text_encoder_2/t2i adapter
@@ -62,6 +64,22 @@ def export(out: str, xl: bool = False) -> None:
 
     sam = SamModel.from_pretrained("facebook/sam-vit-base")
     save(sam.state_dict(), "sam.safetensors")
+
+    from transformers import AutoTokenizer, GroundingDinoForObjectDetection
+
+    gd = GroundingDinoForObjectDetection.from_pretrained(
+        "IDEA-Research/grounding-dino-tiny")
+    # drop tied bbox-head clones; port_grounding_dino reads bbox_embed.0
+    gd_sd = {k: v for k, v in gd.state_dict().items()
+             if not k.startswith(("bbox_embed.1", "bbox_embed.2",
+                                  "bbox_embed.3", "bbox_embed.4",
+                                  "bbox_embed.5", "model.decoder.bbox_embed"))}
+    save(gd_sd, "gdino.safetensors")
+    gd_tok = AutoTokenizer.from_pretrained("IDEA-Research/grounding-dino-tiny")
+    import shutil as _sh
+
+    _sh.copy(gd_tok.vocab_file, os.path.join(out, "gdino_vocab.txt"))
+    print("wrote gdino_vocab.txt")
 
     from huggingface_hub import hf_hub_download
     import shutil

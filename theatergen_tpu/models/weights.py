@@ -687,6 +687,257 @@ def port_sam(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def port_grounding_dino(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """HF ``GroundingDinoForObjectDetection`` state dict →
+    ``perception.gdino.GroundingDinoForDetection`` param tree.
+
+    Covers the full inference path: Swin backbone, BERT text tower,
+    input projections, feature-enhancer encoder, query selection, decoder
+    with the shared bbox head.  Buffers (relative_position_index, BERT
+    position_ids) and the tied ``bbox_embed.[1+]`` / decoder clones are
+    skipped — ``bbox_embed.0`` is the single shared head.
+    """
+    params: Dict[str, Any] = {}
+
+    def put(path: str, w: np.ndarray, kind: str = "raw") -> None:
+        set_path(params, path, _convert_leaf(path, w, kind))
+
+    def lin(prefix_t: str, prefix_j: str, name: str, w: np.ndarray) -> bool:
+        m = re.fullmatch(rf"{re.escape(prefix_t)}\.(weight|bias)", name)
+        if m:
+            put(f"{prefix_j}/{'kernel' if m.group(1) == 'weight' else 'bias'}",
+                w, "dense" if m.group(1) == "weight" else "raw")
+            return True
+        return False
+
+    def ln(prefix_t: str, prefix_j: str, name: str, w: np.ndarray) -> bool:
+        m = re.fullmatch(rf"{re.escape(prefix_t)}\.(weight|bias)", name)
+        if m:
+            put(f"{prefix_j}/{'scale' if m.group(1) == 'weight' else 'bias'}",
+                w)
+            return True
+        return False
+
+    def mha(prefix_t: str, prefix_j: str, name: str, w: np.ndarray) -> bool:
+        for leaf in ("query", "key", "value", "out_proj"):
+            if lin(f"{prefix_t}.{leaf}", f"{prefix_j}/{leaf}", name, w):
+                return True
+        return False
+
+    def deform(prefix_t: str, prefix_j: str, name: str, w) -> bool:
+        for leaf in ("sampling_offsets", "attention_weights", "value_proj",
+                     "output_proj"):
+            if lin(f"{prefix_t}.{leaf}", f"{prefix_j}/{leaf}", name, w):
+                return True
+        return False
+
+    def mlp_head(prefix_t: str, prefix_j: str, name: str, w) -> bool:
+        m = re.fullmatch(
+            rf"{re.escape(prefix_t)}\.layers\.(\d+)\.(weight|bias)", name)
+        if m:
+            put(f"{prefix_j}/layers_{m.group(1)}/"
+                f"{'kernel' if m.group(2) == 'weight' else 'bias'}",
+                w, "dense" if m.group(2) == "weight" else "raw")
+            return True
+        return False
+
+    for name, w in sd.items():
+        if name.endswith((".relative_position_index", ".position_ids")):
+            continue
+        if name.startswith(("bbox_embed.", "class_embed.")):
+            # bbox_embed.0 is the shared head (decoder clones are ties)
+            mlp_head("bbox_embed.0", "bbox_embed", name, w)
+            continue
+        name = name.removeprefix("model.")
+
+        # ------------------------------------------------ swin backbone
+        if name.startswith("backbone.conv_encoder.model."):
+            n = name.removeprefix("backbone.conv_encoder.model.")
+            if n == "embeddings.patch_embeddings.projection.weight":
+                put("backbone/patch_embed/kernel", w, "conv")
+            elif n == "embeddings.patch_embeddings.projection.bias":
+                put("backbone/patch_embed/bias", w)
+            elif ln("embeddings.norm", "backbone/embed_norm", n, w):
+                pass
+            elif (m := re.fullmatch(
+                    r"hidden_states_norms\.stage(\d+)\.(weight|bias)", n)):
+                put(f"backbone/out_norm_{m.group(1)}/"
+                    f"{'scale' if m.group(2) == 'weight' else 'bias'}", w)
+            elif (m := re.fullmatch(
+                    r"encoder\.layers\.(\d+)\.downsample\.(norm|reduction)"
+                    r"\.(weight|bias)", n)):
+                s, mod, wb = m.groups()
+                if mod == "reduction":
+                    put(f"backbone/downsample_{s}/reduction/kernel",
+                        w, "dense")
+                else:
+                    put(f"backbone/downsample_{s}/norm/"
+                        f"{'scale' if wb == 'weight' else 'bias'}", w)
+            elif (m := re.fullmatch(
+                    r"encoder\.layers\.(\d+)\.blocks\.(\d+)\.(.+)", n)):
+                s, b_, rest = m.groups()
+                base = f"backbone/stage_{s}_block_{b_}"
+                if rest == "attention.self.relative_position_bias_table":
+                    put(f"{base}/attention/relative_position_bias_table", w)
+                elif lin("attention.output.dense",
+                         f"{base}/attention/output", rest, w):
+                    pass
+                elif any(lin(f"attention.self.{leaf}",
+                             f"{base}/attention/{leaf}", rest, w)
+                         for leaf in ("query", "key", "value")):
+                    pass
+                elif lin("intermediate.dense", f"{base}/intermediate",
+                         rest, w):
+                    pass
+                elif lin("output.dense", f"{base}/output", rest, w):
+                    pass
+                elif ln("layernorm_before", f"{base}/layernorm_before",
+                        rest, w):
+                    pass
+                elif ln("layernorm_after", f"{base}/layernorm_after",
+                        rest, w):
+                    pass
+            continue
+
+        # --------------------------------------------------- bert tower
+        if name.startswith("text_backbone."):
+            n = name.removeprefix("text_backbone.")
+            if (m := re.fullmatch(
+                    r"embeddings\.(word|position|token_type)_embeddings"
+                    r"\.weight", n)):
+                put(f"text_backbone/{m.group(1)}_embeddings/embedding", w)
+            elif ln("embeddings.LayerNorm", "text_backbone/embeddings_norm",
+                    n, w):
+                pass
+            elif (m := re.fullmatch(r"encoder\.layer\.(\d+)\.(.+)", n)):
+                li, rest = m.groups()
+                base = f"text_backbone/layers_{li}"
+                if any(lin(f"attention.self.{leaf}", f"{base}/self/{leaf}",
+                           rest, w) for leaf in ("query", "key", "value")):
+                    pass
+                elif lin("attention.output.dense",
+                         f"{base}/attention_output", rest, w):
+                    pass
+                elif ln("attention.output.LayerNorm",
+                        f"{base}/attention_norm", rest, w):
+                    pass
+                elif lin("intermediate.dense", f"{base}/intermediate",
+                         rest, w):
+                    pass
+                elif lin("output.dense", f"{base}/output", rest, w):
+                    pass
+                elif ln("output.LayerNorm", f"{base}/output_norm", rest, w):
+                    pass
+            continue
+
+        # ------------------------------------------------- projections
+        if (m := re.fullmatch(
+                r"input_proj_vision\.(\d+)\.0\.(weight|bias)", name)):
+            put(f"input_proj_{m.group(1)}_conv/"
+                f"{'kernel' if m.group(2) == 'weight' else 'bias'}",
+                w, "conv" if m.group(2) == "weight" else "raw")
+            continue
+        if (m := re.fullmatch(
+                r"input_proj_vision\.(\d+)\.1\.(weight|bias)", name)):
+            put(f"input_proj_{m.group(1)}_norm/"
+                f"{'scale' if m.group(2) == 'weight' else 'bias'}", w)
+            continue
+        if lin("text_projection", "text_projection", name, w):
+            continue
+        if name == "level_embed":
+            put("level_embed", w)
+            continue
+        if name == "query_position_embeddings.weight":
+            put("query_position_embeddings", w)
+            continue
+
+        # ---------------------------------------------------- encoder
+        if (m := re.fullmatch(r"encoder\.layers\.(\d+)\.(.+)", name)):
+            li, rest = m.groups()
+            base = f"encoder_layers_{li}"
+            if rest in ("fusion_layer.vision_param",
+                        "fusion_layer.text_param"):
+                put(f"{base}/fusion_layer/{rest.split('.')[1]}", w)
+                continue
+            handled = (
+                ln("fusion_layer.layer_norm_vision",
+                   f"{base}/fusion_layer/layer_norm_vision", rest, w)
+                or ln("fusion_layer.layer_norm_text",
+                      f"{base}/fusion_layer/layer_norm_text", rest, w)
+                or any(lin(f"fusion_layer.attn.{leaf}",
+                           f"{base}/fusion_layer/attn/{leaf}", rest, w)
+                       for leaf in ("vision_proj", "text_proj",
+                                    "values_vision_proj",
+                                    "values_text_proj", "out_vision_proj",
+                                    "out_text_proj"))
+                or mha("text_enhancer_layer.self_attn",
+                       f"{base}/text_enhancer_layer/self_attn", rest, w)
+                or lin("text_enhancer_layer.fc1",
+                       f"{base}/text_enhancer_layer/fc1", rest, w)
+                or lin("text_enhancer_layer.fc2",
+                       f"{base}/text_enhancer_layer/fc2", rest, w)
+                or ln("text_enhancer_layer.layer_norm_before",
+                      f"{base}/text_enhancer_layer/layer_norm_before",
+                      rest, w)
+                or ln("text_enhancer_layer.layer_norm_after",
+                      f"{base}/text_enhancer_layer/layer_norm_after",
+                      rest, w)
+                or deform("deformable_layer.self_attn",
+                          f"{base}/deformable_layer/self_attn", rest, w)
+                or ln("deformable_layer.self_attn_layer_norm",
+                      f"{base}/deformable_layer/self_attn_layer_norm",
+                      rest, w)
+                or lin("deformable_layer.fc1",
+                       f"{base}/deformable_layer/fc1", rest, w)
+                or lin("deformable_layer.fc2",
+                       f"{base}/deformable_layer/fc2", rest, w)
+                or ln("deformable_layer.final_layer_norm",
+                      f"{base}/deformable_layer/final_layer_norm", rest, w)
+            )
+            assert handled, f"unmapped encoder leaf: {name}"
+            continue
+
+        # ------------------------------------------- query selection
+        if lin("enc_output", "enc_output", name, w):
+            continue
+        if ln("enc_output_norm", "enc_output_norm", name, w):
+            continue
+        if mlp_head("encoder_output_bbox_embed", "encoder_output_bbox_embed",
+                    name, w):
+            continue
+
+        # ---------------------------------------------------- decoder
+        if ln("decoder.layer_norm", "decoder_layer_norm", name, w):
+            continue
+        if mlp_head("decoder.reference_points_head", "reference_points_head",
+                    name, w):
+            continue
+        if name.startswith("decoder.bbox_embed."):
+            continue    # tied to bbox_embed.0 (handled above)
+        if (m := re.fullmatch(r"decoder\.layers\.(\d+)\.(.+)", name)):
+            li, rest = m.groups()
+            base = f"decoder_layers_{li}"
+            handled = (
+                mha("self_attn", f"{base}/self_attn", rest, w)
+                or ln("self_attn_layer_norm", f"{base}/self_attn_layer_norm",
+                      rest, w)
+                or mha("encoder_attn_text", f"{base}/encoder_attn_text",
+                       rest, w)
+                or ln("encoder_attn_text_layer_norm",
+                      f"{base}/encoder_attn_text_layer_norm", rest, w)
+                or deform("encoder_attn", f"{base}/encoder_attn", rest, w)
+                or ln("encoder_attn_layer_norm",
+                      f"{base}/encoder_attn_layer_norm", rest, w)
+                or lin("fc1", f"{base}/fc1", rest, w)
+                or lin("fc2", f"{base}/fc2", rest, w)
+                or ln("final_layer_norm", f"{base}/final_layer_norm",
+                      rest, w)
+            )
+            assert handled, f"unmapped decoder leaf: {name}"
+            continue
+    return params
+
+
 def load_bundle(cfg, weights_dir: str):
     """Assemble a Bundle from a directory of ported checkpoints:
 
@@ -749,6 +1000,17 @@ def load_bundle(cfg, weights_dir: str):
     if sd and bundle.sam is not None:
         bundle.sam_params = port_sam(sd)
         loaded.append("sam")
+    sd = maybe("gdino.safetensors")
+    vocab_path = os.path.join(weights_dir, "gdino_vocab.txt")
+    if sd and os.path.exists(vocab_path):
+        from ..perception.gdino import (
+            GroundingDinoBackend, GroundingDinoConfig, WordPieceTokenizer,
+        )
+
+        bundle.detector = GroundingDinoBackend(
+            GroundingDinoConfig(), port_grounding_dino(sd),
+            WordPieceTokenizer(vocab_path))
+        loaded.append("gdino")
     ip = maybe("ip-adapter_sd15.bin") or maybe("ip-adapter_sd15.safetensors")
     if ip:
         bundle.image_proj_params = port_image_proj(

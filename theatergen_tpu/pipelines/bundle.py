@@ -57,8 +57,14 @@ class Bundle:
     controlnet: Any = None          # models.controlnet.ControlNet
     controlnet_params: Any = None
 
-    sam: Any = None                 # perception.sam.SAMLite
+    sam: Any = None                 # perception.sam.SAMLite / sam_hf.SamHF
     sam_params: Any = None
+
+    # open-vocabulary detector backend (perception.detector.DetectorBackend
+    # protocol, e.g. perception.gdino.GroundingDinoBackend); when present
+    # the orchestrator uses it for detect-and-regenerate instead of the
+    # attention-based default.
+    detector: Any = None
 
     def text_embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         hidden, _ = self.text.apply({"params": self.text_params}, input_ids)

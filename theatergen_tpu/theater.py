@@ -286,7 +286,13 @@ class Theater:
                 extra_cond=extra_cond)
             image = self._decode_img(result.latents)
             agg = self._aggregate_attn(result.ref_attn)
-            detection = det.attention_detect(agg, None)
+            if self.bundle.detector is not None:
+                # external open-vocabulary detector (GroundingDINO-faithful
+                # backend) on the generated image, as the reference does
+                # (utils/detector.py:5-21)
+                detection = self.bundle.detector(image[0], plan.phrase)
+            else:
+                detection = det.attention_detect(agg, None)
             detected_ok = bool(detection.ok)
             if detected_ok:
                 break
