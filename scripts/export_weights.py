@@ -11,6 +11,7 @@ Produces, in --out:
   controlnet.safetensors      lllyasviel/control_v11p_sd15_lineart
   image_encoder.safetensors   h94/IP-Adapter image encoder (CLIP ViT-H)
   sam.safetensors             facebook/sam-vit-base (segmenter)
+  lineart.safetensors         lllyasviel/Annotators sk_model.pth (annotator)
   gdino.safetensors           IDEA-Research/grounding-dino-tiny (detector)
   gdino_vocab.txt             BERT wordpiece vocab for the detector
   ip-adapter_sd15.bin         h94/IP-Adapter
@@ -64,6 +65,14 @@ def export(out: str, xl: bool = False) -> None:
 
     sam = SamModel.from_pretrained("facebook/sam-vit-base")
     save(sam.state_dict(), "sam.safetensors")
+
+    from huggingface_hub import hf_hub_download
+
+    sk = hf_hub_download("lllyasviel/Annotators", "sk_model.pth")
+    import torch as _torch
+
+    sk_sd = _torch.load(sk, map_location="cpu")
+    save({k: v for k, v in sk_sd.items()}, "lineart.safetensors")
 
     from transformers import AutoTokenizer, GroundingDinoForObjectDetection
 

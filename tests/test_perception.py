@@ -116,6 +116,79 @@ def test_lineart_net_shapes():
     assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
 
 
+def test_lineart_generator_torch_parity():
+    """Golden test: LineartGenerator reproduces the controlnet_aux lineart
+    Generator (informative-drawings: reflect-pad convs, parameter-free
+    InstanceNorm, stride-2 ConvTranspose ups) through port_lineart."""
+    import torch
+    import torch.nn as tnn
+
+    from theatergen_tpu.models.weights import port_lineart
+
+    norm = tnn.InstanceNorm2d
+
+    class TorchResidualBlock(tnn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            self.conv_block = tnn.Sequential(
+                tnn.ReflectionPad2d(1), tnn.Conv2d(ch, ch, 3), norm(ch),
+                tnn.ReLU(inplace=True),
+                tnn.ReflectionPad2d(1), tnn.Conv2d(ch, ch, 3), norm(ch))
+
+        def forward(self, x):
+            return x + self.conv_block(x)
+
+    class TorchGenerator(tnn.Module):
+        def __init__(self, base=8, n_res=2):
+            super().__init__()
+            self.model0 = tnn.Sequential(
+                tnn.ReflectionPad2d(3), tnn.Conv2d(3, base, 7), norm(base),
+                tnn.ReLU(inplace=True))
+            self.model1 = tnn.Sequential(
+                tnn.Conv2d(base, base * 2, 3, stride=2, padding=1),
+                norm(base * 2), tnn.ReLU(inplace=True),
+                tnn.Conv2d(base * 2, base * 4, 3, stride=2, padding=1),
+                norm(base * 4), tnn.ReLU(inplace=True))
+            self.model2 = tnn.Sequential(
+                *[TorchResidualBlock(base * 4) for _ in range(n_res)])
+            self.model3 = tnn.Sequential(
+                tnn.ConvTranspose2d(base * 4, base * 2, 3, stride=2,
+                                    padding=1, output_padding=1),
+                norm(base * 2), tnn.ReLU(inplace=True),
+                tnn.ConvTranspose2d(base * 2, base, 3, stride=2,
+                                    padding=1, output_padding=1),
+                norm(base), tnn.ReLU(inplace=True))
+            self.model4 = tnn.Sequential(
+                tnn.ReflectionPad2d(3), tnn.Conv2d(base, 1, 7),
+                tnn.Sigmoid())
+
+        def forward(self, x):
+            h = self.model0(x)
+            h = self.model1(h)
+            h = self.model2(h)
+            h = self.model3(h)
+            return self.model4(h)
+
+    torch.manual_seed(0)
+    tm = TorchGenerator().eval()
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.uniform_(-0.2, 0.2)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = port_lineart(sd)
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+
+    jm = LA.LineartGenerator(base=8, n_res=2)
+    j_out = np.asarray(jm.apply({"params": params}, jnp.asarray(img)))
+    # module output is inverted (white lines on black)
+    np.testing.assert_allclose(1.0 - j_out[0, :, :, 0], t_out[0, 0],
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_attention_detect_gaussian_smoothing():
     heads, side, T = 2, 8, 5
     attn = np.full((heads, side * side, T), 1e-5, np.float32)

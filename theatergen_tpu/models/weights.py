@@ -687,6 +687,45 @@ def port_sam(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def port_lineart(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """lllyasviel/Annotators ``sk_model.pth`` Generator →
+    ``ops.lineart.LineartGenerator`` tree (InstanceNorm has no params;
+    ConvTranspose kernels flip via :func:`convt_kernel`)."""
+    params: Dict[str, Any] = {}
+    table = [
+        (r"model0\.1\.(weight|bias)", "stem", "conv"),
+        (r"model1\.0\.(weight|bias)", "down1", "conv"),
+        (r"model1\.3\.(weight|bias)", "down2", "conv"),
+        (r"model3\.0\.(weight|bias)", None, "convt0"),
+        (r"model3\.3\.(weight|bias)", None, "convt1"),
+        (r"model4\.1\.(weight|bias)", "head", "conv"),
+    ]
+    for name, w in sd.items():
+        m = re.fullmatch(
+            r"model2\.(\d+)\.conv_block\.(1|5)\.(weight|bias)", name)
+        if m:
+            conv = "conv1" if m.group(2) == "1" else "conv2"
+            leaf = "kernel" if m.group(3) == "weight" else "bias"
+            set_path(params, f"res_{m.group(1)}/{conv}/{leaf}",
+                     conv_kernel(w) if leaf == "kernel" else w)
+            continue
+        for rx, mod, kind in table:
+            m = re.fullmatch(rx, name)
+            if not m:
+                continue
+            is_w = m.group(1) == "weight"
+            if kind.startswith("convt"):
+                idx = kind[-1]
+                set_path(params, f"up{int(idx) + 1}_"
+                                 f"{'kernel' if is_w else 'bias'}",
+                         convt_kernel(w) if is_w else w)
+            else:
+                set_path(params, f"{mod}/{'kernel' if is_w else 'bias'}",
+                         conv_kernel(w) if is_w else w)
+            break
+    return params
+
+
 def port_grounding_dino(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """HF ``GroundingDinoForObjectDetection`` state dict →
     ``perception.gdino.GroundingDinoForDetection`` param tree.
@@ -1000,6 +1039,13 @@ def load_bundle(cfg, weights_dir: str):
     if sd and bundle.sam is not None:
         bundle.sam_params = port_sam(sd)
         loaded.append("sam")
+    sd = maybe("lineart.safetensors")
+    if sd:
+        from ..ops.lineart import LineartGenerator
+
+        bundle.lineart = LineartGenerator()
+        bundle.lineart_params = port_lineart(sd)
+        loaded.append("lineart")
     sd = maybe("gdino.safetensors")
     vocab_path = os.path.join(weights_dir, "gdino_vocab.txt")
     if sd and os.path.exists(vocab_path):

@@ -72,6 +72,94 @@ def dog_lineart(image: jnp.ndarray, sigma: float = 1.0, k: float = 1.6,
     return jnp.repeat(lines[..., None], 3, axis=-1)
 
 
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """torch InstanceNorm2d (affine=False): per-sample per-channel
+    normalization over the spatial axes (NHWC)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) / jnp.sqrt(var + eps)
+
+
+def _reflect_pad(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+
+
+def _conv_transpose_s2(x: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray) -> jnp.ndarray:
+    """torch ConvTranspose2d(k=3, stride=2, padding=1, output_padding=1):
+    dilate the input by 2 and cross-correlate with the (pre-flipped,
+    ``weights.convt_kernel``) kernel under (1, 2) padding — output 2×."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=((1, 2), (1, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias
+
+
+class LineartResidualBlock(nn.Module):
+    """controlnet_aux lineart ResidualBlock: reflect-pad conv → IN → relu
+    → reflect-pad conv → IN, residual."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.ch, (3, 3), padding="VALID",
+                    name="conv1")(_reflect_pad(x, 1))
+        h = nn.relu(instance_norm(h))
+        h = nn.Conv(self.ch, (3, 3), padding="VALID",
+                    name="conv2")(_reflect_pad(h, 1))
+        return x + instance_norm(h)
+
+
+class LineartGenerator(nn.Module):
+    """Checkpoint-faithful lineart annotator (the ``sk_model.pth`` /
+    ``sk_model2.pth`` Generator from lllyasviel/Annotators, used by the
+    reference's ``LineartDetector`` preprocessor, ``generate.py:96``,
+    ``models/pipelines.py:710-722``): reflect-pad 7×7 stem → two stride-2
+    downs → residual blocks → two ConvTranspose ups → 7×7 head, sigmoid.
+    InstanceNorm is parameter-free.  Ports via
+    ``models/weights.py::port_lineart``; golden test in
+    tests/test_perception.py.
+
+    Input [B, H, W, 3] in [0, 1]; output [B, H, W, 3] white-lines-on-black
+    (the annotator emits dark-lines probability; inverted here to the
+    ControlNet-lineart convention, matching the reference's ``255 - map``).
+    """
+
+    base: int = 64
+    n_res: int = 3
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+        x = image.astype(jnp.float32)
+        h = nn.Conv(self.base, (7, 7), padding="VALID",
+                    name="stem")(_reflect_pad(x, 3))
+        h = nn.relu(instance_norm(h))
+        h = nn.Conv(self.base * 2, (3, 3), strides=2, padding=1,
+                    name="down1")(h)
+        h = nn.relu(instance_norm(h))
+        h = nn.Conv(self.base * 4, (3, 3), strides=2, padding=1,
+                    name="down2")(h)
+        h = nn.relu(instance_norm(h))
+        for i in range(self.n_res):
+            h = LineartResidualBlock(self.base * 4, name=f"res_{i}")(h)
+        up1_k = self.param("up1_kernel", nn.initializers.normal(0.02),
+                           (3, 3, self.base * 4, self.base * 2))
+        up1_b = self.param("up1_bias", nn.initializers.zeros,
+                           (self.base * 2,))
+        h = nn.relu(instance_norm(_conv_transpose_s2(h, up1_k, up1_b)))
+        up2_k = self.param("up2_kernel", nn.initializers.normal(0.02),
+                           (3, 3, self.base * 2, self.base))
+        up2_b = self.param("up2_bias", nn.initializers.zeros, (self.base,))
+        h = nn.relu(instance_norm(_conv_transpose_s2(h, up2_k, up2_b)))
+        out = nn.Conv(1, (7, 7), padding="VALID",
+                      name="head")(_reflect_pad(h, 3))
+        # the annotator draws dark lines on white; invert to ControlNet's
+        # white-on-black convention (the reference's ``255 - map`` step)
+        lines = 1.0 - jax.nn.sigmoid(out)
+        return jnp.repeat(lines, 3, axis=-1)
+
+
 class ResBlock(nn.Module):
     ch: int
 

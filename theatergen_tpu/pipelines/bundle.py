@@ -66,6 +66,11 @@ class Bundle:
     # attention-based default.
     detector: Any = None
 
+    # lineart annotator (ops.lineart.LineartGenerator) for ControlNet
+    # conditioning; the weightless DoG sketch is the fallback.
+    lineart: Any = None
+    lineart_params: Any = None
+
     def text_embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         hidden, _ = self.text.apply({"params": self.text_params}, input_ids)
         return hidden

@@ -402,7 +402,12 @@ class Theater:
                 jax.device_get(self.char_sched.init_noise_sigma))
         composed, fgi = L.compose_trajectories(traj_j, masks_j, bg_lat)
         collage, union = L.collage_images(images, masks_pix, boxes, valid)
-        cond_img = dog_lineart(collage)
+        if self.bundle.lineart is not None:
+            # ported annotator (LineartDetector, generate.py:96)
+            cond_img = self.bundle.lineart.apply(
+                {"params": self.bundle.lineart_params}, collage[None])[0]
+        else:
+            cond_img = dog_lineart(collage)
         frozen_mask = (fgi > 0).astype(jnp.float32)  # theatergen.py:442-445
         self._compose_timer.__exit__(None, None, None)
 
