@@ -66,6 +66,16 @@ def export(out: str, xl: bool = False) -> None:
     sam = SamModel.from_pretrained("facebook/sam-vit-base")
     save(sam.state_dict(), "sam.safetensors")
 
+    from transformers import (
+        CLIPTextModelWithProjection as _CTP,
+        CLIPVisionModelWithProjection as _CVP,
+    )
+
+    et = _CTP.from_pretrained("openai/clip-vit-base-patch32")
+    save(et.state_dict(), "eval_clip_text.safetensors")
+    ev = _CVP.from_pretrained("openai/clip-vit-base-patch32")
+    save(ev.state_dict(), "eval_clip_vision.safetensors")
+
     from huggingface_hub import hf_hub_download
 
     sk = hf_hub_download("lllyasviel/Annotators", "sk_model.pth")

@@ -19,6 +19,79 @@ def test_cosine_and_logit():
     assert M.clip_logit(a, b)[0] == pytest.approx(100.0)
 
 
+def test_save_load_safetensors_roundtrip(tmp_path):
+    from theatergen_tpu.models.weights import (
+        load_safetensors, save_safetensors,
+    )
+
+    rng = np.random.RandomState(0)
+    tensors = {
+        "a.weight": rng.randn(3, 4).astype(np.float32),
+        "b.bias": rng.randn(7).astype(np.float16),
+        "c.ids": np.arange(5, dtype=np.int64),
+    }
+    p = str(tmp_path / "t.safetensors")
+    save_safetensors(p, tensors)
+    back = load_safetensors(p)
+    assert set(back) == set(tensors)
+    for k in tensors:
+        np.testing.assert_array_equal(back[k], tensors[k])
+
+
+def test_clip_embedder_from_weights_dir(tmp_path):
+    """Ported eval towers load from a weights dir and reproduce torch
+    image embeddings (the CCS/TIS embedding space)."""
+    import torch
+    from transformers import (
+        CLIPTextModelWithProjection, CLIPVisionModelWithProjection,
+    )
+    from transformers import CLIPTextConfig as HFT
+    from transformers import CLIPVisionConfig as HFV
+
+    from theatergen_tpu.config import CLIPTextConfig, CLIPVisionConfig
+    from theatergen_tpu.eval.cmig import ClipEmbedder
+    from theatergen_tpu.models.weights import save_safetensors
+
+    torch.manual_seed(0)
+    tt = CLIPTextModelWithProjection(HFT(
+        vocab_size=1024, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=16, projection_dim=32)).eval()
+    tv = CLIPVisionModelWithProjection(HFV(
+        image_size=32, patch_size=16, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2,
+        projection_dim=32)).eval()
+    save_safetensors(str(tmp_path / "eval_clip_text.safetensors"),
+                     {k: v.numpy() for k, v in tt.state_dict().items()})
+    save_safetensors(str(tmp_path / "eval_clip_vision.safetensors"),
+                     {k: v.numpy() for k, v in tv.state_dict().items()})
+
+    emb = ClipEmbedder.from_weights_dir(
+        str(tmp_path),
+        tcfg=CLIPTextConfig(vocab_size=1024, hidden_size=32,
+                            intermediate_size=64, num_layers=2, num_heads=2,
+                            max_length=16, projection_dim=32,
+                            use_text_projection=True),
+        vcfg=CLIPVisionConfig(image_size=32, patch_size=16, hidden_size=32,
+                              intermediate_size=64, num_layers=2,
+                              num_heads=2, projection_dim=32))
+
+    rng = np.random.RandomState(1)
+    img = rng.rand(32, 32, 3).astype(np.float32)
+    ours = emb.embed_images([img])
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+    timg = torch.from_numpy(
+        ((img - mean) / std).transpose(2, 0, 1)[None])
+    with torch.no_grad():
+        theirs = tv(timg).image_embeds.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
+
+    te = emb.embed_texts(["a cat", "a dog"])
+    assert te.shape == (2, 32)
+    assert np.isfinite(te).all()
+
+
 def test_frechet_distance_properties():
     rng = np.random.RandomState(0)
     x = rng.randn(500, 8)

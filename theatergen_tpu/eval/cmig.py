@@ -92,6 +92,33 @@ class ClipEmbedder:
         tok = tokenizer or load_tokenizer(None, tcfg.vocab_size)
         return cls(text, tp, vision, vp, tok, tcfg.max_length)
 
+    @classmethod
+    def from_weights_dir(cls, weights_dir: str, tokenizer=None,
+                         tcfg=None, vcfg=None):
+        """ViT-B/32 pair from ported openai/clip-vit-base-patch32
+        checkpoints (``eval_clip_text.safetensors`` /
+        ``eval_clip_vision.safetensors``, written by
+        scripts/export_weights.py) — real CCS/TIS scores."""
+        import os
+
+        from ..config import CLIPTextConfig, CLIPVisionConfig
+        from ..models.clip import CLIPTextEncoder, CLIPVisionEncoder
+        from ..models.weights import (
+            load_state_dict, port_clip_text, port_clip_vision,
+        )
+        from ..utils.tokenizer import load_tokenizer
+
+        tcfg = tcfg or CLIPTextConfig(projection_dim=512,
+                                      use_text_projection=True)
+        vcfg = vcfg or CLIPVisionConfig.vit_b32()
+        tp = port_clip_text(load_state_dict(
+            os.path.join(weights_dir, "eval_clip_text.safetensors")))
+        vp = port_clip_vision(load_state_dict(
+            os.path.join(weights_dir, "eval_clip_vision.safetensors")))
+        tok = tokenizer or load_tokenizer(weights_dir, tcfg.vocab_size)
+        return cls(CLIPTextEncoder(tcfg), tp, CLIPVisionEncoder(vcfg), vp,
+                   tok, tcfg.max_length)
+
     def embed_images(self, images: List[np.ndarray]) -> np.ndarray:
         import jax
         import jax.numpy as jnp
@@ -297,11 +324,19 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--max_dialogues", type=int, default=None)
+    ap.add_argument("--weights_dir", default=None,
+                    help="directory with eval_clip_{text,vision}.safetensors"
+                         " (ported openai/clip-vit-base-patch32) for real"
+                         " CCS/TIS scores")
     args = ap.parse_args(argv)
 
     import jax
 
-    embedder = ClipEmbedder.eval_default(jax.random.key(0), tiny=args.tiny)
+    if args.weights_dir:
+        embedder = ClipEmbedder.from_weights_dir(args.weights_dir)
+    else:
+        embedder = ClipEmbedder.eval_default(jax.random.key(0),
+                                             tiny=args.tiny)
     with open(os.path.join(args.dataset_path, f"{args.task}.json")) as f:
         dataset = json.load(f)
     out = evaluate_tree(args.save_dir, dataset, embedder,

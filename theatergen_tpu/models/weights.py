@@ -70,6 +70,35 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def save_safetensors(path: str, tensors: Dict[str, np.ndarray]) -> None:
+    """Minimal safetensors writer (fp32/fp16/int dtypes), symmetric with
+    :func:`load_safetensors`; used by tests and offline tooling."""
+    dtype_names = {
+        np.dtype(np.float32): "F32", np.dtype(np.float16): "F16",
+        np.dtype(np.int64): "I64", np.dtype(np.int32): "I32",
+        np.dtype(np.uint8): "U8", np.dtype(np.bool_): "BOOL",
+    }
+    header = {}
+    offset = 0
+    blobs = []
+    for name in sorted(tensors):
+        arr = np.ascontiguousarray(tensors[name])
+        blob = arr.tobytes()
+        header[name] = {
+            "dtype": dtype_names[arr.dtype],
+            "shape": list(arr.shape),
+            "data_offsets": [offset, offset + len(blob)],
+        }
+        offset += len(blob)
+        blobs.append(blob)
+    hdr = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hdr)))
+        f.write(hdr)
+        for blob in blobs:
+            f.write(blob)
+
+
 def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
     import torch
 
