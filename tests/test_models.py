@@ -208,3 +208,57 @@ def test_clip_vision_encoder():
     assert embeds.shape == (2, CFG.vision.projection_dim)
     assert pooled.shape == (2, CFG.vision.hidden_size)
     assert tokens.shape == (2, (32 // 16) ** 2 + 1, CFG.vision.hidden_size)
+
+
+def test_gligen_fuser_identity_at_init():
+    """GLIGEN gated self-attention is an exact identity at init (alpha
+    gates are zero), so a GLIGEN-initialized UNet matches the plain
+    forward until grounding weights load (reference fork
+    models/attention.py:25-53)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.models.unet import UNet2DCondition
+
+    cfg = tiny_config().unet
+    unet = UNet2DCondition(cfg)
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    t = jnp.array([3], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(1), (1, 16, cfg.cross_attention_dim))
+    objs = jax.random.normal(jax.random.key(2), (1, 3, cfg.cross_attention_dim))
+    params = unet.init(jax.random.key(3), x, t, ctx, objs=objs)["params"]
+    with_objs = unet.apply({"params": params}, x, t, ctx, objs=objs)
+    without = unet.apply({"params": params}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(with_objs), np.asarray(without),
+                               atol=1e-6)
+    # fuser params exist on every attention level
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert any("fuser" in "/".join(str(k) for k in path)
+               for path, _ in flat)
+
+
+def test_position_net_null_padding():
+    """Masked objects map to the learned null features — padding objects
+    to max_objects changes nothing for real ones."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from theatergen_tpu.models.ip_adapter import PositionNet
+
+    net = PositionNet(out_dim=32, text_dim=16)
+    boxes = jnp.asarray([[[0.1, 0.1, 0.5, 0.6], [0.2, 0.3, 0.9, 0.8]]])
+    masks = jnp.asarray([[1.0, 0.0]])
+    phr = jax.random.normal(jax.random.key(0), (1, 2, 16))
+    params = net.init(jax.random.key(1), boxes, masks, phr)["params"]
+    out = net.apply({"params": params}, boxes, masks, phr)
+    assert out.shape == (1, 2, 32)
+    # the masked slot must not depend on its (junk) box/phrase values
+    boxes2 = boxes.at[0, 1].set(jnp.asarray([0.0, 0.0, 1.0, 1.0]))
+    phr2 = phr.at[0, 1].set(0.0)
+    out2 = net.apply({"params": params}, boxes2, masks, phr2)
+    np.testing.assert_allclose(np.asarray(out[0, 1]), np.asarray(out2[0, 1]),
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(out[0, 0]), np.asarray(out[0, 1]))

@@ -125,3 +125,46 @@ class Resampler(nn.Module):
             latents = latents + h
         out = nn.Dense(self.output_dim, name="proj_out")(latents)
         return nn.LayerNorm(name="norm_out")(out)
+
+
+class PositionNet(nn.Module):
+    """GLIGEN grounding-token projector (the reference fork's
+    ``position_net``, ``ip_adapter/unet_2d_condition.py:651,1002-1005``):
+    per-object phrase embeddings + Fourier-embedded boxes → ``objs`` tokens
+    consumed by the transformer blocks' gated self-attention fusers.
+
+    Masked (padding) objects fall back to learned null features, so a
+    fixed ``max_objects`` keeps the jitted shape static.
+    """
+
+    out_dim: int
+    text_dim: int = 768
+    fourier_freqs: int = 8
+
+    @nn.compact
+    def __call__(
+        self,
+        boxes: jnp.ndarray,        # [B, N, 4] normalized xyxy
+        masks: jnp.ndarray,        # [B, N] 1 = real object
+        phrase_embeds: jnp.ndarray,  # [B, N, text_dim]
+    ) -> jnp.ndarray:              # [B, N, out_dim]
+        pos_dim = self.fourier_freqs * 2 * 4
+        freq = (100.0 ** (jnp.arange(self.fourier_freqs)
+                          / self.fourier_freqs))
+        ang = boxes[..., None] * freq          # [B, N, 4, F]
+        xyxy = jnp.concatenate(
+            [jnp.sin(ang), jnp.cos(ang)], axis=-1
+        ).reshape(*boxes.shape[:2], pos_dim)
+
+        null_pos = self.param("null_position_feature",
+                              nn.initializers.zeros, (pos_dim,))
+        null_txt = self.param("null_positive_feature",
+                              nn.initializers.zeros, (self.text_dim,))
+        m = masks[..., None]
+        xyxy = xyxy * m + (1 - m) * null_pos
+        txt = phrase_embeds * m + (1 - m) * null_txt
+
+        h = jnp.concatenate([txt, xyxy], axis=-1)
+        h = nn.silu(nn.Dense(512, name="linears_0")(h))
+        h = nn.silu(nn.Dense(512, name="linears_2")(h))
+        return nn.Dense(self.out_dim, name="linears_4")(h)

@@ -246,11 +246,41 @@ class CrossAttention(nn.Module):
         return out, probs
 
 
+class GatedSelfAttention(nn.Module):
+    """GLIGEN gated self-attention fuser (reference fork
+    ``models/attention.py:25-53``): visual tokens self-attend jointly with
+    grounding ``objs`` tokens, gated by ``tanh(alpha)`` scalars that are
+    zero at init — the fuser is an exact identity until GLIGEN weights
+    load."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, objs: jnp.ndarray) -> jnp.ndarray:
+        n_visual = x.shape[1]
+        objs = nn.Dense(x.shape[-1], dtype=self.dtype, name="linear")(objs)
+        alpha_attn = self.param("alpha_attn", nn.initializers.zeros, ())
+        alpha_dense = self.param("alpha_dense", nn.initializers.zeros, ())
+        h, _ = CrossAttention(
+            self.num_heads, self.head_dim, use_flash=False,
+            dtype=self.dtype, name="attn",
+        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(
+            jnp.concatenate([x, objs], axis=1)))
+        x = x + jnp.tanh(alpha_attn) * h[:, :n_visual]
+        h = FeedForward(dtype=self.dtype, name="ff")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+        return x + jnp.tanh(alpha_dense) * h
+
+
 class BasicTransformerBlock(nn.Module):
     """self-attn → cross-attn → FF with pre-LayerNorms (diffusers
     ``BasicTransformerBlock``; reference fork at ``models/attention.py:25-240``
     adds attn-probability capture, provided here via ``return_probs`` +
-    ``nn.Module.sow``)."""
+    ``nn.Module.sow``).  When ``objs`` grounding tokens are given, a GLIGEN
+    fuser runs between self- and cross-attention
+    (``models/attention.py:152-154,199-203``)."""
 
     num_heads: int
     head_dim: int
@@ -267,12 +297,16 @@ class BasicTransformerBlock(nn.Module):
         *,
         ip_scale: jnp.ndarray | float = 1.0,
         capture_probs: bool = False,
+        objs: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         h, _ = CrossAttention(
             self.num_heads, self.head_dim, use_flash=self.use_flash,
             dtype=self.dtype, quantized=self.quantized, name="attn1",
         )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
         x = x + h
+        if objs is not None:
+            x = GatedSelfAttention(self.num_heads, self.head_dim,
+                                   dtype=self.dtype, name="fuser")(x, objs)
         h, probs = CrossAttention(
             self.num_heads, self.head_dim, ip_tokens=self.ip_tokens,
             use_flash=self.use_flash, dtype=self.dtype,
@@ -320,6 +354,7 @@ class Transformer2D(nn.Module):
         *,
         ip_scale: jnp.ndarray | float = 1.0,
         capture_layers: Tuple[int, ...] = (),
+        objs: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
@@ -335,7 +370,7 @@ class Transformer2D(nn.Module):
                 quantized=self.quantized,
                 name=f"transformer_blocks_{i}",
             )(x, context, ip_scale=ip_scale,
-              capture_probs=i in capture_layers)
+              capture_probs=i in capture_layers, objs=objs)
         x = x.reshape(b, h, w, c)
         x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
         return x + residual

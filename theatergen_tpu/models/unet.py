@@ -63,6 +63,7 @@ class UNetEncoder(nn.Module):
         cond_hint: Optional[jnp.ndarray] = None,
         level_residuals: Optional[Tuple[jnp.ndarray, ...]] = None,
         max_level: Optional[int] = None,
+        objs: Optional[jnp.ndarray] = None,
     ):
         """``max_level``: stop after that many levels' resnet/attn layers
         (no trailing downsample) — the partial down path of a DeepCache
@@ -95,7 +96,7 @@ class UNetEncoder(nn.Module):
                         quantized=cfg.quantized,
                         use_flash=cfg.flash_attention, dtype=dtype,
                         name=f"down_blocks_{i}_attentions_{j}",
-                    )(h, context, ip_scale=ip_scale,
+                    )(h, context, ip_scale=ip_scale, objs=objs,
                       capture_layers=_captures(capture_keys, "down", i, j))
                 skips.append(h)
             if level_residuals is not None and i < len(level_residuals):
@@ -115,7 +116,8 @@ class UNetMid(nn.Module):
 
     @nn.compact
     def __call__(self, h, temb, context, *, ip_scale=1.0,
-                 capture_keys: Tuple[AttnKey, ...] = ()):
+                 capture_keys: Tuple[AttnKey, ...] = (),
+                 objs: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         dtype = get_dtype(cfg.dtype)
         ch = cfg.block_out_channels[-1]
@@ -131,7 +133,7 @@ class UNetMid(nn.Module):
             fast_norm=cfg.fast_norm, quantized=cfg.quantized,
             use_flash=cfg.flash_attention, dtype=dtype,
             name="mid_block_attentions_0",
-        )(h, context, ip_scale=ip_scale,
+        )(h, context, ip_scale=ip_scale, objs=objs,
           capture_layers=_captures(capture_keys, "mid", 0, 0))
         h = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dtype,
                           fast_norm=cfg.fast_norm, quantized=cfg.quantized,
@@ -166,6 +168,7 @@ class UNet2DCondition(nn.Module):
         deep_cache: Optional[jnp.ndarray] = None,
         return_deep_cache: bool = False,
         cache_level: int = 1,
+        objs: Optional[jnp.ndarray] = None,   # GLIGEN grounding tokens
     ) -> jnp.ndarray:
         """DeepCache (arXiv 2312.00858) support:
 
@@ -237,7 +240,7 @@ class UNet2DCondition(nn.Module):
                         quantized=cfg.quantized,
                         use_flash=cfg.flash_attention, dtype=dtype,
                         name=f"up_blocks_{idx}_attentions_{j}",
-                    )(h, context, ip_scale=ip_scale,
+                    )(h, context, ip_scale=ip_scale, objs=objs,
                       capture_layers=_captures(capture_keys, "up", idx, j))
             if idx < n_levels - 1:
                 h = Upsample2D(ch, dtype=dtype,
@@ -249,6 +252,7 @@ class UNet2DCondition(nn.Module):
             h, skips = UNetEncoder(cfg, name="encoder")(
                 sample, temb, context, ip_scale=ip_scale,
                 capture_keys=capture_keys, level_residuals=level_residuals,
+                objs=objs,
             )
             if down_residuals is not None:
                 skips = [s + r.astype(s.dtype)
@@ -256,7 +260,7 @@ class UNet2DCondition(nn.Module):
 
             h = UNetMid(cfg, name="mid")(
                 h, temb, context, ip_scale=ip_scale,
-                capture_keys=capture_keys
+                capture_keys=capture_keys, objs=objs,
             )
             if mid_residual is not None:
                 h = h + mid_residual.astype(h.dtype)
@@ -271,7 +275,7 @@ class UNet2DCondition(nn.Module):
             h, skips = UNetEncoder(cfg, name="encoder")(
                 sample, temb, context, ip_scale=ip_scale,
                 capture_keys=capture_keys, level_residuals=level_residuals,
-                max_level=cache_level,
+                max_level=cache_level, objs=objs,
             )
             if down_residuals is not None:
                 # shallow skips are a prefix of the full skip stack, so the

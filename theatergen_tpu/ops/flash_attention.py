@@ -32,9 +32,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 LANE = 128
-DEFAULT_Q_BLOCK = 512
-DEFAULT_K_BLOCK = 4096
+# overridable for block-size sweeps through the end-to-end bench
+DEFAULT_Q_BLOCK = int(os.environ.get("THEATERGEN_FLASH_BQ", "512"))
+DEFAULT_K_BLOCK = int(os.environ.get("THEATERGEN_FLASH_BK", "4096"))
 # Use the kernel only when the K length is large enough that HBM logits
 # traffic dominates; below this XLA's fused path is fine.
 MIN_KV_FOR_FLASH = 1024
