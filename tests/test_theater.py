@@ -240,6 +240,51 @@ def test_turn_with_sam_hf_backend(tmp_path):
     assert np.isfinite(res.image).all()
 
 
+def test_turn_with_gdino_detector(tmp_path):
+    """Orchestrator with a GroundingDINO detector backend plugged into
+    detect-and-regenerate (bundle.detector, reference
+    utils/detector.py:5-21)."""
+    import jax.numpy as jnp
+
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.perception.gdino import (
+        GroundingDinoBackend, GroundingDinoForDetection, prepare_text_inputs,
+        tiny_gdino_config,
+    )
+    from theatergen_tpu.pipelines.bundle import init_bundle
+
+    gcfg = tiny_gdino_config()
+    gm = GroundingDinoForDetection(gcfg)
+    ids = np.array([[101, 5, 6, 1012, 102]], np.int64)
+    mask, pos = prepare_text_inputs(ids)
+    gparams = gm.init(jax.random.key(0),
+                      np.zeros((1, gcfg.image_size, gcfg.image_size, 3),
+                               np.float32), ids, mask, pos)["params"]
+
+    class _Tok:
+        cls, sep, unk = 101, 102, 100
+        vocab = {".": 1012}
+
+        def encode(self, text):
+            ids = [self.cls]
+            for t in text.split():
+                ids.append(1012 if t == "." else (hash(t) % 90) + 5)
+            ids.append(self.sep)
+            return ids
+
+    backend = GroundingDinoBackend(gcfg, gparams, _Tok())
+    # force detections to succeed so the turn takes the detector's box
+    backend.BOX_THRESHOLD = -1.0
+
+    bundle = init_bundle(tiny_config(), jax.random.key(0), with_ip=True,
+                         with_vision=True)
+    bundle.detector = backend
+    t = Theater(bundle, CharacterDB(str(tmp_path)), num_steps=2)
+    res = t.run_turn(SPEC_T2, seed=0)
+    assert np.isfinite(res.image).all()
+    assert all(res.detections)
+
+
 def test_ema_update():
     from theatergen_tpu.training.diffusion import ema_update
 
