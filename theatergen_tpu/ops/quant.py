@@ -69,6 +69,22 @@ def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return walk(params, "")
 
 
+def _use_fused_kernel() -> bool:
+    """Opt-in fused Pallas W8A8 (THEATERGEN_FUSED_INT8=1).
+
+    Measured e2e on v5e (BENCH_NOTES.md): 0.97 img/s vs the XLA W8A8
+    path's 1.43 — the UNet's small-N projection matmuls are
+    bandwidth-bound, so in-kernel quantization adds VPU passes instead of
+    buying MXU rate.  Kept for large-K/N serving shapes where it wins."""
+    import os
+
+    flag = os.environ.get("THEATERGEN_FUSED_INT8", "0") == "1"
+    try:
+        return flag and jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def int8_matmul(x_q: jnp.ndarray, w_q: jnp.ndarray) -> jnp.ndarray:
     """[..., K] int8 @ [K, N] int8 → int32."""
     return jax.lax.dot_general(
@@ -94,11 +110,19 @@ class QuantDense(nn.Module):
             (in_features, self.features),
         )
         scale = self.param("scale", nn.initializers.ones, (self.features,))
-        xf = x.astype(jnp.float32)
-        a_scale = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
-        x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
-        y = int8_matmul(x_q, kernel_q).astype(jnp.float32)
-        y = y * (a_scale * scale)
+        if _use_fused_kernel():
+            from .quant_matmul import quant_matmul
+
+            # fused Pallas path: in-register per-row activation quant
+            # (finer than per-tensor), int8 MXU dot, dequant epilogue
+            y = quant_matmul(x, kernel_q, scale, out_dtype=jnp.float32)
+        else:
+            xf = x.astype(jnp.float32)
+            a_scale = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
+            x_q = jnp.clip(jnp.round(xf / a_scale), -127,
+                           127).astype(jnp.int8)
+            y = int8_matmul(x_q, kernel_q).astype(jnp.float32)
+            y = y * (a_scale * scale)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
