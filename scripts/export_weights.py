@@ -95,9 +95,8 @@ def export(out: str, xl: bool = False) -> None:
                                   "bbox_embed.5", "model.decoder.bbox_embed"))}
     save(gd_sd, "gdino.safetensors")
     gd_tok = AutoTokenizer.from_pretrained("IDEA-Research/grounding-dino-tiny")
-    import shutil as _sh
-
-    _sh.copy(gd_tok.vocab_file, os.path.join(out, "gdino_vocab.txt"))
+    vocab_path = gd_tok.save_vocabulary(out)[0]   # writes vocab.txt
+    os.replace(vocab_path, os.path.join(out, "gdino_vocab.txt"))
     print("wrote gdino_vocab.txt")
 
     from huggingface_hub import hf_hub_download

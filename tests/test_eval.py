@@ -66,8 +66,26 @@ def test_clip_embedder_from_weights_dir(tmp_path):
     save_safetensors(str(tmp_path / "eval_clip_vision.safetensors"),
                      {k: v.numpy() for k, v in tv.state_dict().items()})
 
+    from theatergen_tpu.utils.tokenizer import load_tokenizer
+
+    # explicit tokenizer: the dir has no BPE assets, and from_weights_dir
+    # refuses the silent hash-tokenizer fallback (garbage scores)
+    with pytest.raises(FileNotFoundError):
+        ClipEmbedder.from_weights_dir(
+            str(tmp_path),
+            tcfg=CLIPTextConfig(vocab_size=1024, hidden_size=32,
+                                intermediate_size=64, num_layers=2,
+                                num_heads=2, max_length=16,
+                                projection_dim=32,
+                                use_text_projection=True),
+            vcfg=CLIPVisionConfig(image_size=32, patch_size=16,
+                                  hidden_size=32, intermediate_size=64,
+                                  num_layers=2, num_heads=2,
+                                  projection_dim=32))
+
     emb = ClipEmbedder.from_weights_dir(
         str(tmp_path),
+        tokenizer=load_tokenizer(None, 1024),
         tcfg=CLIPTextConfig(vocab_size=1024, hidden_size=32,
                             intermediate_size=64, num_layers=2, num_heads=2,
                             max_length=16, projection_dim=32,

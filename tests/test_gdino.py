@@ -157,6 +157,74 @@ def test_full_forward_parity(pair):
     np.testing.assert_allclose(j_boxes, t_boxes, atol=2e-4, rtol=1e-3)
 
 
+def test_level_shapes_track_ceil_merging():
+    """Patch merging pads odd resolutions up — level_shapes must agree
+    with the actual backbone output shapes (regression: floor-division
+    shapes broke odd intermediate sizes)."""
+    import dataclasses
+
+    import jax
+
+    from theatergen_tpu.perception.gdino import GroundingDinoConfig
+    from theatergen_tpu.perception.swin import SwinConfig
+
+    swin = SwinConfig(image_size=72, patch_size=4, embed_dim=8,
+                      depths=(1, 1, 1), num_heads=(2, 2, 2), window_size=4,
+                      out_stages=(1, 2, 3))
+    cfg = dataclasses.replace(tiny_gdino_config(), swin=swin, image_size=72,
+                              num_feature_levels=4)
+    # 72/4 = 18 → 9 → ceil(9/2) = 5; extra conv level ceil(5/2) = 3
+    assert cfg.level_shapes == ((18, 18), (9, 9), (5, 5), (3, 3))
+
+    maps = SwinBackbone(swin).apply(
+        {"params": SwinBackbone(swin).init(
+            jax.random.key(0), np.zeros((1, 72, 72, 3), np.float32)
+        )["params"]},
+        np.zeros((1, 72, 72, 3), np.float32))
+    got = tuple((m.shape[1], m.shape[2]) for m in maps)
+    assert got == cfg.level_shapes[:3]
+
+
+def test_position_net_fourier_ordering():
+    """Box Fourier features follow GLIGEN's (freq, sin|cos, coord) layout
+    so ported position_net weights line up (regression: coord-major
+    ordering was a silent permutation)."""
+    import torch
+
+    from theatergen_tpu.models.ip_adapter import PositionNet
+
+    def torch_fourier(boxes, num_freqs=8):
+        emb = 100 ** (torch.arange(num_freqs) / num_freqs)
+        emb = emb[None, None, None] * boxes.unsqueeze(-1)
+        emb = torch.stack((emb.sin(), emb.cos()), dim=-1)
+        return emb.permute(0, 1, 3, 4, 2).reshape(
+            boxes.shape[0], boxes.shape[1], num_freqs * 2 * 4)
+
+    import jax
+    import jax.numpy as jnp
+
+    boxes = np.array([[[0.1, 0.2, 0.7, 0.9]]], np.float32)
+    ref = torch_fourier(torch.from_numpy(boxes)).numpy()   # [1, 1, 64]
+
+    # make linears_0 a slice-selector (identity over the xyxy features,
+    # zero over the phrase slice) and read its captured output: it equals
+    # the module's internal fourier layout exactly
+    net = PositionNet(out_dim=8, text_dim=4, fourier_freqs=8)
+    params = net.init(jax.random.key(0), boxes, np.ones((1, 1), np.float32),
+                      np.zeros((1, 1, 4), np.float32))["params"]
+    k = np.zeros((4 + 64, 512), np.float32)
+    k[4:, :64] = np.eye(64)
+    params = dict(params)
+    params["linears_0"] = {"kernel": jnp.asarray(k), "bias": jnp.zeros(512)}
+    _, inter = net.apply({"params": params}, jnp.asarray(boxes),
+                         jnp.ones((1, 1)), jnp.zeros((1, 1, 4)),
+                         capture_intermediates=True)
+    dense_out = np.asarray(
+        inter["intermediates"]["linears_0"]["__call__"][0])
+    np.testing.assert_allclose(dense_out[..., :64], ref,
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_wordpiece_matches_bert_tokenizer(tmp_path):
     from transformers import BertTokenizer
 

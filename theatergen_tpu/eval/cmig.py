@@ -108,14 +108,26 @@ class ClipEmbedder:
         )
         from ..utils.tokenizer import load_tokenizer
 
-        tcfg = tcfg or CLIPTextConfig(projection_dim=512,
-                                      use_text_projection=True)
+        # ViT-B/32 TEXT tower dims (openai/clip-vit-base-patch32): hidden
+        # 512 / 8 heads / FFN 2048 — narrower than the SD default ViT-L
+        tcfg = tcfg or CLIPTextConfig(
+            hidden_size=512, num_heads=8, intermediate_size=2048,
+            projection_dim=512, use_text_projection=True)
         vcfg = vcfg or CLIPVisionConfig.vit_b32()
         tp = port_clip_text(load_state_dict(
             os.path.join(weights_dir, "eval_clip_text.safetensors")))
         vp = port_clip_vision(load_state_dict(
             os.path.join(weights_dir, "eval_clip_vision.safetensors")))
         tok = tokenizer or load_tokenizer(weights_dir, tcfg.vocab_size)
+        from ..utils.tokenizer import HashTokenizer
+
+        if tokenizer is None and isinstance(tok, HashTokenizer):
+            # a hash tokenizer against real ported text weights produces
+            # meaningless scores — fail loudly instead
+            raise FileNotFoundError(
+                f"no CLIP BPE assets (merges.txt/vocab.json) in "
+                f"{weights_dir}; real eval weights need the real "
+                f"tokenizer (scripts/export_weights.py writes both)")
         return cls(CLIPTextEncoder(tcfg), tp, CLIPVisionEncoder(vcfg), vp,
                    tok, tcfg.max_length)
 

@@ -152,9 +152,12 @@ class PositionNet(nn.Module):
         freq = (100.0 ** (jnp.arange(self.fourier_freqs)
                           / self.fourier_freqs))
         ang = boxes[..., None] * freq          # [B, N, 4, F]
-        xyxy = jnp.concatenate(
-            [jnp.sin(ang), jnp.cos(ang)], axis=-1
-        ).reshape(*boxes.shape[:2], pos_dim)
+        # feature order (freq, sin|cos, coord) — matches GLIGEN's
+        # get_fourier_embeds_from_boundingbox permute(0,1,3,4,2), so
+        # checkpoint linears_0 rows line up 1:1
+        emb = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+        xyxy = jnp.transpose(emb, (0, 1, 3, 4, 2)).reshape(
+            *boxes.shape[:2], pos_dim)
 
         null_pos = self.param("null_position_feature",
                               nn.initializers.zeros, (pos_dim,))

@@ -1017,17 +1017,9 @@ def load_bundle(cfg, weights_dir: str):
 
     from ..pipelines.bundle import init_bundle
 
-    # SAM weights only make sense through the checkpoint-faithful backend
-    has_sam_ckpt = os.path.exists(os.path.join(weights_dir, "sam.safetensors"))
-    if has_sam_ckpt and getattr(cfg.sam, "backend", "lite") != "hf":
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, sam=dataclasses.replace(cfg.sam, backend="hf"))
-
     bundle = init_bundle(
         cfg, jax.random.key(0), with_ip=True, with_controlnet=True,
-        with_vision=True, with_sam=has_sam_ckpt, tokenizer_assets=weights_dir,
+        with_vision=True, tokenizer_assets=weights_dir,
     )
 
     def maybe(path):
@@ -1065,7 +1057,12 @@ def load_bundle(cfg, weights_dir: str):
         bundle.vision_params = port_clip_vision(sd)
         loaded.append("vision")
     sd = maybe("sam.safetensors")
-    if sd and bundle.sam is not None:
+    if sd:
+        # no init: port_sam yields the complete SamHF tree (coverage-
+        # asserted in tests), so skip the expensive full-res sam.init
+        from ..perception.sam_hf import SamHF, SamHFConfig
+
+        bundle.sam = SamHF(SamHFConfig())
         bundle.sam_params = port_sam(sd)
         loaded.append("sam")
     sd = maybe("lineart.safetensors")

@@ -80,7 +80,9 @@ def _use_fused_kernel() -> bool:
 
     flag = os.environ.get("THEATERGEN_FUSED_INT8", "0") == "1"
     try:
-        return flag and jax.default_backend() not in ("cpu",)
+        # Mosaic-only kernel: TPU backends (incl. the axon tunnel), never
+        # CPU/GPU
+        return flag and jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 

@@ -66,11 +66,16 @@ class GroundingDinoConfig:
     @property
     def level_shapes(self) -> Tuple[Tuple[int, int], ...]:
         """Static (h, w) of each feature level (backbone stages at strides
-        8/16/32 + one extra stride-2 conv level)."""
-        shapes = []
-        for stage in self.swin.out_stages:
-            s = self.image_size // self.swin.patch_size // (2 ** (stage - 1))
-            shapes.append((s, s))
+        8/16/32 + one extra stride-2 conv level).  Patch merging rounds UP
+        (SwinPatchMerging pads odd resolutions), so sizes track ceil, not
+        floor."""
+        per_stage = {}
+        s = self.image_size // self.swin.patch_size
+        for stage in range(1, len(self.swin.depths) + 1):
+            per_stage[stage] = s
+            s = (s + 1) // 2
+        shapes = [(per_stage[st], per_stage[st])
+                  for st in self.swin.out_stages]
         for _ in range(self.num_feature_levels - len(self.swin.out_stages)):
             s = (shapes[-1][0] + 1) // 2
             shapes.append((s, s))
