@@ -176,3 +176,41 @@ def test_checkpoint_roundtrip(tmp_path, unet_setup):
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert ckpt.latest_step_dir(str(tmp_path / "ck")).endswith("step_7")
+
+
+def test_sequence_parallel_attention_matches_single_device():
+    """sp_attention over an 8-way sequence shard reproduces unsharded
+    attention (SURVEY §5: SDXL's 16384-token maps shard over a seq axis;
+    all-gather-KV flavor)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from theatergen_tpu.ops import attention as A
+    from theatergen_tpu.parallel.mesh import make_mesh
+    from theatergen_tpu.parallel.sp import sp_attention, sp_sharded
+
+    mesh = make_mesh(dp=8, tp=1)
+    b, s, h, d = 2, 64, 2, 8
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.key(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.key(2), (b, s, h, d))
+
+    ref, _ = A.multi_head_attention(q, k, v, use_flash=False)
+    qs, ks, vs = (sp_sharded(mesh, x) for x in (q, k, v))
+    out = sp_attention(qs, ks, vs, mesh, use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sequence_parallel_rejects_indivisible():
+    import jax
+    import pytest as _pytest
+
+    from theatergen_tpu.parallel.mesh import make_mesh
+    from theatergen_tpu.parallel.sp import sp_attention
+
+    mesh = make_mesh(dp=8, tp=1)
+    x = jax.numpy.zeros((1, 60, 2, 8))
+    with _pytest.raises(ValueError):
+        sp_attention(x, x, x, mesh)
