@@ -25,6 +25,9 @@ CFG_CUTOFF = os.environ.get("THEATERGEN_BENCH_CFG_CUTOFF")
 CFG_CUTOFF = int(CFG_CUTOFF) if CFG_CUTOFF else None
 DEEPCACHE = os.environ.get("THEATERGEN_BENCH_DEEPCACHE")
 DEEPCACHE = int(DEEPCACHE) if DEEPCACHE else None
+# "lcm": guidance-free few-step loop (LCM / LCM-LoRA checkpoints) —
+# one UNet eval per step, THEATERGEN_BENCH_STEPS=4 typical
+SAMPLER = os.environ.get("THEATERGEN_BENCH_SAMPLER", "ddim")
 TARGET = 4.0  # images/sec/chip, BASELINE.json
 
 
@@ -88,20 +91,33 @@ def main() -> None:
         )["params"],
         dtype=jnp.bfloat16,
     )
-    sched = sched_ops.make_schedule(cfg.scheduler, STEPS)
+    if SAMPLER == "lcm":
+        sampler = sched_ops.make_sampler(cfg.scheduler, STEPS, kind="lcm")
 
-    @jax.jit
-    def run(p, lat, context):
-        def unet_apply(x, t, c, **kw):
-            return unet.apply({"params": p}, x,
-                              jnp.broadcast_to(t[None], (x.shape[0],)), c,
-                              **kw)
+        @jax.jit
+        def run(p, lat, context):
+            def unet_apply(x, t, c, **kw):
+                return unet.apply({"params": p}, x,
+                                  jnp.broadcast_to(t[None], (x.shape[0],)),
+                                  c, **kw)
 
-        final, _ = sd.denoise(unet_apply, sched, lat, context,
-                              cfg.pipeline.guidance_scale,
-                              cfg_cutoff_steps=CFG_CUTOFF,
-                              deepcache_interval=DEEPCACHE)
-        return final
+            return sd.lcm_denoise(unet_apply, sampler, lat,
+                                  context[BATCH:], jax.random.key(3))
+    else:
+        sched = sched_ops.make_schedule(cfg.scheduler, STEPS)
+
+        @jax.jit
+        def run(p, lat, context):
+            def unet_apply(x, t, c, **kw):
+                return unet.apply({"params": p}, x,
+                                  jnp.broadcast_to(t[None], (x.shape[0],)),
+                                  c, **kw)
+
+            final, _ = sd.denoise(unet_apply, sched, lat, context,
+                                  cfg.pipeline.guidance_scale,
+                                  cfg_cutoff_steps=CFG_CUTOFF,
+                                  deepcache_interval=DEEPCACHE)
+            return final
 
     run(params, lat0, ctx).block_until_ready()  # compile
 
@@ -118,8 +134,9 @@ def main() -> None:
         tag += f" cfg-cutoff-{CFG_CUTOFF}"
     if DEEPCACHE:
         tag += f" deepcache-{DEEPCACHE}"
+    kind = "LCM (guidance-free)" if SAMPLER == "lcm" else "DDIM (CFG)"
     print(json.dumps({
-        "metric": f"SD1.5 512px {STEPS}-step DDIM (CFG) denoise throughput,"
+        "metric": f"SD1.5 512px {STEPS}-step {kind} denoise throughput,"
                   f" batch {BATCH}{tag}",
         "value": round(ips, 4),
         "unit": "images/sec/chip",

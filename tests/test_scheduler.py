@@ -127,3 +127,74 @@ def test_ddim_step_eta_requires_noise(eta):
             S.ddim_step(sched, x, jnp.int32(0), x, eta=eta)
     else:
         S.ddim_step(sched, x, jnp.int32(0), x, eta=eta)
+
+
+def test_lcm_timesteps_match_diffusers_formula():
+    """LCMScheduler grid: arange(1,K+1)*(T/K)-1 strided from the end."""
+    from theatergen_tpu.ops.scheduler import make_lcm_schedule
+
+    cfg = SchedulerConfig()
+    s = make_lcm_schedule(cfg, 4, original_inference_steps=50)
+    # skipping = 20; origin = [19, 39, ..., 999]; stride 50//4 = 12
+    expect = np.asarray([999, 759, 519, 279], np.int32)
+    np.testing.assert_array_equal(np.asarray(s.timesteps), expect)
+    assert s.num_steps == 4
+    # alpha_prod_prev is the next loop position's alpha
+    acp = np.asarray(s.alpha_prod)
+    np.testing.assert_allclose(np.asarray(s.alpha_prod_prev)[:-1], acp[1:])
+
+
+def test_lcm_step_boundary_condition():
+    """Last step returns the boundary-scaled x0 blend (no re-noising);
+    earlier steps re-noise toward the next grid point."""
+    import jax
+
+    from theatergen_tpu.ops.scheduler import lcm_step, make_lcm_schedule
+
+    cfg = SchedulerConfig()
+    s = make_lcm_schedule(cfg, 4)
+    rng = jax.random.key(0)
+    x = jax.random.normal(rng, (1, 4, 4, 4))
+    eps = jax.random.normal(jax.random.key(1), (1, 4, 4, 4))
+    noise = jax.random.normal(jax.random.key(2), (1, 4, 4, 4))
+
+    i_last = jnp.asarray(3)
+    a_t = s.alpha_prod[i_last]
+    x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+    st = s.timesteps[i_last].astype(jnp.float32) * s.timestep_scaling
+    c_skip = s.sigma_data ** 2 / (st ** 2 + s.sigma_data ** 2)
+    c_out = st / jnp.sqrt(st ** 2 + s.sigma_data ** 2)
+    want = c_out * x0 + c_skip * x
+    got = lcm_step(s, eps, i_last, x, noise)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    # non-final step: output variance includes the fresh-noise term
+    got0 = lcm_step(s, eps, jnp.asarray(0), x, noise)
+    assert not np.allclose(np.asarray(got0), np.asarray(got))
+
+
+def test_lcm_sampler_end_to_end_tiny():
+    """4-step guidance-free LCM loop through the tiny UNet stays finite."""
+    import jax
+
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.models.unet import UNet2DCondition
+    from theatergen_tpu.ops.scheduler import make_sampler
+    from theatergen_tpu.pipelines.sd import lcm_denoise
+
+    cfg = tiny_config()
+    unet = UNet2DCondition(cfg.unet)
+    lat = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(1),
+                            (1, 16, cfg.unet.cross_attention_dim))
+    params = unet.init(jax.random.key(2), lat,
+                       jnp.zeros((1,), jnp.int32), ctx)["params"]
+    sampler = make_sampler(cfg.scheduler, 4, kind="lcm")
+
+    def unet_apply(x, t, c):
+        return unet.apply({"params": params}, x,
+                          jnp.broadcast_to(t[None], (x.shape[0],)), c)
+
+    out = lcm_denoise(unet_apply, sampler, lat, ctx, jax.random.key(3))
+    assert out.shape == lat.shape
+    assert np.isfinite(np.asarray(out)).all()

@@ -167,6 +167,32 @@ def test_turn_with_deepcache(tmp_path):
     assert res.image.min() >= 0.0 and res.image.max() <= 1.0
 
 
+def test_turn_with_lcm_sampler(tmp_path):
+    """scheduler_type='lcm' runs both pipelines guidance-free (cond-only,
+    one UNet eval per step) through a full turn — the orchestrator path
+    for LCM(-LoRA)-merged checkpoints (--scheduler lcm)."""
+    import dataclasses
+
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.pipelines.bundle import init_bundle
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, scheduler_type="lcm"))
+    bundle = init_bundle(cfg, jax.random.key(0), with_ip=True,
+                         with_controlnet=True, with_vision=True)
+    t = Theater(bundle, CharacterDB(str(tmp_path)), num_steps=4)
+    res = t.run_turn(SPEC_T2, seed=0)
+    assert np.isfinite(res.image).all()
+    assert res.image.min() >= 0.0 and res.image.max() <= 1.0
+    # turn 1 wrote obj 0 to the DB; runs 2 and 3 both take the DB-hit
+    # (IP-conditioned) path and must agree bit-exactly
+    r2 = t.run_turn(SPEC_T2, seed=0)
+    r3 = t.run_turn(SPEC_T2, seed=0)
+    np.testing.assert_array_equal(r2.image, r3.image)
+
+
 def test_cfg_cutoff_steps_helper():
     from theatergen_tpu.ops.scheduler import cfg_cutoff_steps
 

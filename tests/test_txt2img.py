@@ -137,3 +137,16 @@ def test_denoise_deepcache(bundle):
     combo, _ = sd.denoise(unet_apply, sched_obj, lat, ctx, 7.5,
                           deepcache_interval=2, cfg_cutoff_steps=2)
     assert np.isfinite(np.asarray(combo)).all()
+
+
+def test_text2img_lcm_surface(bundle):
+    """Text2Img(sampler='lcm') is the user surface for LCM(-LoRA)-merged
+    checkpoints: guidance-free loop, finite [0,1] image, deterministic."""
+    pipe = sd.Text2Img(bundle, num_steps=4, sampler="lcm")
+    i1 = np.asarray(pipe(jax.random.key(7), "a knight"))
+    i2 = np.asarray(pipe(jax.random.key(7), "a knight"))
+    i3 = np.asarray(pipe(jax.random.key(8), "a knight"))
+    assert i1.shape[-1] == 3
+    assert np.isfinite(i1).all() and i1.min() >= 0.0 and i1.max() <= 1.0
+    np.testing.assert_array_equal(i1, i2)
+    assert not np.array_equal(i1, i3)

@@ -94,6 +94,11 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--deepcache", type=int, default=None,
                     help="DeepCache interval: full UNet every N-th step, "
                          "shallow blocks + cached deep feature in between")
+    ap.add_argument("--scheduler", default=None,
+                    choices=["ddim", "euler_ancestral", "lcm"],
+                    help="override the sampler; 'lcm' is the guidance-free "
+                         "few-step loop for LCM(-LoRA)-merged checkpoints "
+                         "(pair with --num_steps 4-8)")
     ap.add_argument("--max_dialogues", type=int, default=None)
     ap.add_argument("--profile", action="store_true",
                     help="emit a jax.profiler trace for the first dialogue")
@@ -125,7 +130,8 @@ def build_theater(args):
         cfg = sdxl_config()
     else:
         cfg = sd15_config()
-    if args.cfg_cutoff is not None or args.deepcache is not None:
+    if (args.cfg_cutoff is not None or args.deepcache is not None
+            or args.scheduler is not None):
         import dataclasses
 
         pl = cfg.pipeline
@@ -133,6 +139,8 @@ def build_theater(args):
             pl = dataclasses.replace(pl, cfg_cutoff_fraction=args.cfg_cutoff)
         if args.deepcache is not None:
             pl = dataclasses.replace(pl, deepcache_interval=args.deepcache)
+        if args.scheduler is not None:
+            pl = dataclasses.replace(pl, scheduler_type=args.scheduler)
         cfg = dataclasses.replace(cfg, pipeline=pl)
     is_xl = args.sd_version == "xl"
     if args.weights:

@@ -223,7 +223,9 @@ class PipelineConfig:
     deepcache_interval: Optional[int] = None
     max_objects: int = 8                # static pad for jit (SURVEY §7 hard parts)
     vae_scale: int = 8                  # spatial down-factor of the VAE
-    scheduler_type: str = "ddim"        # "ddim" | "euler_ancestral" (XL)
+    # "ddim" | "euler_ancestral" (XL) | "lcm" (guidance-free few-step loop
+    # for LCM(-LoRA)-merged checkpoints; pipelines go cond-only)
+    scheduler_type: str = "ddim"
 
     @property
     def latent_height(self) -> int:

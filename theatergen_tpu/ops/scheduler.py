@@ -297,6 +297,74 @@ def ea_step(
 
 
 @dataclasses.dataclass(frozen=True)
+class LCMSchedule:
+    """Latent Consistency Model sampling tables (LCM / LCM-LoRA,
+    arXiv 2310.04378 / 2311.05556 — the standard few-step acceleration for
+    the SD1.5 ecosystem; pairs with ``models/lora.py``'s LCM-LoRA merge).
+
+    Guidance-free: CFG is distilled into the weights, so each step is ONE
+    UNet eval, and 4-8 steps replace 50 — ~25× fewer UNet evals than
+    50-step CFG DDIM.
+    """
+
+    timesteps: jnp.ndarray        # [S] int32 descending
+    alpha_prod: jnp.ndarray       # [S]
+    alpha_prod_prev: jnp.ndarray  # [S] (next loop position)
+    num_steps: int
+    timestep_scaling: float = 10.0
+    sigma_data: float = 0.5
+    init_noise_sigma: float = 1.0
+
+
+def make_lcm_schedule(cfg: SchedulerConfig, num_steps: int,
+                      original_inference_steps: int = 50) -> LCMSchedule:
+    """diffusers LCMScheduler.set_timesteps: the distillation grid is
+    ``arange(1, K+1)·(T/K) − 1`` (K = original_inference_steps); sampling
+    strides over it from the end."""
+    T = cfg.num_train_timesteps
+    skipping = T // original_inference_steps
+    origin = (np.arange(1, original_inference_steps + 1) * skipping
+              - 1)                                    # ascending
+    stride = max(len(origin) // num_steps, 1)
+    ts = origin[::-1][::stride][:num_steps].astype(np.int32)
+    acp = alphas_cumprod_for(cfg)
+    alpha_prod = acp[ts]
+    alpha_prev = np.concatenate([acp[ts[1:]], [acp[0]]]).astype(np.float32)
+    return LCMSchedule(
+        timesteps=jnp.asarray(ts),
+        alpha_prod=jnp.asarray(alpha_prod.astype(np.float32)),
+        alpha_prod_prev=jnp.asarray(alpha_prev),
+        num_steps=len(ts),
+    )
+
+
+def lcm_step(
+    sched: LCMSchedule,
+    model_output: jnp.ndarray,     # eps prediction
+    i: jnp.ndarray,                # loop index
+    sample: jnp.ndarray,
+    noise: jnp.ndarray,            # fresh per-step noise
+) -> jnp.ndarray:
+    """One consistency step: x0 from eps, boundary-condition blend, then
+    re-noise to the next grid timestep (skipped on the last step)."""
+    a_t = sched.alpha_prod[i]
+    a_prev = sched.alpha_prod_prev[i]
+    x = sample.astype(jnp.float32)
+    eps = model_output.astype(jnp.float32)
+    x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+
+    scaled_t = sched.timesteps[i].astype(jnp.float32) * sched.timestep_scaling
+    c_skip = sched.sigma_data ** 2 / (scaled_t ** 2 + sched.sigma_data ** 2)
+    c_out = scaled_t / jnp.sqrt(scaled_t ** 2 + sched.sigma_data ** 2)
+    denoised = c_out * x0 + c_skip * x
+
+    renoised = (jnp.sqrt(a_prev) * denoised
+                + jnp.sqrt(1.0 - a_prev) * noise.astype(jnp.float32))
+    out = jnp.where(i == sched.num_steps - 1, denoised, renoised)
+    return out.astype(sample.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
 class Sampler:
     """Scheduler-agnostic stepping interface used by the denoise loops.
 
@@ -305,17 +373,18 @@ class Sampler:
     ancestral sampler (per-step noise via fold_in — no carry needed).
     """
 
-    kind: str                                   # "ddim" | "euler_ancestral"
+    kind: str                            # "ddim" | "euler_ancestral" | "lcm"
     ddim: Optional[DDIMSchedule] = None
     ea: Optional["EulerAncestralSchedule"] = None
+    lcm: Optional[LCMSchedule] = None
 
     @property
     def num_steps(self) -> int:
-        return (self.ddim or self.ea).num_steps
+        return (self.ddim or self.ea or self.lcm).num_steps
 
     @property
     def timesteps(self) -> jnp.ndarray:
-        return (self.ddim or self.ea).timesteps
+        return (self.ddim or self.ea or self.lcm).timesteps
 
     @property
     def init_noise_sigma(self):
@@ -329,13 +398,15 @@ class Sampler:
         return sample
 
     def step(self, model_output, i, sample, rng=None):
-        if self.kind == "euler_ancestral":
-            assert rng is not None, "ancestral sampler needs rng"
+        if self.kind in ("euler_ancestral", "lcm"):
+            assert rng is not None, f"{self.kind} sampler needs rng"
             import jax
 
             noise = jax.random.normal(
                 jax.random.fold_in(rng, i), sample.shape, jnp.float32
             ).astype(sample.dtype)
+            if self.kind == "lcm":
+                return lcm_step(self.lcm, model_output, i, sample, noise)
             return ea_step(self.ea, model_output, i, sample, noise)
         return ddim_step(self.ddim, model_output, i, sample)
 
@@ -345,6 +416,8 @@ class Sampler:
         (reference models/pipelines.py:106-119)."""
         if self.kind == "euler_ancestral":
             return self.ea.sigmas[i] ** 2
+        if self.kind == "lcm":
+            return jnp.sqrt(1.0 - self.lcm.alpha_prod[i])
         return guidance_step_scale(self.ddim, i)
 
 
@@ -355,6 +428,8 @@ def make_sampler(cfg: SchedulerConfig, num_steps: int, *,
     if kind == "euler_ancestral":
         return Sampler(kind=kind,
                        ea=make_euler_ancestral_schedule(cfg, num_steps))
+    if kind == "lcm":
+        return Sampler(kind=kind, lcm=make_lcm_schedule(cfg, num_steps))
     return Sampler(kind="ddim", ddim=make_schedule(
         cfg, num_steps, fast_after_steps=fast_after_steps,
         fast_rate=fast_rate))

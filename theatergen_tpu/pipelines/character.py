@@ -135,6 +135,9 @@ def make_character_pipeline(
     )
     gs = cfg.pipeline.guidance_scale if guidance_scale is None else guidance_scale
     text_len = cfg.text.max_length
+    # LCM(-LoRA) checkpoints distill CFG into the weights: every step is
+    # cond-only (one UNet eval), so the whole run is the "cutoff" phase
+    is_lcm = cfg.pipeline.scheduler_type == "lcm"
 
     use_dc = deepcache_interval is not None and deepcache_interval > 1
 
@@ -248,8 +251,9 @@ def make_character_pipeline(
             ref0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                                 ref_sd)
 
-        cutoff = sched_ops.cfg_cutoff_steps(sched.num_steps,
-                                            cfg_cutoff_fraction)
+        cutoff = (0 if is_lcm else
+                  sched_ops.cfg_cutoff_steps(sched.num_steps,
+                                             cfg_cutoff_fraction))
         b = input_latents.shape[0]
         carry = (input_latents, jnp.float32(jnp.inf), cache0, ref0)
         carry, (traj, refs) = jax.lax.scan(

@@ -72,6 +72,8 @@ def make_final_pipeline(
         fast_rate=cfg.pipeline.fast_rate)
     gs = cfg.pipeline.guidance_scale if guidance_scale is None else guidance_scale
     text_len = cfg.text.max_length
+    # LCM(-LoRA): CFG is distilled into the weights — cond-only every step
+    is_lcm = cfg.pipeline.scheduler_type == "lcm"
 
     use_dc = deepcache_interval is not None and deepcache_interval > 1
 
@@ -189,8 +191,9 @@ def make_final_pipeline(
                 latents_all[0])
             cache0 = jnp.zeros(cache_sd.shape, cache_sd.dtype)
 
-        cutoff = sched_ops.cfg_cutoff_steps(sched.num_steps,
-                                            cfg_cutoff_fraction)
+        cutoff = (0 if is_lcm else
+                  sched_ops.cfg_cutoff_steps(sched.num_steps,
+                                             cfg_cutoff_fraction))
         b = latents_all.shape[1]
         carry = (latents_all[0], jnp.float32(jnp.inf), cache0)
         carry, traj = jax.lax.scan(make_step(True), carry,

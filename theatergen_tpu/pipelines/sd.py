@@ -38,6 +38,28 @@ def cfg_combine(eps: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return eps_u + scale * (eps_c - eps_u)
 
 
+def lcm_denoise(
+    unet_apply: Callable[..., jnp.ndarray],
+    sampler,                           # scheduler.Sampler kind="lcm"
+    latents: jnp.ndarray,              # [B, h, w, 4]
+    context_cond: jnp.ndarray,         # [B, L, C] — conditional only
+    rng: jax.Array,
+) -> jnp.ndarray:
+    """Guidance-free LCM sampling loop (LCM / LCM-LoRA): one UNet eval per
+    step, fresh noise re-injection between consistency steps — 4-8 steps
+    replace the 50-step CFG loop once an LCM(-LoRA) checkpoint is merged
+    (``models/lora.py``)."""
+
+    def step(lat, i):
+        t = sampler.timesteps[i]
+        eps = unet_apply(lat, t, context_cond)
+        return sampler.step(eps, i, lat, rng=rng), None
+
+    final, _ = jax.lax.scan(step, latents,
+                            jnp.arange(sampler.num_steps))
+    return final
+
+
 def denoise(
     unet_apply: Callable[..., jnp.ndarray],
     sched: DDIMSchedule,
@@ -185,17 +207,28 @@ class Text2Img:
 
     >>> pipe = Text2Img(bundle, num_steps=20)
     >>> img = pipe(rng, "a cat")          # [B, H, W, 3] in [0, 1]
+
+    ``sampler="lcm"`` switches to the guidance-free LCM loop (one UNet
+    eval per step, 4-8 steps) for LCM(-LoRA)-merged checkpoints
+    (``models/lora.py``).
     """
 
     def __init__(self, bundle: Bundle, num_steps: int = 50,
-                 guidance_scale: Optional[float] = None):
+                 guidance_scale: Optional[float] = None,
+                 sampler: str = "ddim"):
         self.bundle = bundle
         cfg = bundle.cfg
-        self.sched = sched_ops.make_schedule(
-            cfg.scheduler, num_steps,
-            fast_after_steps=cfg.pipeline.fast_after_steps,
-            fast_rate=cfg.pipeline.fast_rate,
-        )
+        self.sampler_kind = sampler
+        if sampler == "lcm":
+            self.sampler = sched_ops.make_sampler(
+                cfg.scheduler, num_steps, kind="lcm")
+            self.sched = None
+        else:
+            self.sched = sched_ops.make_schedule(
+                cfg.scheduler, num_steps,
+                fast_after_steps=cfg.pipeline.fast_after_steps,
+                fast_rate=cfg.pipeline.fast_rate,
+            )
         self.guidance_scale = (
             cfg.pipeline.guidance_scale if guidance_scale is None else guidance_scale
         )
@@ -217,9 +250,14 @@ class Text2Img:
                 jnp.broadcast_to(t[None], (x.shape[0],)), ctx, **kw,
             )
 
-        final, _ = denoise(unet_apply, self.sched, lat, context,
-                           self.guidance_scale,
-                           deepcache_interval=cfg.pipeline.deepcache_interval)
+        if self.sampler_kind == "lcm":
+            cond = context[context.shape[0] // 2:]
+            final = lcm_denoise(unet_apply, self.sampler, lat, cond,
+                                jax.random.fold_in(rng, 1))
+        else:
+            final, _ = denoise(unet_apply, self.sched, lat, context,
+                               self.guidance_scale,
+                               deepcache_interval=cfg.pipeline.deepcache_interval)
         return decode_with(b.vae, vae_params, cfg.vae.scaling_factor, final)
 
     def __call__(self, rng: jax.Array, prompt, negative_prompt=None):
