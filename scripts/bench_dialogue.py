@@ -35,6 +35,9 @@ def main():
                     help="CFG-truncation fraction (see PipelineConfig)")
     ap.add_argument("--deepcache", type=int, default=None,
                     help="DeepCache interval (see PipelineConfig)")
+    ap.add_argument("--scheduler", default=None,
+                    choices=["ddim", "euler_ancestral", "lcm"],
+                    help="sampler override; 'lcm' = guidance-free few-step")
     args = ap.parse_args()
 
     from theatergen_tpu.cli.generate import build_spec
@@ -43,7 +46,8 @@ def main():
     from theatergen_tpu.theater import Theater
 
     cfg = sd15_config()
-    if args.cfg_cutoff is not None or args.deepcache is not None:
+    if (args.cfg_cutoff is not None or args.deepcache is not None
+            or args.scheduler is not None):
         import dataclasses as _dc
 
         pl = cfg.pipeline
@@ -51,6 +55,8 @@ def main():
             pl = _dc.replace(pl, cfg_cutoff_fraction=args.cfg_cutoff)
         if args.deepcache is not None:
             pl = _dc.replace(pl, deepcache_interval=args.deepcache)
+        if args.scheduler is not None:
+            pl = _dc.replace(pl, scheduler_type=args.scheduler)
         cfg = _dc.replace(cfg, pipeline=pl)
     print("materializing params...", flush=True)
     t0 = time.time()
@@ -139,10 +145,19 @@ def main():
         print(f"{dialogue}: {times[-1]:.1f}s", flush=True)
     import numpy as np
 
+    # per-phase wall-clock breakdown (character/final/perception/compose...)
+    # — with few-step samplers the denoise shrinks and these overheads
+    # dominate the turn; this is the data for attacking them
+    for name, st in sorted(theater.timer.summary().items(),
+                           key=lambda kv: -kv[1]["total_s"]):
+        print(f"  phase {name}: n={st['count']} total={st['total_s']:.1f}s "
+              f"p50={st['p50_s']*1000:.0f}ms", flush=True)
+
     print(json.dumps({
         "metric": f"sec per 4-turn dialogue (512px {args.num_steps}-step,"
                   f" guided={args.guided}, cfg_cutoff={args.cfg_cutoff},"
                   f" deepcache={args.deepcache},"
+                  f" scheduler={args.scheduler or 'ddim'},"
                   f" incl. first-turn compile)",
         "value": round(float(np.median(times)), 2),
         "unit": "seconds",

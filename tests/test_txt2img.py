@@ -150,3 +150,33 @@ def test_text2img_lcm_surface(bundle):
     assert np.isfinite(i1).all() and i1.min() >= 0.0 and i1.max() <= 1.0
     np.testing.assert_array_equal(i1, i2)
     assert not np.array_equal(i1, i3)
+
+
+def test_lcm_lora_merge_then_sample(bundle):
+    """The LCM-LoRA user flow end-to-end: merge adapter deltas into the
+    UNet (models/lora.py), then sample with the guidance-free LCM loop —
+    the merged weights must actually change the output."""
+    import dataclasses
+
+    from theatergen_tpu.models import lora as LR
+
+    kernel = bundle.unet_params["encoder"]["down_blocks_0_attentions_0"][
+        "transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+    in_f, out_f = kernel.shape
+    rng = np.random.RandomState(0)
+    lora_sd = {
+        "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q"
+        ".lora_A.weight": rng.randn(2, in_f).astype(np.float32),
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q"
+        ".lora_B.weight": rng.randn(out_f, 2).astype(np.float32),
+    }
+    merged = LR.apply_lora_unet(bundle.unet_params, lora_sd, scale=0.3)
+    b2 = dataclasses.replace(bundle, unet_params=merged)
+
+    base = np.asarray(sd.Text2Img(bundle, num_steps=4, sampler="lcm")(
+        jax.random.key(7), "a knight"))
+    with_lora = np.asarray(sd.Text2Img(b2, num_steps=4, sampler="lcm")(
+        jax.random.key(7), "a knight"))
+    assert np.isfinite(with_lora).all()
+    assert with_lora.min() >= 0.0 and with_lora.max() <= 1.0
+    assert not np.array_equal(base, with_lora)

@@ -71,9 +71,26 @@ class Bundle:
     lineart: Any = None
     lineart_params: Any = None
 
+    # jitted small-model forwards, built lazily and cached per Bundle.
+    # Eager flax .apply here costs ~1.6 ms PER OP through the axon tunnel
+    # (an unjitted CLIP forward measured ~850 ms vs ~1 ms of device time),
+    # so every host-called encoder goes through this cache. Params are
+    # explicit jit args — modules are static, so `dataclasses.replace`d
+    # bundles (e.g. LoRA-merged params) share the cache safely.
+    _jits: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    def jitted(self, key: str, fn) -> Any:
+        """Return a cached ``jax.jit(fn)`` under ``key`` (first call wins;
+        ``fn`` must close only over static module objects, never params)."""
+        if key not in self._jits:
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
     def text_embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
-        hidden, _ = self.text.apply({"params": self.text_params}, input_ids)
-        return hidden
+        fn = self.jitted(
+            "text_embed",
+            lambda p, ids: self.text.apply({"params": p}, ids)[0])
+        return fn(self.text_params, input_ids)
 
 
 def init_bundle(

@@ -64,9 +64,10 @@ def ip_context(
     black-image features (plus/full — pass ``uncond_features``)
     (reference ``IPAdapter.get_image_embeds`` + concat,
     ``ip_adapter/ip_adapter.py:142-153``, ``models/pipelines.py:246-247``)."""
-    proj = lambda e: bundle.image_proj.apply(
-        {"params": bundle.image_proj_params}, e
-    )
+    proj_fn = bundle.jitted(
+        "image_proj",
+        lambda p, e: bundle.image_proj.apply({"params": p}, e))
+    proj = lambda e: proj_fn(bundle.image_proj_params, e)
     cond_tokens = proj(image_embeds)
     if uncond_features is None:
         uncond_features = jnp.zeros_like(image_embeds)
@@ -82,17 +83,20 @@ def encode_ip_image(bundle: Bundle, image: jnp.ndarray) -> jnp.ndarray:
     "base"/"full" variants use the projected CLS embedding
     (``ip_adapter/ip_adapter.py:147-152``); "plus" uses the penultimate
     patch tokens fed to the Resampler (``:284-299``)."""
-    # CLIP normalization
-    mean = jnp.array([0.48145466, 0.4578275, 0.40821073])
-    std = jnp.array([0.26862954, 0.26130258, 0.27577711])
     size = bundle.cfg.vision.image_size
-    img = jax.image.resize(image, (image.shape[0], size, size, 3), "bilinear")
-    img = (img - mean) / std
-    embeds, _, patch_tokens = bundle.vision.apply(
-        {"params": bundle.vision_params}, img)
-    if getattr(bundle, "ip_variant", "base") == "plus":
-        return patch_tokens
-    return embeds
+    want_patches = getattr(bundle, "ip_variant", "base") == "plus"
+
+    def fwd(p, img):
+        # CLIP normalization
+        mean = jnp.array([0.48145466, 0.4578275, 0.40821073])
+        std = jnp.array([0.26862954, 0.26130258, 0.27577711])
+        img = jax.image.resize(img, (img.shape[0], size, size, 3),
+                               "bilinear")
+        img = (img - mean) / std
+        embeds, _, patch_tokens = bundle.vision.apply({"params": p}, img)
+        return patch_tokens if want_patches else embeds
+
+    return bundle.jitted("encode_ip_image", fwd)(bundle.vision_params, image)
 
 
 def make_character_pipeline(

@@ -45,10 +45,17 @@ def encode_prompts_xl(
     # tokenizer uses — the padded context rows feed every cross-attention
     ids2 = jnp.asarray(bundle.tokenizer(texts, max_length=L,
                                         pad_token_id=0))
+    enc = bundle.jitted(
+        "encode_xl",
+        lambda p1, p2, i1, i2: _dual_tower_fwd(bundle, p1, p2, i1, i2))
+    return enc(bundle.text_params, bundle.text2_params, ids, ids2)
+
+
+def _dual_tower_fwd(bundle, p1, p2, ids, ids2):
     _, _, pen1 = bundle.text.apply(
-        {"params": bundle.text_params}, ids, return_penultimate=True)
+        {"params": p1}, ids, return_penultimate=True)
     _, pooled2, pen2 = bundle.text2.apply(
-        {"params": bundle.text2_params}, ids2, return_penultimate=True)
+        {"params": p2}, ids2, return_penultimate=True)
     context = jnp.concatenate([pen1, pen2], axis=-1)
     return context, pooled2
 
@@ -160,8 +167,10 @@ class Text2ImgXL:
         context, pooled = encode_prompts_xl(b, prompt, negative_prompt)
         feats = None
         if hint is not None and b.t2i_adapter is not None:
-            feats = b.t2i_adapter.apply(
-                {"params": b.t2i_adapter_params}, hint[None])
+            t2i_fn = b.jitted(
+                "t2i_adapter", lambda tp, x: b.t2i_adapter.apply(
+                    {"params": tp}, x))
+            feats = t2i_fn(b.t2i_adapter_params, hint[None])
         img, latents = self._run(b.unet_params, b.vae_params, rng, context,
                                  pooled, feats)
         if output_type == "latent":

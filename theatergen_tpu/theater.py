@@ -98,6 +98,10 @@ class Theater:
         self._decode = jax.jit(
             lambda vp, z: sd.decode_with(bundle.vae, vp,
                                          cfg.vae.scaling_factor, z))
+        # static per sampler — fetching a device scalar costs a full tunnel
+        # round-trip per character otherwise
+        self._init_sigma = float(
+            jax.device_get(self.char_sched.init_noise_sigma))
         # plus/full IP variants condition the uncond branch on black-image
         # features; computed once per Theater
         self._uncond_ip = uncond_ip_features(bundle)
@@ -190,8 +194,29 @@ class Theater:
         (theatergen.py:30: aggregate the late, semantically-stable steps)."""
         steps = self.char_sched.num_steps   # fast schedules shorten this
         start = min(ATTN_AGG_START, max(steps - 1, 0))
-        return [jnp.mean(m[start:].astype(jnp.float32), axis=0)
-                for m in ref_attn]
+        fn = self.bundle.jitted(
+            f"agg_attn_{start}",
+            lambda maps: tuple(
+                jnp.mean(m[start:].astype(jnp.float32), axis=0)
+                for m in maps))
+        return list(fn(tuple(ref_attn)))
+
+    def _compose_impl(self, lineart_params, traj, masks_lat, masks_pix,
+                      images, boxes, valid, bg_lat):
+        """Alignment + trajectory composition + pixel collage + lineart +
+        frozen mask as one XLA program (jitted via ``bundle.jitted``)."""
+        traj_j, masks_j, _offsets = L.align_with_boxes(traj, masks_lat,
+                                                       boxes)
+        composed, fgi = L.compose_trajectories(traj_j, masks_j, bg_lat)
+        collage, _union = L.collage_images(images, masks_pix, boxes, valid)
+        if self.bundle.lineart is not None:
+            # ported annotator (LineartDetector, generate.py:96)
+            cond_img = self.bundle.lineart.apply(
+                {"params": lineart_params}, collage[None])[0]
+        else:
+            cond_img = dog_lineart(collage)
+        frozen_mask = (fgi > 0).astype(jnp.float32)  # theatergen.py:442-445
+        return composed, collage, cond_img, frozen_mask
 
     def _extract_masks(self, agg_maps, image, box_hint):
         """Character mask at latent + pixel scale: SAM when available,
@@ -212,19 +237,24 @@ class Theater:
                 out_sizes=(h, H),
             )
             return m_lat, m_pix
-        # attention fallback
-        agg = jnp.zeros((h, w), jnp.float32)
-        for m in agg_maps:
-            mm = jnp.mean(m, axis=0)
-            side = int(round(mm.shape[0] ** 0.5))
-            agg = agg + G.resize_bilinear(mm.reshape(side, side), h, w)
-        agg = agg / (jnp.max(agg) + 1e-8)
-        box_m = G.box_mask(box_hint, h, w)
-        # strong attention anywhere, or moderate attention inside the box
-        m_lat = jnp.maximum((agg > 0.3).astype(jnp.float32),
-                            box_m * (agg > 0.1))
-        m_pix = G.upsample_nearest(m_lat, H, W)
-        return m_lat, m_pix
+        # attention fallback (one jitted program — eager jnp costs a
+        # tunnel dispatch per op)
+        def fallback(maps, hint):
+            agg = jnp.zeros((h, w), jnp.float32)
+            for m in maps:
+                mm = jnp.mean(m, axis=0)
+                side = int(round(mm.shape[0] ** 0.5))
+                agg = agg + G.resize_bilinear(mm.reshape(side, side), h, w)
+            agg = agg / (jnp.max(agg) + 1e-8)
+            box_m = G.box_mask(hint, h, w)
+            # strong attention anywhere, or moderate attention in the box
+            m_lat = jnp.maximum((agg > 0.3).astype(jnp.float32),
+                                box_m * (agg > 0.1))
+            m_pix = G.upsample_nearest(m_lat, H, W)
+            return m_lat, m_pix
+
+        return self.bundle.jitted("attn_masks", fallback)(
+            tuple(agg_maps), jnp.asarray(box_hint, jnp.float32))
 
     # ---------------------------------------------------------- character
 
@@ -244,13 +274,14 @@ class Theater:
         if extra_neg:
             neg = f"{extra_neg}, {neg}"
 
-        token_pos = find_phrase_token_indices(
-            b.tokenizer, so_prompt, plan.word, cfg.text.max_length)
-        if not token_pos:
-            so_prompt = f"{so_prompt} | {plan.phrase}"  # guidance.py:33-36
+        with self.timer.phase("char.encode_text"):
             token_pos = find_phrase_token_indices(
                 b.tokenizer, so_prompt, plan.word, cfg.text.max_length)
-        text_ctx, extra_cond = self._encode_text(so_prompt, neg)
+            if not token_pos:
+                so_prompt = f"{so_prompt} | {plan.phrase}"  # guidance.py:33-36
+                token_pos = find_phrase_token_indices(
+                    b.tokenizer, so_prompt, plan.word, cfg.text.max_length)
+            text_ctx, extra_cond = self._encode_text(so_prompt, neg)
 
         db_img, db_emb, hit = self.db.lookup(plan.obj_id)
         if hit and db_emb is None:
@@ -270,41 +301,51 @@ class Theater:
 
         detected_ok = False
         result = image = None
-        for attempt in range(MAX_REGEN_ATTEMPTS):
-            arng = jax.random.fold_in(rng, attempt)
-            per_obj, _bg = L.input_latents_for_boxes(
-                jax.random.fold_in(arng, 0), jax.random.fold_in(arng, 1),
-                jnp.asarray(centered)[None], cfg.pipeline.latent_height,
+        lat_fn = self.bundle.jitted(
+            "char_input_latents",
+            lambda r0, r1, bx: L.input_latents_for_boxes(
+                r0, r1, bx, cfg.pipeline.latent_height,
                 cfg.pipeline.latent_width,
                 fg_blending_ratio=cfg.pipeline.fg_blending_ratio,
-            )
-            init_lat = per_obj[0] * np.float32(
-                jax.device_get(self.char_sched.init_noise_sigma))
-            result = self.char_run(
-                b.unet_ip_params, init_lat, ctx, jnp.float32(ip_scale),
-                gin, rng=jax.random.fold_in(arng, 7),
-                extra_cond=extra_cond)
-            image = self._decode_img(result.latents)
-            agg = self._aggregate_attn(result.ref_attn)
-            if self.bundle.detector is not None:
-                # external open-vocabulary detector (GroundingDINO-faithful
-                # backend) on the generated image, as the reference does
-                # (utils/detector.py:5-21)
-                detection = self.bundle.detector(image[0], plan.phrase)
-            else:
-                detection = det.attention_detect(agg, None)
-            detected_ok = bool(detection.ok)
+                init_noise_sigma=self._init_sigma)[0][0])
+        for attempt in range(MAX_REGEN_ATTEMPTS):
+            arng = jax.random.fold_in(rng, attempt)
+            init_lat = lat_fn(jax.random.fold_in(arng, 0),
+                              jax.random.fold_in(arng, 1),
+                              jnp.asarray(centered)[None])
+            with self.timer.phase("char.denoise_decode"):
+                result = self.char_run(
+                    b.unet_ip_params, init_lat, ctx, jnp.float32(ip_scale),
+                    gin, rng=jax.random.fold_in(arng, 7),
+                    extra_cond=extra_cond)
+                image = self._decode_img(result.latents)
+                agg = self._aggregate_attn(result.ref_attn)
+            with self.timer.phase("char.detect"):
+                if self.bundle.detector is not None:
+                    # external open-vocabulary detector (GroundingDINO-
+                    # faithful backend) on the generated image, as the
+                    # reference does (utils/detector.py:5-21)
+                    detection = self.bundle.detector(image[0], plan.phrase)
+                else:
+                    detection = self.bundle.jitted(
+                        "attn_detect",
+                        lambda maps: det.attention_detect(list(maps), None),
+                    )(tuple(agg))
+                detected_ok = bool(detection.ok)
             if detected_ok:
                 break
             # semantic self-healing: reseed and retry (theatergen.py:141-160)
         agg = self._aggregate_attn(result.ref_attn)
         det_box = detection.box if detected_ok else jnp.asarray(centered)
-        m_lat, m_pix = self._extract_masks(agg, image, det_box)
+        with self.timer.phase("char.masks"):
+            m_lat, m_pix = self._extract_masks(agg, image, det_box)
 
         if not hit:
-            emb = np.asarray(encode_ip_image(b, image)[0])
-            self.db.save(plan.obj_id, np.asarray(image[0]), emb.reshape(-1))
-            img_embed = self._embed_from_db(emb)
+            with self.timer.phase("char.embed_db"):
+                emb = np.asarray(encode_ip_image(b, image)[0])
+                self.db.save(plan.obj_id, np.asarray(image[0]),
+                             emb.reshape(-1))
+                img_embed = self._embed_from_db(emb)
 
         return dict(
             trajectory=result.trajectory, ref_attn=result.ref_attn,
@@ -359,8 +400,7 @@ class Theater:
             lat = sd.seeded_latents(jax.random.fold_in(rng, 99), 1,
                                     cfg.pipeline.latent_height,
                                     cfg.pipeline.latent_width)
-            lat = lat * np.float32(
-                jax.device_get(self.char_sched.init_noise_sigma))
+            lat = lat * np.float32(self._init_sigma)
             res = self.char_run(b.unet_ip_params, lat, ctx, jnp.float32(0.0),
                                 self._guidance_inputs([(0, 0, 1, 1)], [[1]]),
                                 rng=jax.random.fold_in(rng, 98),
@@ -393,23 +433,18 @@ class Theater:
                      + [np.zeros(4, np.float32)] * pad_n))
         valid = jnp.arange(k) < n
 
-        # -- align to layout boxes, compose, collage
-        self._compose_timer = self.timer.phase("compose")
-        self._compose_timer.__enter__()
-        traj_j, masks_j, offsets = L.align_with_boxes(traj, masks_lat, boxes)
-        bg_lat = sd.seeded_latents(
-            jax.random.fold_in(rng, 1000), 1, h, w) * np.float32(
-                jax.device_get(self.char_sched.init_noise_sigma))
-        composed, fgi = L.compose_trajectories(traj_j, masks_j, bg_lat)
-        collage, union = L.collage_images(images, masks_pix, boxes, valid)
-        if self.bundle.lineart is not None:
-            # ported annotator (LineartDetector, generate.py:96)
-            cond_img = self.bundle.lineart.apply(
-                {"params": self.bundle.lineart_params}, collage[None])[0]
-        else:
-            cond_img = dog_lineart(collage)
-        frozen_mask = (fgi > 0).astype(jnp.float32)  # theatergen.py:442-445
-        self._compose_timer.__exit__(None, None, None)
+        # -- align to layout boxes, compose, collage: ONE jitted program
+        # (eager jnp here costs a tunnel dispatch per op — measured ~0.6 s
+        # of pure dispatch per turn before fusing)
+        with self.timer.phase("compose"):
+            bg_lat = sd.seeded_latents(
+                jax.random.fold_in(rng, 1000), 1, h, w) * np.float32(
+                    self._init_sigma)
+            compose_fn = self.bundle.jitted("theater_compose",
+                                            self._compose_impl)
+            composed, collage, cond_img, frozen_mask = compose_fn(
+                self.bundle.lineart_params, traj, masks_lat, masks_pix,
+                images, boxes, valid, bg_lat)
 
         # -- overall context (+ ip embeds from the first character,
         #    models/pipelines.py:700-701)
@@ -423,8 +458,10 @@ class Theater:
                          self._uncond_ip)
         adapter_feats = None
         if self.use_t2i:
-            adapter_feats = b.t2i_adapter.apply(
-                {"params": b.t2i_adapter_params}, cond_img[None])
+            t2i_fn = b.jitted(
+                "t2i_adapter", lambda tp, x: b.t2i_adapter.apply(
+                    {"params": tp}, x))
+            adapter_feats = t2i_fn(b.t2i_adapter_params, cond_img[None])
 
         # overall guidance: phrase token positions in the overall prompt.
         # Duplicate objects are pluralized there (convert_spec), so look up
