@@ -31,7 +31,7 @@ SAMPLER = os.environ.get("THEATERGEN_BENCH_SAMPLER", "ddim")
 TARGET = 4.0  # images/sec/chip, BASELINE.json
 
 
-LAST_MEASURED = 1.4078  # img/s, 2026-08-16 (see BENCH_NOTES.md)
+LAST_MEASURED = 1.3078  # img/s, 2026-08-16 re-measure (see BENCH_NOTES.md)
 INIT_TIMEOUT_S = int(os.environ.get("THEATERGEN_BENCH_TIMEOUT", "2400"))
 
 

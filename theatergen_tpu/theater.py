@@ -170,17 +170,19 @@ class Theater:
             # per guidance key: [K, heads, HW]
             num_keys = len(self.cfg.guidance.attn_keys)
             refs = []
+            # stacked on device — fetching each [heads, HW] map through the
+            # tunnel and re-uploading costs a round trip per map
             for ki in range(num_keys):
                 maps = []
                 for i in range(k):
                     if i < len(ref_attn) and ref_attn[i] is not None:
-                        maps.append(np.asarray(ref_attn[i][ki]))
+                        maps.append(ref_attn[i][ki])
                     else:
                         maps.append(None)
                 shape = next(m.shape for m in maps if m is not None)
-                maps = [m if m is not None else np.zeros(shape, np.float32)
+                maps = [m if m is not None else jnp.zeros(shape, jnp.float32)
                         for m in maps]
-                refs.append(jnp.asarray(np.stack(maps)))
+                refs.append(jnp.stack([m.astype(jnp.float32) for m in maps]))
             refs = tuple(refs)
         return GuidanceInputs(
             boxes=jnp.asarray(boxes_a), token_pos=jnp.asarray(pos),
