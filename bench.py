@@ -92,6 +92,11 @@ def main() -> None:
         dtype=jnp.bfloat16,
     )
     if SAMPLER == "lcm":
+        if CFG_CUTOFF or DEEPCACHE:
+            raise SystemExit(
+                "THEATERGEN_BENCH_CFG_CUTOFF/DEEPCACHE do not apply to the "
+                "guidance-free LCM loop — unset them so the emitted metric "
+                "line stays honest")
         sampler = sched_ops.make_sampler(cfg.scheduler, STEPS, kind="lcm")
 
         @jax.jit

@@ -46,18 +46,11 @@ def main():
     from theatergen_tpu.theater import Theater
 
     cfg = sd15_config()
-    if (args.cfg_cutoff is not None or args.deepcache is not None
-            or args.scheduler is not None):
-        import dataclasses as _dc
+    from theatergen_tpu.cli.generate import apply_pipeline_overrides
 
-        pl = cfg.pipeline
-        if args.cfg_cutoff is not None:
-            pl = _dc.replace(pl, cfg_cutoff_fraction=args.cfg_cutoff)
-        if args.deepcache is not None:
-            pl = _dc.replace(pl, deepcache_interval=args.deepcache)
-        if args.scheduler is not None:
-            pl = _dc.replace(pl, scheduler_type=args.scheduler)
-        cfg = _dc.replace(cfg, pipeline=pl)
+    cfg = apply_pipeline_overrides(
+        cfg, cfg_cutoff=args.cfg_cutoff, deepcache=args.deepcache,
+        scheduler=args.scheduler)
     print("materializing params...", flush=True)
     t0 = time.time()
     # build the bundle with fast host-side init to avoid giant init compiles

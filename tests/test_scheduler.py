@@ -130,18 +130,26 @@ def test_ddim_step_eta_requires_noise(eta):
 
 
 def test_lcm_timesteps_match_diffusers_formula():
-    """LCMScheduler grid: arange(1,K+1)*(T/K)-1 strided from the end."""
+    """LCMScheduler grid: arange(1,K+1)*(T/K)-1, linspace-indexed from
+    the end (current diffusers selection — covers non-divisor counts)."""
     from theatergen_tpu.ops.scheduler import make_lcm_schedule
 
     cfg = SchedulerConfig()
     s = make_lcm_schedule(cfg, 4, original_inference_steps=50)
-    # skipping = 20; origin = [19, 39, ..., 999]; stride 50//4 = 12
-    expect = np.asarray([999, 759, 519, 279], np.int32)
+    # skipping = 20; origin desc = [999, 979, ...]; floor-linspace indices
+    # [0, 12, 25, 37]
+    expect = np.asarray([999, 759, 499, 259], np.int32)
     np.testing.assert_array_equal(np.asarray(s.timesteps), expect)
     assert s.num_steps == 4
     # alpha_prod_prev is the next loop position's alpha
     acp = np.asarray(s.alpha_prod)
     np.testing.assert_allclose(np.asarray(s.alpha_prod_prev)[:-1], acp[1:])
+    # non-divisor count keeps covering the low-noise end instead of
+    # truncating: the last grid point must drop below t=100
+    s33 = make_lcm_schedule(cfg, 33, original_inference_steps=50)
+    ts33 = np.asarray(s33.timesteps)
+    assert s33.num_steps == 33 and len(np.unique(ts33)) == 33
+    assert ts33[-1] < 100 and (np.diff(ts33) < 0).all()
 
 
 def test_lcm_step_boundary_condition():

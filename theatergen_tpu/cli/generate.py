@@ -111,6 +111,24 @@ def load_dataset(dataset_path: str, task: str) -> dict:
         return json.load(f)
 
 
+def apply_pipeline_overrides(cfg, *, cfg_cutoff=None, deepcache=None,
+                             scheduler=None):
+    """One place for the CLI/bench pipeline-knob overrides so every
+    entry point accepts the same set."""
+    if cfg_cutoff is None and deepcache is None and scheduler is None:
+        return cfg
+    import dataclasses
+
+    pl = cfg.pipeline
+    if cfg_cutoff is not None:
+        pl = dataclasses.replace(pl, cfg_cutoff_fraction=cfg_cutoff)
+    if deepcache is not None:
+        pl = dataclasses.replace(pl, deepcache_interval=deepcache)
+    if scheduler is not None:
+        pl = dataclasses.replace(pl, scheduler_type=scheduler)
+    return dataclasses.replace(cfg, pipeline=pl)
+
+
 def build_theater(args):
     import jax
 
@@ -130,18 +148,9 @@ def build_theater(args):
         cfg = sdxl_config()
     else:
         cfg = sd15_config()
-    if (args.cfg_cutoff is not None or args.deepcache is not None
-            or args.scheduler is not None):
-        import dataclasses
-
-        pl = cfg.pipeline
-        if args.cfg_cutoff is not None:
-            pl = dataclasses.replace(pl, cfg_cutoff_fraction=args.cfg_cutoff)
-        if args.deepcache is not None:
-            pl = dataclasses.replace(pl, deepcache_interval=args.deepcache)
-        if args.scheduler is not None:
-            pl = dataclasses.replace(pl, scheduler_type=args.scheduler)
-        cfg = dataclasses.replace(cfg, pipeline=pl)
+    cfg = apply_pipeline_overrides(
+        cfg, cfg_cutoff=args.cfg_cutoff, deepcache=args.deepcache,
+        scheduler=args.scheduler)
     is_xl = args.sd_version == "xl"
     if args.weights:
         from ..models.weights import load_bundle

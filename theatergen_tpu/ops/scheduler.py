@@ -320,13 +320,16 @@ def make_lcm_schedule(cfg: SchedulerConfig, num_steps: int,
                       original_inference_steps: int = 50) -> LCMSchedule:
     """diffusers LCMScheduler.set_timesteps: the distillation grid is
     ``arange(1, K+1)·(T/K) − 1`` (K = original_inference_steps); sampling
-    strides over it from the end."""
+    picks ``floor(linspace(0, K, num_steps, endpoint=False))`` indices
+    into the reversed grid — the stride-based variant truncates the
+    low-noise end whenever ``num_steps`` does not divide K."""
     T = cfg.num_train_timesteps
     skipping = T // original_inference_steps
     origin = (np.arange(1, original_inference_steps + 1) * skipping
               - 1)                                    # ascending
-    stride = max(len(origin) // num_steps, 1)
-    ts = origin[::-1][::stride][:num_steps].astype(np.int32)
+    idx = np.floor(np.linspace(0, len(origin), num_steps,
+                               endpoint=False)).astype(np.int64)
+    ts = origin[::-1][idx].astype(np.int32)
     acp = alphas_cumprod_for(cfg)
     alpha_prod = acp[ts]
     alpha_prev = np.concatenate([acp[ts[1:]], [acp[0]]]).astype(np.float32)

@@ -80,15 +80,20 @@ class Bundle:
     _jits: dict = dataclasses.field(default_factory=dict, repr=False)
 
     def jitted(self, key: str, fn) -> Any:
-        """Return a cached ``jax.jit(fn)`` under ``key`` (first call wins;
-        ``fn`` must close only over static module objects, never params)."""
+        """Return a cached ``jax.jit(fn)`` under ``key`` (first call wins).
+
+        ``fn`` must never close over params (pass them as args). It MAY
+        close over module objects / static config, but then ``key`` must
+        include ``id(module)`` (or the config value): ``_jits`` is shared
+        across ``dataclasses.replace``d bundles, and a bare key would hand
+        a replaced bundle the original bundle's baked closure."""
         if key not in self._jits:
             self._jits[key] = jax.jit(fn)
         return self._jits[key]
 
     def text_embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         fn = self.jitted(
-            "text_embed",
+            f"text_embed_{id(self.text)}",
             lambda p, ids: self.text.apply({"params": p}, ids)[0])
         return fn(self.text_params, input_ids)
 

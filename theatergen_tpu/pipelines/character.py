@@ -65,7 +65,7 @@ def ip_context(
     (reference ``IPAdapter.get_image_embeds`` + concat,
     ``ip_adapter/ip_adapter.py:142-153``, ``models/pipelines.py:246-247``)."""
     proj_fn = bundle.jitted(
-        "image_proj",
+        f"image_proj_{id(bundle.image_proj)}",
         lambda p, e: bundle.image_proj.apply({"params": p}, e))
     proj = lambda e: proj_fn(bundle.image_proj_params, e)
     cond_tokens = proj(image_embeds)
@@ -96,7 +96,8 @@ def encode_ip_image(bundle: Bundle, image: jnp.ndarray) -> jnp.ndarray:
         embeds, _, patch_tokens = bundle.vision.apply({"params": p}, img)
         return patch_tokens if want_patches else embeds
 
-    return bundle.jitted("encode_ip_image", fwd)(bundle.vision_params, image)
+    key = f"encode_ip_image_{id(bundle.vision)}_{want_patches}_{size}"
+    return bundle.jitted(key, fwd)(bundle.vision_params, image)
 
 
 def make_character_pipeline(
@@ -260,8 +261,10 @@ def make_character_pipeline(
                                              cfg_cutoff_fraction))
         b = input_latents.shape[0]
         carry = (input_latents, jnp.float32(jnp.inf), cache0, ref0)
-        carry, (traj, refs) = jax.lax.scan(
-            make_step(True), carry, jnp.arange(cutoff))
+        traj = refs = None
+        if cutoff > 0:      # don't trace the 2×-batch CFG body when dead
+            carry, (traj, refs) = jax.lax.scan(
+                make_step(True), carry, jnp.arange(cutoff))
         if cutoff < sched.num_steps:
             if use_dc:
                 # cond-only phase: keep the cond rows of the batched cache
@@ -270,9 +273,10 @@ def make_character_pipeline(
             carry, (traj2, refs2) = jax.lax.scan(
                 make_step(False), carry,
                 jnp.arange(cutoff, sched.num_steps))
-            traj = jnp.concatenate([traj, traj2], axis=0)
-            if refs is not None:
-                refs = jax.tree.map(
+            traj = (traj2 if traj is None
+                    else jnp.concatenate([traj, traj2], axis=0))
+            if refs2 is not None:
+                refs = refs2 if refs is None else jax.tree.map(
                     lambda a, b: jnp.concatenate([a, b], axis=0),
                     refs, refs2)
         final = carry[0]

@@ -196,15 +196,18 @@ def make_final_pipeline(
                                              cfg_cutoff_fraction))
         b = latents_all.shape[1]
         carry = (latents_all[0], jnp.float32(jnp.inf), cache0)
-        carry, traj = jax.lax.scan(make_step(True), carry,
-                                   jnp.arange(cutoff))
+        traj = None
+        if cutoff > 0:      # don't trace the 2×-batch CFG body when dead
+            carry, traj = jax.lax.scan(make_step(True), carry,
+                                       jnp.arange(cutoff))
         if cutoff < sched.num_steps:
             if use_dc:
                 # cond-only phase: keep the cond rows of the batched cache
                 carry = (carry[0], carry[1], carry[2][b:])
             carry, traj2 = jax.lax.scan(
                 make_step(False), carry, jnp.arange(cutoff, sched.num_steps))
-            traj = jnp.concatenate([traj, traj2], axis=0)
+            traj = (traj2 if traj is None
+                    else jnp.concatenate([traj, traj2], axis=0))
         final = carry[0]
         trajectory = jnp.concatenate([traj, final[None]], axis=0)
         return final, trajectory

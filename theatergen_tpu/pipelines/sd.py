@@ -218,6 +218,10 @@ class Text2Img:
                  sampler: str = "ddim"):
         self.bundle = bundle
         cfg = bundle.cfg
+        if sampler not in ("ddim", "lcm"):
+            raise ValueError(
+                f"Text2Img supports sampler 'ddim' or 'lcm', got {sampler!r}"
+                " (Euler-Ancestral lives in pipelines/sdxl.py's loop)")
         self.sampler_kind = sampler
         if sampler == "lcm":
             self.sampler = sched_ops.make_sampler(

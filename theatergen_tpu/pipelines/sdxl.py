@@ -46,7 +46,7 @@ def encode_prompts_xl(
     ids2 = jnp.asarray(bundle.tokenizer(texts, max_length=L,
                                         pad_token_id=0))
     enc = bundle.jitted(
-        "encode_xl",
+        f"encode_xl_{id(bundle.text)}_{id(bundle.text2)}",
         lambda p1, p2, i1, i2: _dual_tower_fwd(bundle, p1, p2, i1, i2))
     return enc(bundle.text_params, bundle.text2_params, ids, ids2)
 
@@ -168,8 +168,8 @@ class Text2ImgXL:
         feats = None
         if hint is not None and b.t2i_adapter is not None:
             t2i_fn = b.jitted(
-                "t2i_adapter", lambda tp, x: b.t2i_adapter.apply(
-                    {"params": tp}, x))
+                f"t2i_adapter_{id(b.t2i_adapter)}",
+                lambda tp, x: b.t2i_adapter.apply({"params": tp}, x))
             feats = t2i_fn(b.t2i_adapter_params, hint[None])
         img, latents = self._run(b.unet_params, b.vae_params, rng, context,
                                  pooled, feats)

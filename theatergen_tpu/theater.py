@@ -48,6 +48,38 @@ ATTN_AGG_START = 10             # theatergen.py:30 attn_aggregation_step_start
 MAX_PHRASE_TOKENS = 8           # fixed token-position pad (shape stability)
 
 
+def _sync_fetch(*arrays) -> None:
+    """Pull one element of each array to the host — an honest phase-timer
+    sync (dependent-value fetch) that costs a single tiny round trip per
+    array instead of a full transfer."""
+    for a in arrays:
+        np.asarray(a.ravel()[:1])
+
+
+def _compose_program(lineart_module):
+    """Alignment + trajectory composition + pixel collage + lineart +
+    frozen mask as one XLA program. Module-level (closes over only the
+    lineart module, keyed by its id in the bundle jit cache) so a shared
+    bundle never pins a Theater instance through a bound method."""
+
+    def run(lineart_params, traj, masks_lat, masks_pix, images, boxes,
+            valid, bg_lat):
+        traj_j, masks_j, _offsets = L.align_with_boxes(traj, masks_lat,
+                                                       boxes)
+        composed, fgi = L.compose_trajectories(traj_j, masks_j, bg_lat)
+        collage, _union = L.collage_images(images, masks_pix, boxes, valid)
+        if lineart_module is not None:
+            # ported annotator (LineartDetector, generate.py:96)
+            cond_img = lineart_module.apply(
+                {"params": lineart_params}, collage[None])[0]
+        else:
+            cond_img = dog_lineart(collage)
+        frozen_mask = (fgi > 0).astype(jnp.float32)  # theatergen.py:442-445
+        return composed, collage, cond_img, frozen_mask
+
+    return run
+
+
 @dataclasses.dataclass
 class TurnResult:
     image: np.ndarray                 # [H, W, 3] in [0, 1]
@@ -203,23 +235,6 @@ class Theater:
                 for m in maps))
         return list(fn(tuple(ref_attn)))
 
-    def _compose_impl(self, lineart_params, traj, masks_lat, masks_pix,
-                      images, boxes, valid, bg_lat):
-        """Alignment + trajectory composition + pixel collage + lineart +
-        frozen mask as one XLA program (jitted via ``bundle.jitted``)."""
-        traj_j, masks_j, _offsets = L.align_with_boxes(traj, masks_lat,
-                                                       boxes)
-        composed, fgi = L.compose_trajectories(traj_j, masks_j, bg_lat)
-        collage, _union = L.collage_images(images, masks_pix, boxes, valid)
-        if self.bundle.lineart is not None:
-            # ported annotator (LineartDetector, generate.py:96)
-            cond_img = self.bundle.lineart.apply(
-                {"params": lineart_params}, collage[None])[0]
-        else:
-            cond_img = dog_lineart(collage)
-        frozen_mask = (fgi > 0).astype(jnp.float32)  # theatergen.py:442-445
-        return composed, collage, cond_img, frozen_mask
-
     def _extract_masks(self, agg_maps, image, box_hint):
         """Character mask at latent + pixel scale: SAM when available,
         otherwise thresholded aggregated attention
@@ -303,8 +318,10 @@ class Theater:
 
         detected_ok = False
         result = image = None
+        # key carries the sampler's sigma: Theaters with different sampler
+        # kinds can share one bundle (and thus the jit cache)
         lat_fn = self.bundle.jitted(
-            "char_input_latents",
+            f"char_input_latents_{self._init_sigma}",
             lambda r0, r1, bx: L.input_latents_for_boxes(
                 r0, r1, bx, cfg.pipeline.latent_height,
                 cfg.pipeline.latent_width,
@@ -322,6 +339,11 @@ class Theater:
                     extra_cond=extra_cond)
                 image = self._decode_img(result.latents)
                 agg = self._aggregate_attn(result.ref_attn)
+                # force one element to the host so the phase measures the
+                # device chain, not just async dispatch (through the axon
+                # tunnel block_until_ready can return early — a fetch of a
+                # dependent value is the only honest sync)
+                _sync_fetch(agg[0], image)
             with self.timer.phase("char.detect"):
                 if self.bundle.detector is not None:
                     # external open-vocabulary detector (GroundingDINO-
@@ -337,7 +359,7 @@ class Theater:
             if detected_ok:
                 break
             # semantic self-healing: reseed and retry (theatergen.py:141-160)
-        agg = self._aggregate_attn(result.ref_attn)
+        # `agg` from the last loop iteration is for the surviving `result`
         det_box = detection.box if detected_ok else jnp.asarray(centered)
         with self.timer.phase("char.masks"):
             m_lat, m_pix = self._extract_masks(agg, image, det_box)
@@ -442,11 +464,13 @@ class Theater:
             bg_lat = sd.seeded_latents(
                 jax.random.fold_in(rng, 1000), 1, h, w) * np.float32(
                     self._init_sigma)
-            compose_fn = self.bundle.jitted("theater_compose",
-                                            self._compose_impl)
+            compose_fn = self.bundle.jitted(
+                f"theater_compose_{id(self.bundle.lineart)}",
+                _compose_program(self.bundle.lineart))
             composed, collage, cond_img, frozen_mask = compose_fn(
                 self.bundle.lineart_params, traj, masks_lat, masks_pix,
                 images, boxes, valid, bg_lat)
+            _sync_fetch(frozen_mask)    # honest phase timing (see above)
 
         # -- overall context (+ ip embeds from the first character,
         #    models/pipelines.py:700-701)
@@ -461,8 +485,8 @@ class Theater:
         adapter_feats = None
         if self.use_t2i:
             t2i_fn = b.jitted(
-                "t2i_adapter", lambda tp, x: b.t2i_adapter.apply(
-                    {"params": tp}, x))
+                f"t2i_adapter_{id(b.t2i_adapter)}",
+                lambda tp, x: b.t2i_adapter.apply({"params": tp}, x))
             adapter_feats = t2i_fn(b.t2i_adapter_params, cond_img[None])
 
         # overall guidance: phrase token positions in the overall prompt.
@@ -487,17 +511,16 @@ class Theater:
         gin = self._guidance_inputs(boxes_all, token_pos_all, agg_refs)
 
         cn_ctx = overall_ctx  # ControlNet sees text-only context
-        final_phase = self.timer.phase("final")
-        final_phase.__enter__()
-        final, _traj = self.final_run(
-            b.unet_ip_params,
-            b.controlnet_params if self.use_controlnet else None,
-            composed, frozen_mask, jnp.int32(frozen_steps), ctx, cn_ctx,
-            cond_img, jnp.float32(cfg.pipeline.ip_scale_final), gin,
-            rng=jax.random.fold_in(rng, 777), extra_cond=extra_cond,
-            adapter_feats=adapter_feats)
-        image = self._decode_img(final)
-        final_phase.__exit__(None, None, None)
+        with self.timer.phase("final"):
+            final, _traj = self.final_run(
+                b.unet_ip_params,
+                b.controlnet_params if self.use_controlnet else None,
+                composed, frozen_mask, jnp.int32(frozen_steps), ctx, cn_ctx,
+                cond_img, jnp.float32(cfg.pipeline.ip_scale_final), gin,
+                rng=jax.random.fold_in(rng, 777), extra_cond=extra_cond,
+                adapter_feats=adapter_feats)
+            image = self._decode_img(final)
+            _sync_fetch(image)          # honest phase timing (see above)
 
         return TurnResult(
             image=np.asarray(image[0]),
