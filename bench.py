@@ -28,6 +28,14 @@ DEEPCACHE = int(DEEPCACHE) if DEEPCACHE else None
 # "lcm": guidance-free few-step loop (LCM / LCM-LoRA checkpoints) —
 # one UNet eval per step, THEATERGEN_BENCH_STEPS=4 typical
 SAMPLER = os.environ.get("THEATERGEN_BENCH_SAMPLER", "ddim")
+# shard the batch over a dp=N mesh (N must divide BATCH; N devices
+# required — the virtual-CPU trick in tests/conftest.py for CI, real
+# chips on a pod)
+DP = int(os.environ.get("THEATERGEN_BENCH_DP", "1"))
+# "sd15" (512px) | "sdxl" (1024px, BASELINE.json config 5; pair with
+# THEATERGEN_BENCH_STEPS=30 THEATERGEN_BENCH_BATCH=1 for the reference's
+# editing-task shape)
+MODEL = os.environ.get("THEATERGEN_BENCH_MODEL", "sd15")
 TARGET = 4.0  # images/sec/chip, BASELINE.json
 
 
@@ -44,12 +52,14 @@ def _arm_timeout() -> None:
         print(json.dumps({
             "metric": "SD1.5 512px 50-step DDIM (CFG) denoise throughput — "
                       "TPU tunnel unavailable at bench time; value is the "
-                      "last verified measurement (BENCH_NOTES.md)",
+                      "last verified measurement (BENCH_NOTES.md), NOT a "
+                      "live number",
             "value": LAST_MEASURED,
             "unit": "images/sec/chip",
             "vs_baseline": round(LAST_MEASURED / TARGET, 4),
+            "stale": True,
         }), flush=True)
-        os._exit(0)
+        os._exit(3)  # nonzero: a parser must not mistake this for live
 
     t = threading.Timer(INIT_TIMEOUT_S, fallback)
     t.daemon = True
@@ -72,12 +82,18 @@ def main() -> None:
 
     import dataclasses
 
-    cfg = sd15_config()
+    if MODEL == "sdxl":
+        from theatergen_tpu.config import sdxl_config
+
+        cfg = sdxl_config()
+    else:
+        cfg = sd15_config()
     ucfg = dataclasses.replace(cfg.unet, flash_attention=USE_FLASH,
                                quantized=USE_INT8)
     unet = UNet2DCondition(ucfg)
+    hw = ucfg.sample_size
     lat0 = jax.device_put(
-        jax.random.normal(jax.random.key(0), (BATCH, 64, 64, 4))
+        jax.random.normal(jax.random.key(0), (BATCH, hw, hw, 4))
     )
     t0 = jnp.zeros((1,), jnp.int32)
     ctx = jax.random.normal(
@@ -85,9 +101,20 @@ def main() -> None:
         (2 * BATCH, cfg.text.max_length, cfg.unet.cross_attention_dim),
         jnp.bfloat16,
     )
+    xl_kwargs = {}
+    if ucfg.addition_embed_type == "text_time":
+        pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                      - 6 * ucfg.addition_time_embed_dim)
+        xl_kwargs = dict(
+            pooled_text=jnp.zeros((2 * BATCH, pooled_dim), jnp.bfloat16),
+            time_ids=jnp.tile(
+                jnp.array([[1024, 1024, 0, 0, 1024, 1024]], jnp.bfloat16),
+                (2 * BATCH, 1)),
+        )
     params = materialize_params(
         lambda: unet.init(
-            jax.random.key(2), jnp.zeros((1, 64, 64, 4)), t0, ctx[:1]
+            jax.random.key(2), jnp.zeros((1, hw, hw, 4)), t0, ctx[:1],
+            **{k: v[:1] for k, v in xl_kwargs.items()}
         )["params"],
         dtype=jnp.bfloat16,
     )
@@ -102,6 +129,7 @@ def main() -> None:
         @jax.jit
         def run(p, lat, context):
             def unet_apply(x, t, c, **kw):
+                kw.update({k: v[-x.shape[0]:] for k, v in xl_kwargs.items()})
                 return unet.apply({"params": p}, x,
                                   jnp.broadcast_to(t[None], (x.shape[0],)),
                                   c, **kw)
@@ -114,6 +142,7 @@ def main() -> None:
         @jax.jit
         def run(p, lat, context):
             def unet_apply(x, t, c, **kw):
+                kw.update({k: v[-x.shape[0]:] for k, v in xl_kwargs.items()})
                 return unet.apply({"params": p}, x,
                                   jnp.broadcast_to(t[None], (x.shape[0],)),
                                   c, **kw)
@@ -124,6 +153,18 @@ def main() -> None:
                                   deepcache_interval=DEEPCACHE)
             return final
 
+    if DP > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from theatergen_tpu.parallel import mesh as mesh_lib
+
+        assert BATCH % DP == 0, (BATCH, DP)
+        mesh = mesh_lib.make_mesh(dp=DP, tp=1, devices=jax.devices()[:DP])
+        data = NamedSharding(mesh, P("dp"))
+        lat0 = jax.device_put(lat0, data)
+        ctx = jax.device_put(ctx, data)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+
     run(params, lat0, ctx).block_until_ready()  # compile
 
     times = []
@@ -132,16 +173,19 @@ def main() -> None:
         run(params, lat0, ctx).block_until_ready()
         times.append(time.perf_counter() - t_start)
     best = min(times)
-    ips = BATCH / best
+    ips = BATCH / best / DP     # per-chip
 
     tag = " int8-W8A8" if USE_INT8 else ""
+    if DP > 1:
+        tag += f" dp-{DP}"
     if CFG_CUTOFF:
         tag += f" cfg-cutoff-{CFG_CUTOFF}"
     if DEEPCACHE:
         tag += f" deepcache-{DEEPCACHE}"
     kind = "LCM (guidance-free)" if SAMPLER == "lcm" else "DDIM (CFG)"
+    label = ("SDXL 1024px" if MODEL == "sdxl" else "SD1.5 512px")
     print(json.dumps({
-        "metric": f"SD1.5 512px {STEPS}-step {kind} denoise throughput,"
+        "metric": f"{label} {STEPS}-step {kind} denoise throughput,"
                   f" batch {BATCH}{tag}",
         "value": round(ips, 4),
         "unit": "images/sec/chip",

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--scheduler", default=None,
                     choices=["ddim", "euler_ancestral", "lcm"],
                     help="sampler override; 'lcm' = guidance-free few-step")
+    ap.add_argument("--cn_interval", type=int, default=None,
+                    help="final pass: ControlNet forward every N-th step")
+    ap.add_argument("--batch_chars", action="store_true",
+                    help="run a turn's characters as one batched program")
     args = ap.parse_args()
 
     from theatergen_tpu.cli.generate import build_spec
@@ -50,7 +54,7 @@ def main():
 
     cfg = apply_pipeline_overrides(
         cfg, cfg_cutoff=args.cfg_cutoff, deepcache=args.deepcache,
-        scheduler=args.scheduler)
+        scheduler=args.scheduler, cn_interval=args.cn_interval)
     print("materializing params...", flush=True)
     t0 = time.time()
     # build the bundle with fast host-side init to avoid giant init compiles
@@ -122,7 +126,8 @@ def main():
 
     db = CharacterDB(tempfile.mkdtemp())
     theater = Theater(bundle, db, num_steps=args.num_steps,
-                      guided=args.guided)
+                      guided=args.guided,
+                      batch_characters=args.batch_chars)
 
     times = []
     for d_idx, dialogue in enumerate(list(dataset)[: args.dialogues]):

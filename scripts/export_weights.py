@@ -13,6 +13,7 @@ Produces, in --out:
   sam.safetensors             facebook/sam-vit-base (segmenter)
   lineart.safetensors         lllyasviel/Annotators sk_model.pth (annotator)
   gdino.safetensors           IDEA-Research/grounding-dino-tiny (detector)
+  fid_inception.safetensors   pytorch_fid pt_inception-2015-12-05 (AFID)
   gdino_vocab.txt             BERT wordpiece vocab for the detector
   ip-adapter_sd15.bin         h94/IP-Adapter
   merges.txt, vocab.json      CLIP tokenizer assets
@@ -75,6 +76,19 @@ def export(out: str, xl: bool = False) -> None:
     save(et.state_dict(), "eval_clip_text.safetensors")
     ev = _CVP.from_pretrained("openai/clip-vit-base-patch32")
     save(ev.state_dict(), "eval_clip_vision.safetensors")
+
+    # pytorch_fid's patched InceptionV3 — the reference's AFID feature
+    # extractor (CMIGBench/eval/eval.py:66-94); ported by
+    # theatergen_tpu/eval/inception.py:port_inception
+    import torch as _t
+
+    from theatergen_tpu.eval.inception import FID_WEIGHTS_URL
+
+    fid_sd = _t.hub.load_state_dict_from_url(
+        FID_WEIGHTS_URL, map_location="cpu", progress=False)
+    save({k: v for k, v in fid_sd.items()
+          if not k.startswith(("fc.", "AuxLogits."))},
+         "fid_inception.safetensors")
 
     from huggingface_hub import hf_hub_download
 

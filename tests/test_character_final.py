@@ -319,3 +319,57 @@ def test_final_pipeline_controlnet_conditioning_matters(bundle):
                  ctx, cn_ctx, img2, jnp.float32(0.1), None)
     assert np.abs(np.asarray(f1n - f2n)).max() > 1e-6
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-6)
+
+
+def test_final_pipeline_controlnet_interval(bundle):
+    """ControlNet residual caching: interval=1 ≡ baseline, interval=2
+    finite with frozen replacement exact, and composes with cfg-cutoff
+    (cache batch sliced at the phase switch)."""
+    cfg = bundle.cfg
+    steps = 4
+    # random-init ControlNets emit EXACT zeros (zero-conv init) — perturb
+    # the output convs so the residual path actually carries signal
+    def noisy(path, x):
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "controlnet_down_blocks" in p or "controlnet_mid_block" in p:
+            return x + 0.05 * jax.random.normal(
+                jax.random.fold_in(jax.random.key(9), x.size), x.shape)
+        return x
+
+    cn_params = jax.tree_util.tree_map_with_path(
+        noisy, bundle.controlnet_params)
+    latents_all = jax.random.normal(jax.random.key(3), (steps + 1, 1, 8, 8, 4))
+    frozen_mask = jnp.zeros((8, 8)).at[:4, :4].set(1.0)
+    ctx = jax.random.normal(
+        jax.random.key(4),
+        (2, cfg.text.max_length + 4, cfg.unet.cross_attention_dim),
+    )
+    cn_ctx = ctx[:, : cfg.text.max_length]
+    cond_img = jnp.ones((16, 16, 3)) * 0.5
+    args = (bundle.unet_ip_params, cn_params, latents_all,
+            frozen_mask, jnp.int32(steps), ctx, cn_ctx, cond_img,
+            jnp.float32(0.1), None)
+    run_base, _ = make_final_pipeline(
+        bundle, steps, use_ip=True, use_controlnet=True)
+    run_cn1, _ = make_final_pipeline(
+        bundle, steps, use_ip=True, use_controlnet=True,
+        controlnet_interval=1)
+    run_cn2, _ = make_final_pipeline(
+        bundle, steps, use_ip=True, use_controlnet=True,
+        controlnet_interval=2)
+    run_cn2_cut, _ = make_final_pipeline(
+        bundle, steps, use_ip=True, use_controlnet=True,
+        controlnet_interval=2, cfg_cutoff_fraction=0.5)
+    base, _ = run_base(*args)
+    same, _ = run_cn1(*args)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    fast, traj = run_cn2(*args)
+    assert traj.shape == (steps + 1, 1, 8, 8, 4)
+    assert np.isfinite(np.asarray(fast)).all()
+    # cached steps differ from exact (the cache is actually being used)
+    assert np.abs(np.asarray(fast - base)).max() > 1e-7
+    np.testing.assert_allclose(
+        np.asarray(fast[0, :4, :4]), np.asarray(latents_all[-1][0, :4, :4]),
+        atol=1e-5)
+    cut, _ = run_cn2_cut(*args)
+    assert np.isfinite(np.asarray(cut)).all()

@@ -188,10 +188,17 @@ def test_evaluate_tree_end_to_end(tmp_path):
     embedder = ClipEmbedder.eval_default(jax.random.key(0), tiny=True)
     out = evaluate_tree(str(tmp_path), dataset, embedder,
                         csv_path=str(tmp_path / "scores.csv"))
-    assert set(out) == {"ACCS", "ATIS", "AFID", "spatial", "attribute",
-                        "negative", "numeracy"}
+    assert set(out) == {"ACCS", "ATIS", "AFID", "CLIP_FD", "spatial",
+                        "attribute", "negative", "numeracy"}
     assert np.isfinite(out["ATIS"])
+    # no InceptionV3 weights given → the reference AFID statistic is
+    # explicitly absent, not silently replaced by the CLIP Fréchet
+    assert np.isnan(out["AFID"])
     assert os.path.exists(tmp_path / "scores.csv")
+
+    # validated=False marks every metric as meaningless
+    out_u = evaluate_tree(str(tmp_path), dataset, embedder, validated=False)
+    assert all(k.endswith("_UNVALIDATED") for k in out_u)
 
 
 def test_count_instances_nms(monkeypatch):
@@ -218,3 +225,84 @@ def test_count_instances_nms(monkeypatch):
     scores2[far[0]] = 0.9
     det._scores = lambda image, phrase: scores2
     assert det.count_instances(img, "cat") == 1
+
+
+def test_eval_spatial_reference_semantics():
+    """Reference-faithful named-object spatial rules
+    (eval_extra.py:51-185): relation regexes in priority order, extreme
+    box picked, last-word name match, all-objects-detected gate."""
+    from theatergen_tpu.eval.metrics import eval_spatial_reference
+
+    cat = ("a grey cat", [0.1, 0.4, 0.3, 0.6])
+    dog = ("a brown dog", [0.6, 0.4, 0.9, 0.6])
+    # "cat to the right of dog": leftmost detection must be the dog → False
+    assert eval_spatial_reference(
+        [cat, dog], "a grey cat to the right of a brown dog", 2) is False
+    # dog to the right of cat: leftmost is the cat → True
+    assert eval_spatial_reference(
+        [cat, dog], "a brown dog to the right of a grey cat", 2) is True
+    # left-of: rightmost must be the named second object
+    assert eval_spatial_reference(
+        [cat, dog], "a grey cat to the left of a brown dog", 2) is True
+    # vertical: "A to the top of B" → bottom-most is B
+    top = ("a bird", [0.4, 0.1, 0.6, 0.3])
+    bot = ("a fish", [0.4, 0.7, 0.6, 0.9])
+    assert eval_spatial_reference(
+        [top, bot], "a bird to the top of a fish", 2) is True
+    assert eval_spatial_reference(
+        [top, bot], "a fish to the top of a bird", 2) is False
+    assert eval_spatial_reference(
+        [top, bot], "a fish below a bird", 2) is True   # bird IS topmost
+    assert eval_spatial_reference(
+        [bot, top], "a fish below a bird", 2) is True   # order-insensitive
+    assert eval_spatial_reference(
+        [top, bot], "a bird below a fish", 2) is False  # topmost is bird
+    # missing detection fails the turn outright
+    assert eval_spatial_reference(
+        [cat], "a grey cat to the left of a brown dog", 2) is False
+    # middle: center distance below ~300/512
+    close = [("a", [0.4, 0.4, 0.5, 0.5]), ("b", [0.5, 0.5, 0.6, 0.6])]
+    assert eval_spatial_reference(
+        close, "a in the middle of the room with b", 2) is True
+    # no known relation → not scored
+    assert eval_spatial_reference(
+        [cat, dog], "a cat and a dog in a park", 2) is None
+
+
+def test_evaluate_tree_inception_afid(tmp_path):
+    """With a fid_embedder the AFID slot is the InceptionV3 Fréchet
+    (reference eval.py:66-94), independent of the CLIP feature space."""
+    from PIL import Image
+
+    from theatergen_tpu.eval.cmig import ClipEmbedder, evaluate_tree
+    from theatergen_tpu.eval.inception import InceptionEmbedder
+
+    dataset = {
+        "d0": {
+            "turn 1": {"caption": "a thing",
+                       "objects": [["a thing", [100, 100, 200, 200], 0]]},
+            "turn 2": {"caption": "a thing again",
+                       "objects": [["a thing", [150, 100, 200, 200], 0]]},
+            "turn 3": {"caption": "a thing once more",
+                       "objects": [["a thing", [120, 140, 200, 200], 0]]},
+        }
+    }
+    rng = np.random.RandomState(1)
+    for turn in ("turn 1", "turn 2", "turn 3"):
+        d = tmp_path / "d0" / turn
+        d.mkdir(parents=True)
+        Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+            d / "img_0.png")
+
+    embedder = ClipEmbedder.eval_default(jax.random.key(0), tiny=True)
+
+    class _AlwaysDetect:
+        def __call__(self, image, phrase):
+            return np.array([0.2, 0.2, 0.8, 0.8]), 1.0, True
+
+    fid = InceptionEmbedder.random_init(jax.random.key(1), size=96)
+    out = evaluate_tree(str(tmp_path), dataset, embedder,
+                        detector=_AlwaysDetect(), fid_embedder=fid)
+    assert np.isfinite(out["AFID"])
+    assert np.isfinite(out["CLIP_FD"])
+    assert out["AFID"] != out["CLIP_FD"]

@@ -93,3 +93,47 @@ def test_attn_collection_to_maps():
     )
     assert len(maps) == 1
     assert maps[0].shape == (4, 64, 77)
+
+
+def test_guidance_update_per_step_ref_slicing():
+    """4-D [S, K, heads, HW] ref maps are sliced at step_index and give the
+    same update as passing that step's 3-D map directly — reference
+    timestep-matched attention transfer (utils/guidance.py:220-233)."""
+    import dataclasses as dc
+
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.ops import scheduler as sched_ops
+    from theatergen_tpu.pipelines.guidance import (
+        GuidanceInputs, guidance_update,
+    )
+
+    cfg = tiny_config()
+    sched = sched_ops.make_schedule(cfg.scheduler, 4)
+    gcfg = cfg.guidance
+    S, K, heads, HW = 4, 1, 2, 16
+
+    def energy(lat, t, ctx, gin):
+        # depends on the selected ref map — a wrong slice changes the grad
+        return jnp.sum(gin.ref_attn_maps[0]) * jnp.sum(lat ** 2) * 1e-3
+
+    refs = (jnp.arange(S * K * heads * HW, dtype=jnp.float32)
+            .reshape(S, K, heads, HW)) / (S * K * heads * HW)
+    base = GuidanceInputs(
+        boxes=jnp.zeros((K, 4)), token_pos=jnp.zeros((K, 2), jnp.int32),
+        token_valid=jnp.ones((K, 2), bool), obj_valid=jnp.ones((K,), bool),
+        word_token=jnp.zeros((K,), jnp.int32))
+    lat = jax.random.normal(jax.random.key(0), (1, 4, 4, 4))
+    ctx = jnp.zeros((1, 8, 16))
+    for step in (0, 2, 3):
+        per_step = dc.replace(base, ref_attn_maps=(refs,))
+        sliced = dc.replace(base, ref_attn_maps=(refs[step],))
+        out_a, _ = guidance_update(energy, sched, gcfg, lat,
+                                   jnp.int32(step), ctx, per_step)
+        out_b, _ = guidance_update(energy, sched, gcfg, lat,
+                                   jnp.int32(step), ctx, sliced)
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                                   rtol=1e-6)
+        other = dc.replace(base, ref_attn_maps=(refs[(step + 1) % S],))
+        out_c, _ = guidance_update(energy, sched, gcfg, lat,
+                                   jnp.int32(step), ctx, other)
+        assert np.abs(np.asarray(out_a - out_c)).max() > 0

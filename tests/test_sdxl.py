@@ -158,14 +158,18 @@ def test_theater_xl_turn(tmp_path):
     assert t.is_xl and t.use_t2i and not t.use_controlnet
     spec = {"prompt": "a red knight in a forest", "bg_prompt": "a forest",
             "gen_boxes": [("a red knight", (60, 100, 150, 300))],
-            "extra_neg_prompt": "", "obj_ids": [0]}
+            "extra_neg_prompt": "", "obj_ids": [0],
+            "canvas_height": 512, "canvas_width": 512}
     res = t.run_turn(spec, seed=0)
     H = CFG.pipeline.height
     assert res.image.shape == (H, H, 3)
     assert np.isfinite(res.image).all()
     assert db.has(0)
-    # determinism under the ancestral sampler too
-    res2 = t.run_turn(spec, seed=0)
+    # determinism under the ancestral sampler too — with a FRESH db: a
+    # repeat on the same db is a DB hit (ip_scale 0.4 vs 0.0, reference
+    # models/pipelines.py:183-199) and legitimately differs
+    t2 = Theater(b, CharacterDB(str(tmp_path / "repeat")), num_steps=2)
+    res2 = t2.run_turn(spec, seed=0)
     np.testing.assert_array_equal(res.image, res2.image)
 
 

@@ -18,6 +18,10 @@ SPEC_T1 = {
     "bg_prompt": "a forest clearing",
     "extra_neg_prompt": "",
     "obj_ids": [0, 1],
+    # CMIGBench-style boxes author on a 512 canvas; without this the tiny
+    # 16px render would normalize them off-canvas and degenerate every
+    # guidance/composition mask
+    "canvas_height": 512, "canvas_width": 512,
 }
 SPEC_T2 = {
     "prompt": "the knight rides toward a castle",
@@ -25,6 +29,7 @@ SPEC_T2 = {
     "bg_prompt": "a castle road",
     "extra_neg_prompt": "blurry",
     "obj_ids": [0],
+    "canvas_height": 512, "canvas_width": 512,
 }
 
 
@@ -216,6 +221,7 @@ def test_overall_guidance_uses_plural_word(theater):
         "gen_boxes": [("a cat", (50, 100, 100, 100)),
                       ("a cat", (300, 100, 100, 100))],
         "extra_neg_prompt": "", "obj_ids": [5, 6],
+        "canvas_height": 512, "canvas_width": 512,
     }
     plan = parse_mod.convert_spec(spec, 512, 512)
     word = plan.overall_phrases[0][1]
@@ -320,3 +326,61 @@ def test_ema_update():
     params = {"w": jnp.ones(3)}
     out = ema_update(ema, params, decay=0.9)
     np.testing.assert_allclose(np.asarray(out["w"]), 0.1, rtol=1e-5)
+
+
+def test_attn_transfer_per_step_default_and_differs(theater, tmp_path):
+    """Default attention transfer is the reference's timestep-matched mode
+    (utils/guidance.py:220-233); the aggregated mode is opt-in and changes
+    the guided final pass."""
+    assert theater.attn_transfer == "per_step"
+    bundle = theater.bundle
+    # frozen_step_ratio=0: at tiny scale the thresholded random-weight
+    # attention masks union to the FULL canvas, and with frozen_steps >=
+    # guidance_steps the per-step frozen replacement (reference
+    # models/pipelines.py:833-834) bitwise-erases every guided latent —
+    # correct semantics, but it would hide the ref-map difference this
+    # test exists to observe.
+    db_a = CharacterDB(str(tmp_path / "agg"))
+    th_agg = Theater(bundle, db_a, num_steps=3, attn_transfer="aggregate")
+    r_agg = th_agg.run_turn(SPEC_T1, seed=0, frozen_step_ratio=0.0)
+    db_p = CharacterDB(str(tmp_path / "ps"))
+    th_ps = Theater(bundle, db_p, num_steps=3)
+    r_ps = th_ps.run_turn(SPEC_T1, seed=0, frozen_step_ratio=0.0)
+    # identical seeds/weights — only the ref-map semantics differ
+    assert np.abs(r_ps.image - r_agg.image).max() > 1e-7
+
+
+def test_batched_characters_match_serial(theater, tmp_path):
+    """A turn's characters in ONE vmapped program (batch_characters=True)
+    must reproduce the serial loop; with an 8-way dp mesh the batch
+    shards over devices and must still match (VERDICT r1 §2)."""
+    from theatergen_tpu.parallel.mesh import make_mesh
+
+    bundle = theater.bundle
+    th_s = Theater(bundle, CharacterDB(str(tmp_path / "s")), num_steps=3)
+    r_s = th_s.run_turn(SPEC_T1, seed=0)
+    assert not th_s.batch_characters
+
+    th_b = Theater(bundle, CharacterDB(str(tmp_path / "b")), num_steps=3,
+                   batch_characters=True)
+    r_b = th_b.run_turn(SPEC_T1, seed=0)
+    assert np.abs(r_s.image - r_b.image).max() < 2e-3
+    for a, b in zip(r_s.so_images, r_b.so_images):
+        assert np.abs(a - b).max() < 2e-3
+
+    th_m = Theater(bundle, CharacterDB(str(tmp_path / "m")), num_steps=3,
+                   mesh=make_mesh(dp=8, tp=1))
+    r_m = th_m.run_turn(SPEC_T1, seed=0)
+    assert np.abs(r_s.image - r_m.image).max() < 2e-3
+
+
+def test_theater_pipelines_memoized(theater, tmp_path):
+    """Theaters with identical settings share compiled pipelines through
+    the bundle (the CLI builds one Theater per dialogue)."""
+    th2 = Theater(theater.bundle, CharacterDB(str(tmp_path / "memo")),
+                  num_steps=3)
+    assert th2.char_run is theater.char_run
+    assert th2.final_run is theater.final_run
+    th3 = Theater(theater.bundle, CharacterDB(str(tmp_path / "memo2")),
+                  num_steps=2)
+    assert th3.char_run is not theater.char_run

@@ -85,6 +85,11 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--num_steps", type=int, default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny random-weight config (smoke runs, no ckpts)")
+    ap.add_argument("--box_canvas", type=int, default=None,
+                    help="authoring canvas of the dataset's pixel boxes "
+                         "(CMIGBench: 512). Defaults to the render size "
+                         "(reference behavior); --tiny defaults to 512 so "
+                         "512-authored boxes stay meaningful at 16px")
     ap.add_argument("--weights", default=None,
                     help="directory of ported checkpoints (models/weights.py)")
     ap.add_argument("--no_guidance", action="store_true")
@@ -94,11 +99,22 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--deepcache", type=int, default=None,
                     help="DeepCache interval: full UNet every N-th step, "
                          "shallow blocks + cached deep feature in between")
+    ap.add_argument("--cn_interval", type=int, default=None,
+                    help="final pass: ControlNet forward every N-th step, "
+                         "residuals reused in between")
     ap.add_argument("--scheduler", default=None,
                     choices=["ddim", "euler_ancestral", "lcm"],
                     help="override the sampler; 'lcm' is the guidance-free "
                          "few-step loop for LCM(-LoRA)-merged checkpoints "
                          "(pair with --num_steps 4-8)")
+    ap.add_argument("--mesh", default=None, metavar="dp=N[,tp=M]",
+                    help="('dp','tp') device mesh: a turn's independent "
+                         "character passes run as one vmapped program with "
+                         "the batch sharded over dp and params tp-sharded "
+                         "(the reference is single-GPU, generate.py:15)")
+    ap.add_argument("--batch_chars", action="store_true",
+                    help="batch a turn's character passes into one program "
+                         "on a single device (implied by --mesh)")
     ap.add_argument("--max_dialogues", type=int, default=None)
     ap.add_argument("--profile", action="store_true",
                     help="emit a jax.profiler trace for the first dialogue")
@@ -112,10 +128,11 @@ def load_dataset(dataset_path: str, task: str) -> dict:
 
 
 def apply_pipeline_overrides(cfg, *, cfg_cutoff=None, deepcache=None,
-                             scheduler=None):
+                             scheduler=None, cn_interval=None):
     """One place for the CLI/bench pipeline-knob overrides so every
     entry point accepts the same set."""
-    if cfg_cutoff is None and deepcache is None and scheduler is None:
+    if (cfg_cutoff is None and deepcache is None and scheduler is None
+            and cn_interval is None):
         return cfg
     import dataclasses
 
@@ -126,6 +143,8 @@ def apply_pipeline_overrides(cfg, *, cfg_cutoff=None, deepcache=None,
         pl = dataclasses.replace(pl, deepcache_interval=deepcache)
     if scheduler is not None:
         pl = dataclasses.replace(pl, scheduler_type=scheduler)
+    if cn_interval is not None:
+        pl = dataclasses.replace(pl, controlnet_interval=cn_interval)
     return dataclasses.replace(cfg, pipeline=pl)
 
 
@@ -150,7 +169,7 @@ def build_theater(args):
         cfg = sd15_config()
     cfg = apply_pipeline_overrides(
         cfg, cfg_cutoff=args.cfg_cutoff, deepcache=args.deepcache,
-        scheduler=args.scheduler)
+        scheduler=args.scheduler, cn_interval=args.cn_interval)
     is_xl = args.sd_version == "xl"
     if args.weights:
         from ..models.weights import load_bundle
@@ -165,12 +184,36 @@ def build_theater(args):
     return bundle
 
 
+def parse_mesh_arg(spec: Optional[str]):
+    """'dp=N[,tp=M]' → jax.sharding.Mesh (None passes through)."""
+    if not spec:
+        return None
+    from ..parallel import mesh as mesh_lib
+
+    kw = {"dp": 1, "tp": 1}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in kw:
+            raise SystemExit(f"--mesh: unknown axis {k!r} (use dp=N[,tp=M])")
+        kw[k] = int(v)
+    import jax
+
+    n = kw["dp"] * kw["tp"]
+    if n > len(jax.devices()):
+        raise SystemExit(
+            f"--mesh {spec}: needs {n} devices, have {len(jax.devices())}")
+    return mesh_lib.make_mesh(dp=kw["dp"], tp=kw["tp"],
+                              devices=jax.devices()[:n])
+
+
 def main(argv: Optional[list] = None) -> None:
     args = make_parser().parse_args(argv)
     from ..db import CharacterDB
     from ..theater import Theater
 
     bundle = build_theater(args)
+    mesh = parse_mesh_arg(args.mesh)
     dataset = load_dataset(args.dataset_path, args.task)
     dialogues = list(dataset)
     if args.max_dialogues:
@@ -195,7 +238,8 @@ def main(argv: Optional[list] = None) -> None:
                 args.database_path_base, args.task, str(dialogue)))
             theater = Theater(
                 bundle, db, task=args.task, num_steps=args.num_steps,
-                guided=not args.no_guidance,
+                guided=not args.no_guidance, mesh=mesh,
+                batch_characters=args.batch_chars,
             )
             base = (args.freeze_dialogue_seed
                     if args.freeze_dialogue_seed is not None else d_idx)
@@ -215,6 +259,9 @@ def main(argv: Optional[list] = None) -> None:
                 if turn not in dataset[dialogue]:
                     continue
                 spec = build_spec(dataset[dialogue][turn])
+                canvas = args.box_canvas or (512 if args.tiny else None)
+                if canvas:
+                    spec["canvas_height"] = spec["canvas_width"] = canvas
                 for rep in range(args.repeats):
                     seed = turn_seed(args.seed_offset, base, t_idx, rep,
                                      regen=regen_ind)

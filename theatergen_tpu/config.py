@@ -221,6 +221,10 @@ class PipelineConfig:
     # DeepCache (arXiv 2312.00858): full UNet every N-th step, shallow
     # blocks + cached deep feature in between. None/1 ≡ exact.
     deepcache_interval: Optional[int] = None
+    # Final pass only: ControlNet forward every N-th step, residuals
+    # reused in between (structure signal is temporally smooth). None/1
+    # ≡ exact (reference runs it every step, models/pipelines.py:770-778).
+    controlnet_interval: Optional[int] = None
     max_objects: int = 8                # static pad for jit (SURVEY §7 hard parts)
     vae_scale: int = 8                  # spatial down-factor of the VAE
     # "ddim" | "euler_ancestral" (XL) | "lcm" (guidance-free few-step loop

@@ -49,18 +49,91 @@ def _sqrtm_newton_schulz(a: np.ndarray, iters: int = 30) -> np.ndarray:
     return y * np.sqrt(norm)
 
 
-def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
-    """FID between two feature sets [N, D] (``eval.py:66-94`` semantics)."""
+def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray,
+                     eps: float = 1e-6) -> float:
+    """FID between two feature sets [N, D] — the exact pytorch_fid
+    ``calculate_frechet_distance`` algorithm the reference calls
+    (``eval.py:66-94``): scipy ``sqrtm`` with the eps-jitter retry and
+    imaginary-part discard; Newton–Schulz fallback without scipy."""
     mu1, mu2 = feats_a.mean(0), feats_b.mean(0)
     s1 = np.cov(feats_a, rowvar=False)
     s2 = np.cov(feats_b, rowvar=False)
     diff = mu1 - mu2
-    covmean = _sqrtm_newton_schulz((s1 @ s2).astype(np.float64))
+    prod = (s1 @ s2).astype(np.float64)
+    try:
+        from scipy import linalg
+
+        covmean, _ = linalg.sqrtm(prod, disp=False)
+        if not np.isfinite(covmean).all():
+            offset = np.eye(s1.shape[0]) * eps
+            covmean, _ = linalg.sqrtm(
+                (s1 + offset) @ (s2 + offset), disp=False)
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
+    except ImportError:
+        covmean = _sqrtm_newton_schulz(prod)
     return float(diff @ diff + np.trace(s1) + np.trace(s2)
                  - 2.0 * np.trace(covmean))
 
 
 # --------------------------------------------------------------- spatial
+
+
+def eval_spatial_reference(
+    detections: Sequence[Tuple[str, Sequence[float]]],
+    caption: str,
+    n_expected: int,
+    middle_thresh: float = 300.0 / 512.0,
+) -> Optional[bool]:
+    """The reference's named-object spatial check, faithfully
+    (``eval_extra.py:51-185``):
+
+    - every object must be detected (count match) or the turn fails;
+    - the caption is matched against ``to the right of`` / ``to the left
+      of`` / ``to the top of`` / ``to the down of`` / ``below`` /
+      ``in the middle of`` (that priority order);
+    - e.g. for "A to the right of B": the *leftmost* detected box's name
+      must end with B's last word (and symmetrically for the others);
+    - "in the middle of" with two objects checks center distance below
+      ~300px on a 512 canvas (normalized here).
+
+    ``detections`` are (name, [x0, y0, x1, y1] normalized).  Returns None
+    when the caption asserts no known relation (turn not scored).
+    """
+    import math
+
+    def last_word(s: str) -> str:
+        w = s.strip().split()
+        return w[-1] if w else s
+
+    def center(box):
+        return ((box[0] + box[2]) / 2, (box[1] + box[3]) / 2)
+
+    rules = [
+        (r"(.+?)\sto the right of\s(.+)",
+         lambda: min(detections, key=lambda d: d[1][0])),   # leftmost
+        (r"(.+?)\sto the left of\s(.+)",
+         lambda: max(detections, key=lambda d: d[1][0])),   # rightmost
+        (r"(.+?)\sto the top of\s(.+)",
+         lambda: max(detections, key=lambda d: d[1][1])),   # bottom-most
+        (r"(.+?)\sto the down of\s(.+)",
+         lambda: min(detections, key=lambda d: d[1][1])),   # top-most
+        (r"(.+?)\sbelow\s(.+)",
+         lambda: min(detections, key=lambda d: d[1][1])),
+    ]
+    for pattern, pick in rules:
+        m = re.search(pattern, caption)
+        if m:
+            if len(detections) != n_expected:
+                return False
+            return last_word(m.group(2)) == last_word(pick()[0])
+    if re.search(r"(.+?)\sin the middle of\s(.+)", caption):
+        if len(detections) != n_expected or len(detections) < 2:
+            return False
+        (ax, ay), (bx, by) = center(detections[0][1]), center(detections[1][1])
+        return math.hypot(bx - ax, by - ay) < middle_thresh
+    return None
+
 
 SPATIAL_WORDS = {
     "left": ("left of", "on the left"),

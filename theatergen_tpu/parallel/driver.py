@@ -30,26 +30,38 @@ def make_dp_character_runner(
     *,
     use_ip: bool = True,
     guided: bool = False,
+    capture_ref_attn: bool = False,
+    cfg_cutoff_fraction=None,
+    deepcache_interval=None,
 ):
     """Returns ``run(unet_params, latents [B,1,h,w,4], contexts [B,2,L,C],
-    ip_scales [B], gins) -> CharacterResult`` with B sharded over dp.
+    ip_scales [B], gins, rngs [B]) -> CharacterResult`` with B sharded
+    over dp (params replicated or tp-sharded per the mesh rules).
 
     ``B`` must be a multiple of the dp axis size.  ``gins`` is a batched
-    ``GuidanceInputs`` pytree (leading axis B) or None.
+    ``GuidanceInputs`` pytree (leading axis B) or None; ``rngs`` is a
+    batched PRNG key array (used by stochastic samplers; pass
+    ``jax.random.split(key, B)``).
     """
     run, sched = make_character_pipeline(
         bundle, num_steps, use_ip=use_ip, guided=guided,
-        capture_ref_attn=False,
+        capture_ref_attn=capture_ref_attn,
+        cfg_cutoff_fraction=cfg_cutoff_fraction,
+        deepcache_interval=deepcache_interval,
     )
 
-    vrun = jax.vmap(run, in_axes=(None, 0, 0, 0, 0 if guided else None))
+    vrun = jax.vmap(
+        lambda p, lat, ctx, scale, gin, rng: run(p, lat, ctx, scale, gin,
+                                                 rng=rng),
+        in_axes=(None, 0, 0, 0, 0 if guided or capture_ref_attn else None, 0),
+    )
     data = NamedSharding(mesh, P("dp"))
     params_sharding = mesh_lib.param_shardings(
         mesh, bundle.unet_ip_params if use_ip else bundle.unet_params)
     return jax.jit(
         vrun,
         in_shardings=(params_sharding, data, data, data,
-                      data if guided else None),
+                      data if guided or capture_ref_attn else None, data),
     ), sched
 
 

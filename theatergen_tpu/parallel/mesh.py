@@ -105,6 +105,45 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(one, params)
 
 
+def sharding_coverage(mesh: Mesh, params: Any) -> dict:
+    """What fraction of parameters the tp rules ACTUALLY shard.
+
+    The uneven-dim guard in :func:`param_shardings` falls back to
+    replication silently; this makes the fallback visible (VERDICT r1:
+    report coverage instead of shipping speculative rules).  Returns
+    ``{'total_params', 'sharded_params', 'fraction', 'matched_fraction',
+    'fallback'}`` where ``fallback`` lists rule-matched paths whose dims
+    don't divide by tp (replicated at runtime)."""
+    tp = mesh.shape["tp"]
+    total = sharded = matched = 0
+    fallback = []
+
+    def one(path, leaf):
+        nonlocal total, sharded, matched
+        pstr = "/".join(str(getattr(k, "key", k)) for k in path)
+        spec = param_spec(pstr)
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        total += n
+        if any(s is not None for s in spec):
+            matched += n
+            ok = all(leaf.shape[dim] % tp == 0
+                     for dim, axis in enumerate(spec) if axis == "tp")
+            if ok:
+                sharded += n
+            else:
+                fallback.append(pstr)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(one, params)
+    return {
+        "total_params": total,
+        "sharded_params": sharded,
+        "fraction": sharded / max(total, 1),
+        "matched_fraction": matched / max(total, 1),
+        "fallback": fallback,
+    }
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading batch dim over dp."""
     return NamedSharding(mesh, P("dp"))

@@ -91,6 +91,17 @@ class Bundle:
             self._jits[key] = jax.jit(fn)
         return self._jits[key]
 
+    def memo(self, key: str, builder) -> Any:
+        """Cache an arbitrary built value (e.g. an already-jitted pipeline
+        from ``make_character_pipeline``) under ``key`` — Theaters sharing
+        a bundle then share compiled pipelines instead of re-tracing per
+        instance (the CLI builds a Theater per dialogue).  Same key
+        contract as :meth:`jitted`: include every config value and module
+        id the builder bakes in."""
+        if key not in self._jits:
+            self._jits[key] = builder()
+        return self._jits[key]
+
     def text_embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         fn = self.jitted(
             f"text_embed_{id(self.text)}",

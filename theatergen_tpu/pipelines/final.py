@@ -43,8 +43,15 @@ def make_final_pipeline(
     control_guidance_end: float = 1.0,
     cfg_cutoff_fraction: Optional[float] = None,
     deepcache_interval: Optional[int] = None,
+    controlnet_interval: Optional[int] = None,
 ):
     """Build the jitted final-pass runner.
+
+    ``controlnet_interval``: run the ControlNet forward only every N-th
+    step and reuse the last residuals in between (the structure signal is
+    a fixed image; its residuals vary smoothly with t — same premise as
+    DeepCache). The ``controlnet_keep`` window factor is applied per step
+    outside the cache, so the start/end gating stays exact.
 
     ``cfg_cutoff_fraction``: run CFG (2× UNet *and* ControlNet batch) only
     for the first ``ceil(frac·steps)`` steps, then cond-only (see
@@ -76,6 +83,8 @@ def make_final_pipeline(
     is_lcm = cfg.pipeline.scheduler_type == "lcm"
 
     use_dc = deepcache_interval is not None and deepcache_interval > 1
+    use_cnc = (use_controlnet and controlnet_interval is not None
+               and controlnet_interval > 1)
 
     def run(unet_params, controlnet_params, latents_all, frozen_mask,
             frozen_steps, context, cn_context, cond_image, ip_scale,
@@ -122,9 +131,16 @@ def make_final_pipeline(
 
         cond_pair = jnp.concatenate([cond_image[None]] * 2, axis=0)
 
+        def cn_forward(lat_in, t, cn_ctx, cond):
+            return bundle.controlnet.apply(
+                {"params": controlnet_params}, lat_in,
+                jnp.broadcast_to(t[None], (lat_in.shape[0],)),
+                cn_ctx, cond, controlnet_scale,
+            )
+
         def make_step(cfg_on: bool):
             def step(carry, i):
-                lat, gloss, cache = carry
+                lat, gloss, cache, cn_cache = carry
                 if guided:
                     lat, gloss = jax.lax.cond(
                         i < gcfg.guidance_steps,
@@ -143,6 +159,7 @@ def make_final_pipeline(
                 else:
                     lat_in, ctx = scaled, context[1:2]
                     cn_ctx, cond = cn_context[1:2], cond_image[None]
+                cn_cache_out = cn_cache
                 if use_controlnet:
                     # controlnet_keep window (reference models/pipelines.py:
                     # 725-731): conditioning active only inside
@@ -151,11 +168,19 @@ def make_final_pipeline(
                     keep = jnp.logical_and(
                         frac >= control_guidance_start,
                         frac <= control_guidance_end).astype(jnp.float32)
-                    down_res, mid_res = bundle.controlnet.apply(
-                        {"params": controlnet_params}, lat_in,
-                        jnp.broadcast_to(t[None], (lat_in.shape[0],)),
-                        cn_ctx, cond, controlnet_scale * keep,
-                    )
+                    if use_cnc:
+                        down_res, mid_res = jax.lax.cond(
+                            i % controlnet_interval == 0,
+                            lambda c: cn_forward(lat_in, t, cn_ctx, cond),
+                            lambda c: c,
+                            cn_cache,
+                        )
+                        cn_cache_out = (down_res, mid_res)
+                    else:
+                        down_res, mid_res = cn_forward(lat_in, t, cn_ctx,
+                                                       cond)
+                    down_res = tuple(r * keep for r in down_res)
+                    mid_res = mid_res * keep
                 else:
                     down_res = mid_res = None
                 if use_dc:
@@ -178,8 +203,12 @@ def make_final_pipeline(
                     latents_all[i + 1] * fm + nxt * (1.0 - fm),
                     nxt,
                 )
-                return (nxt, gloss, cache_out), lat
+                return (nxt, gloss, cache_out, cn_cache_out), lat
             return step
+
+        cutoff = (0 if is_lcm else
+                  sched_ops.cfg_cutoff_steps(sched.num_steps,
+                                             cfg_cutoff_fraction))
 
         cache0 = None
         if use_dc:
@@ -190,20 +219,33 @@ def make_final_pipeline(
                     context, return_deep_cache=True)[1],
                 latents_all[0])
             cache0 = jnp.zeros(cache_sd.shape, cache_sd.dtype)
+        cn_cache0 = None
+        if use_cnc:
+            # zeros placeholder for step 0 (always a compute step)
+            lat0 = latents_all[0]
+            lat0_in = (jnp.concatenate([lat0, lat0], axis=0)
+                       if cutoff > 0 else lat0)
+            cn_sd = jax.eval_shape(
+                cn_forward, lat0_in, sched.timesteps[0],
+                cn_context if cutoff > 0 else cn_context[1:2],
+                cond_pair if cutoff > 0 else cond_image[None])
+            cn_cache0 = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), cn_sd)
 
-        cutoff = (0 if is_lcm else
-                  sched_ops.cfg_cutoff_steps(sched.num_steps,
-                                             cfg_cutoff_fraction))
         b = latents_all.shape[1]
-        carry = (latents_all[0], jnp.float32(jnp.inf), cache0)
+        carry = (latents_all[0], jnp.float32(jnp.inf), cache0, cn_cache0)
         traj = None
         if cutoff > 0:      # don't trace the 2×-batch CFG body when dead
             carry, traj = jax.lax.scan(make_step(True), carry,
                                        jnp.arange(cutoff))
         if cutoff < sched.num_steps:
+            # cond-only phase: keep the cond rows of the batched caches
+            lat_c, gloss_c, cache_c, cnc_c = carry
             if use_dc:
-                # cond-only phase: keep the cond rows of the batched cache
-                carry = (carry[0], carry[1], carry[2][b:])
+                cache_c = cache_c[b:]
+            if use_cnc and cutoff > 0:
+                cnc_c = jax.tree.map(lambda r: r[b:], cnc_c)
+            carry = (lat_c, gloss_c, cache_c, cnc_c)
             carry, traj2 = jax.lax.scan(
                 make_step(False), carry, jnp.arange(cutoff, sched.num_steps))
             traj = (traj2 if traj is None

@@ -36,7 +36,10 @@ class GuidanceInputs:
     token_valid: jnp.ndarray    # [K, P]
     obj_valid: jnp.ndarray      # [K]
     word_token: jnp.ndarray     # [K]
-    # optional per-key reference maps [K, heads, HW] (attention transfer)
+    # optional per-key reference maps for the attention-transfer loss:
+    # [K, heads, HW] (step-aggregated) or [S, K, heads, HW] (per-step —
+    # the reference matches the saved attention at the SAME timestep,
+    # utils/guidance.py:220-233; guidance_update slices the step axis)
     ref_attn_maps: Optional[Tuple[jnp.ndarray, ...]] = None
 
 
@@ -104,6 +107,18 @@ def guidance_update(
     Returns (latents, final_loss).
     """
     t = sched.timesteps[step_index]
+    if gin.ref_attn_maps is not None and any(
+            m.ndim == 4 for m in gin.ref_attn_maps):
+        # per-step reference maps: select this step's saved attention
+        # (reference semantics, utils/guidance.py:220-233).  Clip guards a
+        # reference trajectory shorter than this pass's schedule.
+        gin = dataclasses.replace(
+            gin,
+            ref_attn_maps=tuple(
+                m[jnp.clip(step_index, 0, m.shape[0] - 1)]
+                if m.ndim == 4 else m
+                for m in gin.ref_attn_maps),
+        )
     if hasattr(sched, "guidance_step_scale"):
         scale = sched.guidance_step_scale(step_index)
     else:

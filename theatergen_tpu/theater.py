@@ -99,7 +99,23 @@ class Theater:
         num_steps: Optional[int] = None,
         guided: bool = True,
         use_controlnet: bool = True,
+        attn_transfer: str = "per_step",
+        mesh=None,
+        batch_characters: bool = False,
     ):
+        # "per_step": final-pass attention transfer matches each step's
+        # saved reference attention (reference utils/guidance.py:220-233);
+        # "aggregate": opt-in mean over steps >= ATTN_AGG_START.
+        assert attn_transfer in ("per_step", "aggregate"), attn_transfer
+        self.attn_transfer = attn_transfer
+        # batched character mode: run a turn's independent character passes
+        # as one vmapped program, sharded over the mesh's dp axis when a
+        # ('dp','tp') mesh is given (the reference is strictly serial,
+        # theatergen.py:396-407)
+        self.mesh = mesh
+        self.batch_characters = bool(batch_characters or mesh is not None)
+        self.guided = guided
+        self._char_run_b = None
         assert bundle.unet_ip is not None, "bundle must be built with_ip=True"
         self.bundle = bundle
         self.db = db
@@ -115,18 +131,29 @@ class Theater:
         self.use_controlnet = (use_controlnet and not self.use_t2i
                                and bundle.controlnet is not None)
 
-        self.char_run, self.char_sched = make_character_pipeline(
-            bundle, self.num_steps, use_ip=True, guided=guided,
-            capture_ref_attn=True,
-            cfg_cutoff_fraction=cfg.pipeline.cfg_cutoff_fraction,
-            deepcache_interval=cfg.pipeline.deepcache_interval,
-        )
-        self.final_run, self.final_sched = make_final_pipeline(
-            bundle, self.num_steps, use_ip=True,
-            use_controlnet=self.use_controlnet, guided=guided,
-            cfg_cutoff_fraction=cfg.pipeline.cfg_cutoff_fraction,
-            deepcache_interval=cfg.pipeline.deepcache_interval,
-        )
+        # memoized on the bundle: Theaters with identical settings (the
+        # CLI builds one per dialogue) share ONE compiled pipeline
+        pl = cfg.pipeline
+        base_key = (f"{id(cfg)}_{self.num_steps}_{guided}_"
+                    f"{pl.cfg_cutoff_fraction}_{pl.deepcache_interval}")
+        self.char_run, self.char_sched = bundle.memo(
+            f"char_pipeline_{id(bundle.unet_ip)}_{base_key}",
+            lambda: make_character_pipeline(
+                bundle, self.num_steps, use_ip=True, guided=guided,
+                capture_ref_attn=True,
+                cfg_cutoff_fraction=pl.cfg_cutoff_fraction,
+                deepcache_interval=pl.deepcache_interval,
+            ))
+        self.final_run, self.final_sched = bundle.memo(
+            f"final_pipeline_{id(bundle.unet_ip)}_{id(bundle.controlnet)}_"
+            f"{base_key}_{self.use_controlnet}_{pl.controlnet_interval}",
+            lambda: make_final_pipeline(
+                bundle, self.num_steps, use_ip=True,
+                use_controlnet=self.use_controlnet, guided=guided,
+                cfg_cutoff_fraction=pl.cfg_cutoff_fraction,
+                deepcache_interval=pl.deepcache_interval,
+                controlnet_interval=pl.controlnet_interval,
+            ))
         self._decode = jax.jit(
             lambda vp, z: sd.decode_with(bundle.vae, vp,
                                          cfg.vae.scaling_factor, z))
@@ -199,11 +226,14 @@ class Theater:
             word[i] = tp[-1] if tp else 0
         refs = None
         if ref_attn is not None:
-            # per guidance key: [K, heads, HW]
+            # per guidance key: [K, heads, HW] (aggregated, per-object maps
+            # are [heads, HW]) or [S, K, heads, HW] (per-step, per-object
+            # maps are [S, heads, HW] — reference timestep-matched transfer,
+            # utils/guidance.py:220-233)
             num_keys = len(self.cfg.guidance.attn_keys)
             refs = []
-            # stacked on device — fetching each [heads, HW] map through the
-            # tunnel and re-uploading costs a round trip per map
+            # stacked on device — fetching each map through the tunnel and
+            # re-uploading costs a round trip per map
             for ki in range(num_keys):
                 maps = []
                 for i in range(k):
@@ -214,7 +244,9 @@ class Theater:
                 shape = next(m.shape for m in maps if m is not None)
                 maps = [m if m is not None else jnp.zeros(shape, jnp.float32)
                         for m in maps]
-                refs.append(jnp.stack([m.astype(jnp.float32) for m in maps]))
+                per_step = maps[0].ndim == 3
+                refs.append(jnp.stack([m.astype(jnp.float32) for m in maps],
+                                      axis=1 if per_step else 0))
             refs = tuple(refs)
         return GuidanceInputs(
             boxes=jnp.asarray(boxes_a), token_pos=jnp.asarray(pos),
@@ -225,13 +257,16 @@ class Theater:
     def _aggregate_attn(self, ref_attn: Tuple[jnp.ndarray, ...]
                         ) -> List[jnp.ndarray]:
         """Mean guidance-key maps over steps >= ATTN_AGG_START
-        (theatergen.py:30: aggregate the late, semantically-stable steps)."""
+        (theatergen.py:30: aggregate the late, semantically-stable steps).
+        Accepts [S, heads, HW] maps or batched [B, S, heads, HW] ones."""
         steps = self.char_sched.num_steps   # fast schedules shorten this
         start = min(ATTN_AGG_START, max(steps - 1, 0))
+        batched = ref_attn[0].ndim == 4
         fn = self.bundle.jitted(
-            f"agg_attn_{start}",
+            f"agg_attn_{start}_{batched}",
             lambda maps: tuple(
-                jnp.mean(m[start:].astype(jnp.float32), axis=0)
+                jnp.mean((m[:, start:] if batched else m[start:])
+                         .astype(jnp.float32), axis=1 if batched else 0)
                 for m in maps))
         return list(fn(tuple(ref_attn)))
 
@@ -275,9 +310,10 @@ class Theater:
 
     # ---------------------------------------------------------- character
 
-    def _generate_character(self, plan: parse.ObjectPlan, extra_neg: str,
-                            rng: jax.Array):
-        """One character with detect-and-regenerate (theatergen.py:43-201)."""
+    def _character_prep(self, plan: parse.ObjectPlan, extra_neg: str) -> dict:
+        """Host-side conditioning prep shared by the serial and batched
+        character paths: prompts, token indices, text context, DB lookup →
+        IP scale/embeds, guidance inputs (theatergen.py:43-96)."""
         b = self.bundle
         cfg = self.cfg
         centered = np.asarray(
@@ -313,20 +349,57 @@ class Theater:
             ip_scale = 0.0
             img_embed = self._placeholder_ip_features()
         ctx = ip_context(b, text_ctx, img_embed, self._uncond_ip)
-
         gin = self._guidance_inputs([tuple(centered)], [token_pos])
+        return dict(ctx=ctx, extra_cond=extra_cond, ip_scale=ip_scale,
+                    img_embed=img_embed, gin=gin, token_pos=token_pos,
+                    hit=hit, centered=centered)
 
-        detected_ok = False
-        result = image = None
+    def _char_lat_fn(self):
+        cfg = self.cfg
         # key carries the sampler's sigma: Theaters with different sampler
         # kinds can share one bundle (and thus the jit cache)
-        lat_fn = self.bundle.jitted(
+        return self.bundle.jitted(
             f"char_input_latents_{self._init_sigma}",
             lambda r0, r1, bx: L.input_latents_for_boxes(
                 r0, r1, bx, cfg.pipeline.latent_height,
                 cfg.pipeline.latent_width,
                 fg_blending_ratio=cfg.pipeline.fg_blending_ratio,
                 init_noise_sigma=self._init_sigma)[0][0])
+
+    def _character_finish(self, plan: parse.ObjectPlan, prep: dict,
+                          result, image, agg, detected_ok: bool,
+                          det_box) -> dict:
+        """Masks + DB persistence + result dict, shared by both paths
+        (theatergen.py:158-201, models/pipelines.py:476-477)."""
+        b = self.bundle
+        img_embed = prep["img_embed"]
+        with self.timer.phase("char.masks"):
+            m_lat, m_pix = self._extract_masks(agg, image, det_box)
+        if not prep["hit"]:
+            with self.timer.phase("char.embed_db"):
+                emb = np.asarray(encode_ip_image(b, image)[0])
+                self.db.save(plan.obj_id, np.asarray(image[0]),
+                             emb.reshape(-1))
+                img_embed = self._embed_from_db(emb)
+        return dict(
+            trajectory=result.trajectory, ref_attn=result.ref_attn,
+            image=image, mask_lat=m_lat, mask_pix=m_pix,
+            detected=detected_ok, token_pos=prep["token_pos"],
+            img_embed=img_embed,
+        )
+
+    def _generate_character(self, plan: parse.ObjectPlan, extra_neg: str,
+                            rng: jax.Array):
+        """One character with detect-and-regenerate (theatergen.py:43-201)."""
+        b = self.bundle
+        prep = self._character_prep(plan, extra_neg)
+        centered = prep["centered"]
+        ctx, extra_cond = prep["ctx"], prep["extra_cond"]
+        ip_scale, gin = prep["ip_scale"], prep["gin"]
+
+        detected_ok = False
+        result = image = None
+        lat_fn = self._char_lat_fn()
         for attempt in range(MAX_REGEN_ATTEMPTS):
             arng = jax.random.fold_in(rng, attempt)
             init_lat = lat_fn(jax.random.fold_in(arng, 0),
@@ -361,22 +434,104 @@ class Theater:
             # semantic self-healing: reseed and retry (theatergen.py:141-160)
         # `agg` from the last loop iteration is for the surviving `result`
         det_box = detection.box if detected_ok else jnp.asarray(centered)
-        with self.timer.phase("char.masks"):
-            m_lat, m_pix = self._extract_masks(agg, image, det_box)
+        return self._character_finish(plan, prep, result, image, agg,
+                                      detected_ok, det_box)
 
-        if not hit:
-            with self.timer.phase("char.embed_db"):
-                emb = np.asarray(encode_ip_image(b, image)[0])
-                self.db.save(plan.obj_id, np.asarray(image[0]),
-                             emb.reshape(-1))
-                img_embed = self._embed_from_db(emb)
+    def _batched_char_runner(self):
+        """vmap+pjit character runner over the ('dp','tp') mesh (a 1-device
+        mesh when none was given — pure program batching).  Built lazily;
+        jit specializes per batch size."""
+        if self._char_run_b is None:
+            from .parallel import driver as dp_driver
+            from .parallel import mesh as mesh_lib
 
-        return dict(
-            trajectory=result.trajectory, ref_attn=result.ref_attn,
-            image=image, mask_lat=m_lat, mask_pix=m_pix,
-            detected=detected_ok, token_pos=token_pos,
-            img_embed=img_embed,
-        )
+            mesh = self.mesh
+            if mesh is None:
+                mesh = mesh_lib.make_mesh(dp=1, tp=1,
+                                          devices=jax.devices()[:1])
+            pl = self.cfg.pipeline
+            self._char_run_b = self.bundle.memo(
+                f"char_batched_{id(self.bundle.unet_ip)}_{id(self.cfg)}_"
+                f"{self.num_steps}_{self.guided}_{pl.cfg_cutoff_fraction}_"
+                f"{pl.deepcache_interval}_{tuple(mesh.shape.items())}",
+                lambda: dp_driver.make_dp_character_runner(
+                    self.bundle, self.num_steps, mesh, use_ip=True,
+                    guided=self.guided, capture_ref_attn=True,
+                    cfg_cutoff_fraction=pl.cfg_cutoff_fraction,
+                    deepcache_interval=pl.deepcache_interval,
+                )[0])
+        return self._char_run_b
+
+    def _generate_characters_batched(self, oplans, extra_neg: str,
+                                     rng: jax.Array, indices) -> List[dict]:
+        """All unique characters of a turn in ONE batched denoise program
+        (sharded over dp when a mesh is set — VERDICT r1 §2/§5: the
+        reference runs characters sequentially, theatergen.py:396-407;
+        their passes are independent, so batch them).  Per-character seeds
+        reproduce the serial path's fold-in discipline; detection failures
+        fall back to the serial detect-and-regenerate loop."""
+        b = self.bundle
+        preps = [self._character_prep(p, extra_neg) for p in oplans]
+        n = len(preps)
+        dp = self.mesh.shape["dp"] if self.mesh is not None else 1
+        B = -(-n // dp) * dp            # pad to a dp multiple
+        pad = B - n
+
+        lat_fn = self._char_lat_fn()
+        init_lats, run_rngs = [], []
+        for pr, idx in zip(preps, indices):
+            arng = jax.random.fold_in(jax.random.fold_in(rng, idx), 0)
+            init_lats.append(lat_fn(jax.random.fold_in(arng, 0),
+                                    jax.random.fold_in(arng, 1),
+                                    jnp.asarray(pr["centered"])[None]))
+            run_rngs.append(jax.random.fold_in(arng, 7))
+
+        stack = lambda xs: jnp.stack(list(xs) + [xs[0]] * pad)
+        lats = stack(init_lats)
+        ctxs = stack([pr["ctx"] for pr in preps])
+        scales = jnp.asarray(
+            [pr["ip_scale"] for pr in preps]
+            + [preps[0]["ip_scale"]] * pad, jnp.float32)
+        gins = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *([pr["gin"] for pr in preps]
+                              + [preps[0]["gin"]] * pad))
+        rngs = stack(run_rngs)
+
+        with self.timer.phase("char.denoise_decode"):
+            res = self._batched_char_runner()(
+                b.unet_ip_params, lats, ctxs, scales, gins, rngs)
+            h, w = self.cfg.pipeline.latent_height, self.cfg.pipeline.latent_width
+            images = self._decode(b.vae_params,
+                                  res.latents.reshape(B, h, w, 4))
+            aggs = self._aggregate_attn(res.ref_attn)   # per key [B,heads,HW]
+            _sync_fetch(aggs[0], images)
+
+        outs = []
+        for i, (oplan, prep) in enumerate(zip(oplans, preps)):
+            image = images[i][None]
+            agg = [m[i] for m in aggs]
+            with self.timer.phase("char.detect"):
+                if b.detector is not None:
+                    detection = b.detector(image[0], oplan.phrase)
+                else:
+                    detection = b.jitted(
+                        "attn_detect",
+                        lambda maps: det.attention_detect(list(maps), None),
+                    )(tuple(agg))
+                detected_ok = bool(detection.ok)
+            if not detected_ok:
+                # rare path: rejoin the serial regen loop (same seeds —
+                # attempt 0 is recomputed, then reseeded retries)
+                outs.append(self._generate_character(
+                    oplan, extra_neg, jax.random.fold_in(rng, indices[i])))
+                continue
+            result = dataclasses.replace(
+                res, latents=res.latents[i],
+                trajectory=res.trajectory[i],
+                ref_attn=tuple(m[i] for m in res.ref_attn))
+            outs.append(self._character_finish(
+                oplan, prep, result, image, agg, True, detection.box))
+        return outs
 
     # --------------------------------------------------------------- turn
 
@@ -400,17 +555,35 @@ class Theater:
 
         # -- per-character generation with dedup (theatergen.py:217-226)
         cache: Dict[Tuple[str, int], dict] = {}
-        chars = []
+        order: List[Tuple[str, int]] = []
+        unique_plans, unique_idx = [], []
         for idx, oplan in enumerate(plan.object_plans):
             key = (oplan.prompt, oplan.obj_id)
-            if key in cache:
-                chars.append(cache[key])
-                continue
+            order.append(key)
+            if key not in cache:
+                cache[key] = None
+                unique_plans.append(oplan)
+                unique_idx.append(idx)
+        # batched mode needs SD1.5-style conditioning (no per-char SDXL
+        # micro-cond batching) and distinct obj_ids: with duplicate ids the
+        # serial path's first write becomes the second's DB hit
+        use_batched = (
+            self.batch_characters and not self.is_xl and unique_plans
+            and (len(unique_plans) > 1 or self.mesh is not None)
+            and len({p.obj_id for p in unique_plans}) == len(unique_plans))
+        if use_batched:
             with self.timer.phase("character"):
-                out = self._generate_character(
-                    oplan, extra_neg, jax.random.fold_in(rng, idx))
-            cache[key] = out
-            chars.append(out)
+                outs = self._generate_characters_batched(
+                    unique_plans, extra_neg, rng, unique_idx)
+            for oplan, out in zip(unique_plans, outs):
+                cache[(oplan.prompt, oplan.obj_id)] = out
+        else:
+            for oplan, idx in zip(unique_plans, unique_idx):
+                with self.timer.phase("character"):
+                    cache[(oplan.prompt, oplan.obj_id)] = (
+                        self._generate_character(
+                            oplan, extra_neg, jax.random.fold_in(rng, idx)))
+        chars = [cache[key] for key in order]
 
         k = cfg.pipeline.max_objects
         n = min(len(chars), k)
@@ -506,9 +679,13 @@ class Theater:
             token_pos_all.append(tp or [1])
             boxes_all.append(oplan.box)
             refs.append(chars[i]["ref_attn"])
-        # per-step refs → use aggregated (host-side mean) reference maps
-        agg_refs = [tuple(self._aggregate_attn(r)) for r in refs]
-        gin = self._guidance_inputs(boxes_all, token_pos_all, agg_refs)
+        if self.attn_transfer == "per_step":
+            # timestep-matched transfer (reference default): pass the full
+            # [S, heads, HW] trajectories; guidance_update slices the step
+            refs_in = refs
+        else:
+            refs_in = [tuple(self._aggregate_attn(r)) for r in refs]
+        gin = self._guidance_inputs(boxes_all, token_pos_all, refs_in)
 
         cn_ctx = overall_ctx  # ControlNet sees text-only context
         with self.timer.phase("final"):

@@ -63,10 +63,15 @@ def strip_article(phrase: str) -> str:
 
 def convert_box(box: Sequence[float], height: float, width: float
                 ) -> Tuple[float, float, float, float]:
-    """(x, y, w, h) pixels → normalized (x0, y0, x1, y1)
-    (reference ``utils/parse.py:313-320``)."""
+    """(x, y, w, h) pixels → normalized (x0, y0, x1, y1), clamped to the
+    canvas (reference ``utils/parse.py:313-320``; the clamp mirrors
+    ``filter_boxes``'s ``:135-235`` bounds discipline — an out-of-canvas
+    box would otherwise silently degenerate every downstream guidance
+    mask)."""
     x0, y0 = box[0] / width, box[1] / height
-    return (x0, y0, x0 + box[2] / width, y0 + box[3] / height)
+    x1, y1 = x0 + box[2] / width, y0 + box[3] / height
+    clamp = lambda v: min(max(v, 0.0), 1.0)
+    return (clamp(x0), clamp(y0), clamp(x1), clamp(y1))
 
 
 @dataclasses.dataclass
@@ -95,7 +100,16 @@ def convert_spec(spec: dict, height: int = 512, width: int = 512,
     """Spec dict → TurnPlan (reference ``convert_spec``,
     ``utils/parse.py:322-379``): boxes sorted by name for stable grouping,
     per-object prompts of the form "{bg} with {name}", overall prompt with
-    pluralized duplicate groups."""
+    pluralized duplicate groups.
+
+    Boxes normalize against the spec's authoring canvas when given
+    (``spec["canvas_height"/"canvas_width"]`` — CMIGBench authors at 512)
+    and the render size otherwise (the reference divides by the render
+    size, which coincides at 512).  The explicit canvas makes boxes
+    resolution-independent, e.g. for tiny-config smoke runs over the
+    512-authored sample data."""
+    canvas_h = spec.get("canvas_height") or height
+    canvas_w = spec.get("canvas_width") or width
     gen_boxes = list(spec["gen_boxes"])
     obj_ids = list(spec.get("obj_ids", range(len(gen_boxes))))
     order = sorted(range(len(gen_boxes)), key=lambda i: gen_boxes[i][0])
@@ -103,7 +117,7 @@ def convert_spec(spec: dict, height: int = 512, width: int = 512,
     obj_ids = [obj_ids[i] for i in order]
 
     bg_prompt = spec.get("bg_prompt") or ""
-    boxes_n = [(name, convert_box(box, height, width))
+    boxes_n = [(name, convert_box(box, canvas_h, canvas_w))
                for name, box in gen_boxes]
 
     plans = []
