@@ -110,3 +110,32 @@ def test_flash_block_validation():
         fa.flash_attention(q, q, q, q_block=100)
     with pytest.raises(ValueError):
         fa.flash_attention(q, q, q, k_block=100)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 1024, 2, 40),     # SD1.5 level-0: unaligned d stays native
+    (2, 1024, 2, 64),
+    (1, 2048, 1, 80),
+])
+def test_flash_bshd_native_matches_reference(shape):
+    """The BSHD-native path (no transpose/pad copies, 4-D BlockSpecs)
+    must match the copy-based path and the XLA reference."""
+    b, s, h, d = shape
+    q = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    k = jax.random.normal(jax.random.key(1), shape, jnp.float32)
+    v = jax.random.normal(jax.random.key(2), shape, jnp.float32)
+    out = fa._flash_attention_bshd(q, k, v, 256, 512)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(q, k, v)), atol=2e-3)
+    base = fa._flash_attention_impl(q, k, v, 256, 512)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-3)
+
+
+def test_flash_bshd_multiblock_k_online_softmax():
+    b, s, h, d = 1, 2048, 2, 40
+    q = jax.random.normal(jax.random.key(5), (b, 512, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(6), (b, s, h, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(7), (b, s, h, d), jnp.float32)
+    out = fa._flash_attention_bshd(q, k, v, 256, 512)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(q, k, v)), atol=2e-3)

@@ -384,3 +384,75 @@ def test_theater_pipelines_memoized(theater, tmp_path):
     th3 = Theater(theater.bundle, CharacterDB(str(tmp_path / "memo2")),
                   num_steps=2)
     assert th3.char_run is not theater.char_run
+
+
+def test_deferred_db_save_same_turn_hit(theater, tmp_path):
+    """New-character DB writes are deferred past the final-pass dispatch
+    (fetch overlaps the denoise); a SAME-turn lookup of the same obj_id
+    with a different prompt must still be a hit, served from the pending
+    on-device embedding (reference reads the DB file synchronously,
+    models/pipelines.py:183-199 / write :476-477)."""
+    from theatergen_tpu.db import CharacterDB
+    from theatergen_tpu.theater import Theater
+
+    db = CharacterDB(str(tmp_path / "defer"))
+    saves = []
+    orig = db.save
+    db.save = lambda *a, **k: (saves.append(a[0]), orig(*a, **k))[1]
+    th = Theater(theater.bundle, db, num_steps=3)
+    spec = {
+        "prompt": "a cat sits, then the same cat sleeps",
+        "gen_boxes": [("a cat", (50, 100, 120, 120)),
+                      ("a sleeping cat", (300, 100, 120, 120))],
+        "bg_prompt": "a sunny room", "extra_neg_prompt": "",
+        "obj_ids": [3, 3],
+        "canvas_height": 512, "canvas_width": 512,
+    }
+    res = th.run_turn(spec, seed=0)
+    assert np.isfinite(res.image).all()
+    # one save (first appearance); the second was a pending-overlay hit
+    assert saves == [3]
+    assert db.has(3)
+    assert not th._pending_saves          # flushed by turn end
+    # next turn: the persisted character is a normal disk hit
+    res2 = th.run_turn(SPEC_T2 | {"obj_ids": [3]}, seed=1)
+    assert np.isfinite(res2.image).all()
+    assert saves == [3]
+
+
+def test_run_turn_wave_matches_serial(theater, tmp_path):
+    """Dialogue-level DP (BASELINE config 4): N dialogues advance in
+    lockstep with character AND final passes batched across dialogues,
+    sharded over dp — must reproduce the serial per-dialogue loop.  A
+    duplicate-obj_id dialogue exercises the in-wave serial fallback."""
+    from theatergen_tpu.parallel.mesh import make_mesh
+    from theatergen_tpu.theater import run_turn_wave
+
+    bundle = theater.bundle
+    spec_dup = {
+        "prompt": "a cat sits beside a sleeping cat",
+        "gen_boxes": [("a cat", (50, 100, 120, 120)),
+                      ("a sleeping cat", (300, 100, 120, 120))],
+        "bg_prompt": "a sunny room", "extra_neg_prompt": "",
+        "obj_ids": [7, 7],
+        "canvas_height": 512, "canvas_width": 512,
+    }
+    specs = [SPEC_T1, SPEC_T2, spec_dup]
+    seeds = [0, 1, 2]
+
+    serial = []
+    for i, sp in enumerate(specs):
+        th = Theater(bundle, CharacterDB(str(tmp_path / f"s{i}")),
+                     num_steps=3)
+        serial.append(th.run_turn(sp, seed=seeds[i]))
+
+    mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+    ths = [Theater(bundle, CharacterDB(str(tmp_path / f"w{i}")),
+                   num_steps=3, mesh=mesh) for i in range(len(specs))]
+    wave = run_turn_wave(ths, specs, seeds)
+
+    assert len(wave) == len(specs)
+    for s, wv in zip(serial, wave):
+        assert np.abs(s.image - wv.image).max() < 2e-3
+        assert len(s.so_images) == len(wv.so_images)
+        assert s.detections == wv.detections

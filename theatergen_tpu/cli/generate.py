@@ -115,6 +115,13 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--batch_chars", action="store_true",
                     help="batch a turn's character passes into one program "
                          "on a single device (implied by --mesh)")
+    ap.add_argument("--dp_dialogues", type=int, default=None, metavar="N",
+                    help="dialogue-level data parallelism: advance N "
+                         "dialogues in lockstep, batching each turn's "
+                         "character AND final passes into single programs "
+                         "sharded over the --mesh dp axis (BASELINE config "
+                         "4; the reference runs one dialogue at a time, "
+                         "generate.py:180-269)")
     ap.add_argument("--max_dialogues", type=int, default=None)
     ap.add_argument("--profile", action="store_true",
                     help="emit a jax.profiler trace for the first dialogue")
@@ -207,6 +214,104 @@ def parse_mesh_arg(spec: Optional[str]):
                               devices=jax.devices()[:n])
 
 
+def _run_wave_mode(args, bundle, mesh, dataset, dialogues, save_dir,
+                   log) -> None:
+    """Dialogue-level DP: waves of ``--dp_dialogues`` dialogues advance
+    turn-by-turn in lockstep through batched character/final programs
+    (theater.run_turn_wave — BASELINE config 4).  Seeds, resume, output
+    tree and quarantine match the serial loop exactly."""
+    from ..db import CharacterDB
+    from ..theater import Theater, run_turn_wave
+
+    W = args.dp_dialogues
+    canvas = args.box_canvas or (512 if args.tiny else None)
+    use_time = []
+    for regen_ind in range(args.regenerate):
+        for w0 in range(0, len(dialogues), W):
+            wave = dialogues[w0:w0 + W]
+            theaters = []
+            for dialogue in wave:
+                db = CharacterDB(os.path.join(
+                    args.database_path_base, args.task, str(dialogue)))
+                theaters.append(Theater(
+                    bundle, db, task=args.task, num_steps=args.num_steps,
+                    guided=not args.no_guidance, mesh=mesh,
+                    batch_characters=True))
+            t0 = time.time()
+            for t_idx in range(4):
+                turn = f"turn {t_idx + 1}"
+                sel, specs = [], []
+                for i, dialogue in enumerate(wave):
+                    turn_dir = os.path.join(save_dir, str(dialogue), turn)
+                    if os.path.exists(turn_dir):    # resume-by-existence
+                        continue
+                    if turn not in dataset[dialogue]:
+                        continue
+                    spec = build_spec(dataset[dialogue][turn])
+                    if canvas:
+                        spec["canvas_height"] = spec["canvas_width"] = canvas
+                    sel.append(i)
+                    specs.append(spec)
+                if not sel:
+                    continue
+                for rep in range(args.repeats):
+                    seeds = []
+                    for i in sel:
+                        base = (args.freeze_dialogue_seed
+                                if args.freeze_dialogue_seed is not None
+                                else w0 + i)
+                        seeds.append(turn_seed(args.seed_offset, base,
+                                               t_idx, rep,
+                                               regen=regen_ind))
+                    try:
+                        results = run_turn_wave(
+                            [theaters[i] for i in sel], specs, seeds,
+                            frozen_step_ratio=args.frozen_step_ratio)
+                    except Exception:
+                        # quarantine (generate.py:250-259): a wave failure
+                        # falls back to per-dialogue serial turns so one
+                        # bad dialogue can't sink its wave-mates
+                        traceback.print_exc()
+                        results = []
+                        for i, spec, seed in zip(sel, specs, seeds):
+                            try:
+                                results.append(theaters[i].run_turn(
+                                    spec, seed,
+                                    frozen_step_ratio=args.frozen_step_ratio))
+                            except Exception:
+                                print(f"[quarantine] {wave[i]}/{turn} "
+                                      f"rep {rep}:")
+                                traceback.print_exc()
+                                results.append(None)
+                    for i, res in zip(sel, results):
+                        if res is None:
+                            continue
+                        turn_dir = os.path.join(save_dir, str(wave[i]),
+                                                turn)
+                        save_image(os.path.join(turn_dir,
+                                                f"img_{rep}.png"),
+                                   res.image)
+                        for j, so in enumerate(res.so_images):
+                            save_image(os.path.join(
+                                turn_dir, f"so_{rep}_{j}.png"), so)
+                        log(event="turn", dialogue=str(wave[i]), turn=turn,
+                            repeat=rep, seed=seeds[sel.index(i)],
+                            seconds=round(res.seconds, 2),
+                            characters=len(res.so_images),
+                            detections=res.detections)
+            dt = time.time() - t0
+            use_time.append(dt / max(len(wave), 1))
+            print(f"wave {wave}: {dt:.1f}s "
+                  f"({dt / max(len(wave), 1):.1f}s/dialogue, p50 "
+                  f"{np.median(use_time):.1f}s)")
+            log(event="wave", dialogues=[str(d) for d in wave],
+                seconds=round(dt, 2),
+                phase_summary=theaters[0].timer.summary())
+    if use_time:
+        print(f"Total {len(use_time)} waves, avg {np.mean(use_time):.1f}s, "
+              f"p50 {np.median(use_time):.1f}s per 4-turn dialogue")
+
+
 def main(argv: Optional[list] = None) -> None:
     args = make_parser().parse_args(argv)
     from ..db import CharacterDB
@@ -230,6 +335,12 @@ def main(argv: Optional[list] = None) -> None:
     def log(**kw):
         run_log.write(json.dumps(kw) + "\n")
         run_log.flush()
+
+    if args.dp_dialogues:
+        _run_wave_mode(args, bundle, mesh, dataset, dialogues, save_dir,
+                       log)
+        run_log.close()
+        return
 
     profiled = False
     for regen_ind in range(args.regenerate):

@@ -48,6 +48,12 @@ LOG2E = 1.4426950408889634
 # set True (tests) to run the kernel through the Pallas interpreter on CPU
 INTERPRET = False
 
+# BSHD-native kernel: index the [B, S, H, D] arrays directly with 4-D
+# BlockSpecs instead of materializing transposed+padded [B*H, S, 64]
+# copies of Q/K/V (and un-transposing O) around the pallas_call — six
+# full HBM passes per layer saved. Opt-in until measured on chip.
+BSHD_NATIVE = os.environ.get("THEATERGEN_FLASH_BSHD", "0") == "1"
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -111,6 +117,98 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
         o_ref[0] = (acc_ref[...] * inv).astype(o_ref.dtype)
 
 
+def _attn_kernel_bshd(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    """Same online-softmax cell as :func:`_attn_kernel`, reading
+    ``(1, bq, 1, d)`` / ``(1, bk, 1, d)`` blocks of the BSHD arrays (the
+    head axis is blocked at 1; Mosaic masks the un-aligned ``d`` lanes)."""
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, :, 0, :]             # [bq, d] (pre-scaled)
+    k = k_ref[0, :, 0, :]             # [bk, d]
+    v = v_ref[0, :, 0, :]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])
+    p = jnp.exp2(s - m_next[:, :1])
+    l_curr = jnp.sum(p, axis=1, keepdims=True)
+    l_next = alpha * l_prev[:, :1] + l_curr
+    m_ref[...] = jnp.broadcast_to(m_next[:, :1], m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k_idx == nk - 1)
+    def _store():
+        l_fin = l_ref[...][:, :1]
+        inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+        o_ref[0, :, 0, :] = (acc_ref[...] * inv).astype(o_ref.dtype)
+
+
+def _flash_attention_bshd(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    q_block: int, k_block: int,
+) -> jnp.ndarray:
+    """BSHD-native path: no transpose/pad copies around the kernel."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    bq = min(q_block, sq)
+    bk = min(k_block, sk)
+    while sk % bk != 0:
+        bk -= LANE
+
+    q = q * jnp.asarray(d ** -0.5 * LOG2E, q.dtype)
+
+    grid = (b * h, sq // bq, sk // bk)
+    return pl.pallas_call(
+        _attn_kernel_bshd,
+        out_shape=jax.ShapeDtypeStruct((b, sq, h, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 1, d),
+                         lambda i, j, kk, H=h: (i // H, j, i % H, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, 1, d),
+                         lambda i, j, kk, H=h: (i // H, kk, i % H, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, 1, d),
+                         lambda i, j, kk, H=h: (i // H, kk, i % H, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 1, d),
+                               lambda i, j, kk, H=h: (i // H, j, i % H, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),   # native d; Mosaic pads tiles
+        ],
+        interpret=INTERPRET,
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * (b * h) * sq * sk * d,
+            bytes_accessed=(b * h) * (sq * d * 2 + 2 * sk * d * 2),
+            transcendentals=(b * h) * sq * sk,
+        ),
+    )(q, k, v)
+
+
 def _flash_attention_impl(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q_block: int, k_block: int,
@@ -119,6 +217,8 @@ def _flash_attention_impl(
         raise ValueError(
             f"q_block and k_block must be multiples of {LANE}; got "
             f"({q_block}, {k_block})")
+    if BSHD_NATIVE and q.shape[1] % min(q_block, q.shape[1]) == 0:
+        return _flash_attention_bshd(q, k, v, q_block, k_block)
     b, sq, h, d = q.shape
     sk = k.shape[1]
     dp = _pad_head_dim(d)

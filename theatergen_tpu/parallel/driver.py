@@ -69,3 +69,67 @@ def fold_in_batch(rng: jax.Array, batch: int) -> jnp.ndarray:
     """Per-element RNG keys preserving the reference's per-seed
     reproducibility (``generate.py:236-243``)."""
     return jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(batch))
+
+
+def make_dp_final_runner(
+    bundle: Bundle,
+    num_steps: int,
+    mesh,
+    *,
+    use_ip: bool = True,
+    use_controlnet: bool = True,
+    guided: bool = True,
+    cfg_cutoff_fraction=None,
+    deepcache_interval=None,
+    controlnet_interval=None,
+):
+    """Batched final passes (reference ``models/pipelines.py:592-857``) of
+    D independent dialogues as ONE program, the dialogue axis sharded over
+    dp.  Returns ``run(unet_params, controlnet_params, latents_all
+    [D,S+1,1,h,w,4], frozen_mask [D,h,w], frozen_steps [D], context
+    [D,2,L,C], cn_context [D,2,Lt,C], cond_image [D,H,W,3], ip_scale,
+    gins, rngs [D]) -> final latents [D,1,h,w,4]`` (the per-step
+    trajectory is dropped — the composed trajectory is an *input* here).
+
+    ``D`` must be a multiple of the dp axis size.
+    """
+    from ..pipelines.final import make_final_pipeline
+
+    run, sched = make_final_pipeline(
+        bundle, num_steps, use_ip=use_ip, use_controlnet=use_controlnet,
+        guided=guided, cfg_cutoff_fraction=cfg_cutoff_fraction,
+        deepcache_interval=deepcache_interval,
+        controlnet_interval=controlnet_interval,
+    )
+
+    def one(up, cp, lat_all, fm, fs, ctx, cn_ctx, cond, scale, gin, rng):
+        final, _traj = run(up, cp if use_controlnet else None, lat_all, fm,
+                           fs, ctx, cn_ctx, cond, scale, gin, rng=rng)
+        return final
+
+    vrun = jax.vmap(
+        one,
+        in_axes=(None, None, 0, 0, 0, 0, 0, 0, None, 0, 0),
+    )
+    data = NamedSharding(mesh, P("dp"))
+    up_sh = mesh_lib.param_shardings(
+        mesh, bundle.unet_ip_params if use_ip else bundle.unet_params)
+    cp_sh = (mesh_lib.param_shardings(mesh, bundle.controlnet_params)
+             if use_controlnet else None)
+    jitted = jax.jit(
+        vrun,
+        in_shardings=(up_sh, cp_sh, data, data, data, data, data, data,
+                      None, data, data),
+    )
+
+    def run_dp(up, cp, lat_all, fm, fs, ctx, cn_ctx, cond, scale, gin,
+               rngs):
+        # batched inputs typically derive from the dp character runner's
+        # sharded outputs — committed NamedSharding(mesh, P()) arrays that
+        # jit's in_shardings refuses to reshard implicitly
+        lat_all, fm, fs, ctx, cn_ctx, cond, gin, rngs = jax.device_put(
+            (lat_all, fm, fs, ctx, cn_ctx, cond, gin, rngs), data)
+        return jitted(up, cp, lat_all, fm, fs, ctx, cn_ctx, cond, scale,
+                      gin, rngs)
+
+    return run_dp, sched

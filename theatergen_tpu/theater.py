@@ -116,6 +116,9 @@ class Theater:
         self.batch_characters = bool(batch_characters or mesh is not None)
         self.guided = guided
         self._char_run_b = None
+        # obj_id -> (image [1,H,W,3] device, emb device): DB writes whose
+        # host fetch is deferred past the final-pass dispatch
+        self._pending_saves: Dict = {}
         assert bundle.unet_ip is not None, "bundle must be built with_ip=True"
         self.bundle = bundle
         self.db = db
@@ -177,11 +180,15 @@ class Theater:
 
     def _embed_from_db(self, emb: np.ndarray) -> jnp.ndarray:
         """DB-stored (flattened) features → variant-shaped [1, ...] array."""
-        arr = np.asarray(emb)
+        return self._embed_dev(jnp.asarray(np.asarray(emb)))
+
+    def _embed_dev(self, emb: jnp.ndarray) -> jnp.ndarray:
+        """Device features (any layout) → variant-shaped [1, ...] array,
+        without a host round-trip."""
         if getattr(self.bundle, "ip_variant", "base") == "plus":
             hidden = self.cfg.vision.hidden_size
-            return jnp.asarray(arr.reshape(1, -1, hidden))
-        return jnp.asarray(arr.reshape(1, -1))
+            return emb.reshape(1, -1, hidden)
+        return emb.reshape(1, -1)
 
     # ---------------------------------------------------------------- utils
 
@@ -336,14 +343,23 @@ class Theater:
                     b.tokenizer, so_prompt, plan.word, cfg.text.max_length)
             text_ctx, extra_cond = self._encode_text(so_prompt, neg)
 
-        db_img, db_emb, hit = self.db.lookup(plan.obj_id)
-        if hit and db_emb is None:
-            db_emb = np.asarray(encode_ip_image(
-                b, jnp.asarray(db_img)[None])[0])
-        if hit:
+        pending = self._pending_saves.get(plan.obj_id)
+        if pending is not None:
+            # a character saved earlier THIS turn whose disk write is still
+            # deferred (see _character_finish): a hit, served from the
+            # on-device embedding — no fetch, no disk read
+            hit = True
+            ip_scale = cfg.pipeline.ip_scale_hit
+            img_embed = self._embed_dev(pending[1])
+        elif (hit_t := self.db.lookup(plan.obj_id))[2]:
+            db_img, db_emb, hit = hit_t
+            if db_emb is None:
+                db_emb = np.asarray(encode_ip_image(
+                    b, jnp.asarray(db_img)[None])[0])
             ip_scale = cfg.pipeline.ip_scale_hit
             img_embed = self._embed_from_db(db_emb)
         else:
+            hit = False
             # DB miss: placeholder features at IP scale 0 (reference uses a
             # placeholder model.png with scale 0, models/pipelines.py:183-199)
             ip_scale = 0.0
@@ -377,10 +393,13 @@ class Theater:
             m_lat, m_pix = self._extract_masks(agg, image, det_box)
         if not prep["hit"]:
             with self.timer.phase("char.embed_db"):
-                emb = np.asarray(encode_ip_image(b, image)[0])
-                self.db.save(plan.obj_id, np.asarray(image[0]),
-                             emb.reshape(-1))
-                img_embed = self._embed_from_db(emb)
+                # dispatch CLIP-H on device; the fetch + disk write are
+                # deferred to _flush_db_saves so they overlap the final
+                # pass (the reference writes synchronously here,
+                # models/pipelines.py:476-477 — same persistence, later)
+                emb_dev = encode_ip_image(b, image)[0]
+                self._pending_saves[plan.obj_id] = (image, emb_dev)
+                img_embed = self._embed_dev(emb_dev)
         return dict(
             trajectory=result.trajectory, ref_attn=result.ref_attn,
             image=image, mask_lat=m_lat, mask_pix=m_pix,
@@ -470,31 +489,44 @@ class Theater:
         their passes are independent, so batch them).  Per-character seeds
         reproduce the serial path's fold-in discipline; detection failures
         fall back to the serial detect-and-regenerate loop."""
+        jobs = [dict(th=self, oplan=p, extra_neg=extra_neg,
+                     prep=self._character_prep(p, extra_neg),
+                     crng=jax.random.fold_in(rng, idx))
+                for p, idx in zip(oplans, indices)]
+        return self._batched_char_exec(jobs)
+
+    def _batched_char_exec(self, jobs: List[dict]) -> List[dict]:
+        """Run a list of character jobs — ``{th, oplan, prep, extra_neg,
+        crng}`` — as ONE batched denoise program on this theater's runner.
+        Jobs may come from several Theaters (``run_turn_wave`` batches
+        across dialogues); every ``th`` must share this theater's bundle,
+        mesh and pipeline settings.  Per-job masks/DB writes go through the
+        owning theater; detection failures fall back to the owner's serial
+        detect-and-regenerate loop."""
         b = self.bundle
-        preps = [self._character_prep(p, extra_neg) for p in oplans]
-        n = len(preps)
+        n = len(jobs)
         dp = self.mesh.shape["dp"] if self.mesh is not None else 1
         B = -(-n // dp) * dp            # pad to a dp multiple
         pad = B - n
 
         lat_fn = self._char_lat_fn()
         init_lats, run_rngs = [], []
-        for pr, idx in zip(preps, indices):
-            arng = jax.random.fold_in(jax.random.fold_in(rng, idx), 0)
+        for j in jobs:
+            arng = jax.random.fold_in(j["crng"], 0)     # attempt 0
             init_lats.append(lat_fn(jax.random.fold_in(arng, 0),
                                     jax.random.fold_in(arng, 1),
-                                    jnp.asarray(pr["centered"])[None]))
+                                    jnp.asarray(j["prep"]["centered"])[None]))
             run_rngs.append(jax.random.fold_in(arng, 7))
 
         stack = lambda xs: jnp.stack(list(xs) + [xs[0]] * pad)
         lats = stack(init_lats)
-        ctxs = stack([pr["ctx"] for pr in preps])
+        ctxs = stack([j["prep"]["ctx"] for j in jobs])
         scales = jnp.asarray(
-            [pr["ip_scale"] for pr in preps]
-            + [preps[0]["ip_scale"]] * pad, jnp.float32)
+            [j["prep"]["ip_scale"] for j in jobs]
+            + [jobs[0]["prep"]["ip_scale"]] * pad, jnp.float32)
         gins = jax.tree.map(lambda *xs: jnp.stack(xs),
-                            *([pr["gin"] for pr in preps]
-                              + [preps[0]["gin"]] * pad))
+                            *([j["prep"]["gin"] for j in jobs]
+                              + [jobs[0]["prep"]["gin"]] * pad))
         rngs = stack(run_rngs)
 
         with self.timer.phase("char.denoise_decode"):
@@ -507,10 +539,11 @@ class Theater:
             _sync_fetch(aggs[0], images)
 
         outs = []
-        for i, (oplan, prep) in enumerate(zip(oplans, preps)):
+        for i, j in enumerate(jobs):
+            th, oplan, prep = j["th"], j["oplan"], j["prep"]
             image = images[i][None]
             agg = [m[i] for m in aggs]
-            with self.timer.phase("char.detect"):
+            with th.timer.phase("char.detect"):
                 if b.detector is not None:
                     detection = b.detector(image[0], oplan.phrase)
                 else:
@@ -522,22 +555,43 @@ class Theater:
             if not detected_ok:
                 # rare path: rejoin the serial regen loop (same seeds —
                 # attempt 0 is recomputed, then reseeded retries)
-                outs.append(self._generate_character(
-                    oplan, extra_neg, jax.random.fold_in(rng, indices[i])))
+                outs.append(th._generate_character(
+                    oplan, j["extra_neg"], j["crng"]))
                 continue
             result = dataclasses.replace(
                 res, latents=res.latents[i],
                 trajectory=res.trajectory[i],
                 ref_attn=tuple(m[i] for m in res.ref_attn))
-            outs.append(self._character_finish(
+            outs.append(th._character_finish(
                 oplan, prep, result, image, agg, True, detection.box))
         return outs
 
     # --------------------------------------------------------------- turn
 
+    def _flush_db_saves(self) -> None:
+        """Fetch + persist deferred character DB writes (see
+        _character_finish).  Called mid-final for overlap and in
+        run_turn's finally so the DB is always durable at turn end."""
+        while self._pending_saves:
+            obj_id = next(iter(self._pending_saves))
+            image, emb = self._pending_saves.pop(obj_id)
+            self.db.save(obj_id, np.asarray(image[0]),
+                         np.asarray(emb).reshape(-1))
+
     def run_turn(self, spec: dict, seed: int,
                  frozen_step_ratio: Optional[float] = None,
                  overall_prompt_override: Optional[str] = None) -> TurnResult:
+        """One turn → one image (reference theatergen.py:278-488)."""
+        try:
+            return self._run_turn(spec, seed, frozen_step_ratio,
+                                  overall_prompt_override)
+        finally:
+            self._flush_db_saves()
+
+    def _run_turn(self, spec: dict, seed: int,
+                  frozen_step_ratio: Optional[float] = None,
+                  overall_prompt_override: Optional[str] = None
+                  ) -> TurnResult:
         t_start = time.time()
         b = self.bundle
         cfg = self.cfg
@@ -554,16 +608,8 @@ class Theater:
         rng = jax.random.key(seed)
 
         # -- per-character generation with dedup (theatergen.py:217-226)
-        cache: Dict[Tuple[str, int], dict] = {}
-        order: List[Tuple[str, int]] = []
-        unique_plans, unique_idx = [], []
-        for idx, oplan in enumerate(plan.object_plans):
-            key = (oplan.prompt, oplan.obj_id)
-            order.append(key)
-            if key not in cache:
-                cache[key] = None
-                unique_plans.append(oplan)
-                unique_idx.append(idx)
+        order, unique_plans, unique_idx = _dedup_plans(plan)
+        cache: Dict[Tuple[str, int], dict] = {k2: None for k2 in order}
         # batched mode needs SD1.5-style conditioning (no per-char SDXL
         # micro-cond batching) and distinct obj_ids: with duplicate ids the
         # serial path's first write becomes the second's DB hit
@@ -606,6 +652,43 @@ class Theater:
             return TurnResult(np.asarray(img[0]), [], np.asarray(img[0]),
                               time.time() - t_start, [])
 
+        fargs, collage = self._final_stage(plan, chars, extra_neg, rng)
+        with self.timer.phase("final"):
+            final, _traj = self.final_run(
+                b.unet_ip_params,
+                b.controlnet_params if self.use_controlnet else None,
+                fargs["composed"], fargs["frozen_mask"],
+                jnp.int32(frozen_steps), fargs["ctx"], fargs["cn_ctx"],
+                fargs["cond_img"], jnp.float32(cfg.pipeline.ip_scale_final),
+                fargs["gin"], rng=fargs["rng"],
+                extra_cond=fargs["extra_cond"],
+                adapter_feats=fargs["adapter_feats"])
+            image = self._decode_img(final)
+            # deferred DB writes land here: their embed programs precede
+            # the final pass in the device queue, so the fetch+disk work
+            # overlaps the final denoise instead of serializing before it
+            self._flush_db_saves()
+            _sync_fetch(image)          # honest phase timing (see above)
+
+        return TurnResult(
+            image=np.asarray(image[0]),
+            so_images=[np.asarray(c["image"][0]) for c in chars],
+            collage=np.asarray(collage),
+            seconds=time.time() - t_start,
+            detections=[bool(c["detected"]) for c in chars],
+        )
+
+    def _final_stage(self, plan, chars: List[dict], extra_neg: str,
+                     rng: jax.Array):
+        """Latent composition + final-pass conditioning for a turn whose
+        characters are generated (theatergen.py:417-477).  Returns
+        ``(fargs, collage)`` where ``fargs`` holds the final-run inputs —
+        ``run_turn_wave`` stacks them across dialogues for the batched
+        final runner."""
+        b = self.bundle
+        cfg = self.cfg
+        k = cfg.pipeline.max_objects
+        n = min(len(chars), k)
         # -- padded stacks for composition (stays on device — the reference
         # round-trips every trajectory through CPU, SURVEY §3.2)
         h, w = cfg.pipeline.latent_height, cfg.pipeline.latent_width
@@ -687,22 +770,168 @@ class Theater:
             refs_in = [tuple(self._aggregate_attn(r)) for r in refs]
         gin = self._guidance_inputs(boxes_all, token_pos_all, refs_in)
 
-        cn_ctx = overall_ctx  # ControlNet sees text-only context
-        with self.timer.phase("final"):
-            final, _traj = self.final_run(
-                b.unet_ip_params,
-                b.controlnet_params if self.use_controlnet else None,
-                composed, frozen_mask, jnp.int32(frozen_steps), ctx, cn_ctx,
-                cond_img, jnp.float32(cfg.pipeline.ip_scale_final), gin,
-                rng=jax.random.fold_in(rng, 777), extra_cond=extra_cond,
-                adapter_feats=adapter_feats)
-            image = self._decode_img(final)
-            _sync_fetch(image)          # honest phase timing (see above)
+        return dict(
+            composed=composed, frozen_mask=frozen_mask, ctx=ctx,
+            # ControlNet sees text-only context
+            cn_ctx=overall_ctx, cond_img=cond_img, gin=gin,
+            extra_cond=extra_cond, adapter_feats=adapter_feats,
+            rng=jax.random.fold_in(rng, 777),
+        ), collage
 
-        return TurnResult(
-            image=np.asarray(image[0]),
-            so_images=[np.asarray(c["image"][0]) for c in chars],
-            collage=np.asarray(collage),
-            seconds=time.time() - t_start,
-            detections=[bool(c["detected"]) for c in chars],
+
+def _dedup_plans(plan):
+    """Within-turn character dedup (reference theatergen.py:217-226): a
+    repeated (prompt, obj_id) reuses the first generation.  Returns
+    (order keys, unique object plans, their spec indices)."""
+    seen = set()
+    order, unique_plans, unique_idx = [], [], []
+    for idx, oplan in enumerate(plan.object_plans):
+        key = (oplan.prompt, oplan.obj_id)
+        order.append(key)
+        if key not in seen:
+            seen.add(key)
+            unique_plans.append(oplan)
+            unique_idx.append(idx)
+    return order, unique_plans, unique_idx
+
+
+def _wave_final_runner(th: "Theater"):
+    """Bundle-memoized batched final runner for run_turn_wave."""
+    from .parallel import driver as dp_driver
+    from .parallel import mesh as mesh_lib
+
+    mesh = th.mesh
+    if mesh is None:
+        mesh = mesh_lib.make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+    pl = th.cfg.pipeline
+    return th.bundle.memo(
+        f"final_batched_{id(th.bundle.unet_ip)}_{id(th.bundle.controlnet)}_"
+        f"{id(th.cfg)}_{th.num_steps}_{th.guided}_{th.use_controlnet}_"
+        f"{pl.cfg_cutoff_fraction}_{pl.deepcache_interval}_"
+        f"{pl.controlnet_interval}_{tuple(mesh.shape.items())}",
+        lambda: dp_driver.make_dp_final_runner(
+            th.bundle, th.num_steps, mesh, use_ip=True,
+            use_controlnet=th.use_controlnet, guided=th.guided,
+            cfg_cutoff_fraction=pl.cfg_cutoff_fraction,
+            deepcache_interval=pl.deepcache_interval,
+            controlnet_interval=pl.controlnet_interval)[0])
+
+
+def run_turn_wave(theaters: List["Theater"], specs: List[dict],
+                  seeds: List[int],
+                  frozen_step_ratio: Optional[float] = None
+                  ) -> List[TurnResult]:
+    """Dialogue-level data parallelism (BASELINE config 4; SURVEY §2.11:
+    the DP unit is the dialogue — its 4 turns are sequentially dependent,
+    so N dialogues advance in lockstep one turn at a time).
+
+    All character passes of the wave run as ONE batched denoise program
+    and all final passes as another, each sharded over the lead theater's
+    dp mesh axis (the reference processes dialogues strictly serially on
+    one GPU, generate.py:180-269).  Theaters must share one bundle/mesh
+    and settings; each keeps its own per-dialogue character DB.  XL/t2i
+    bundles, duplicate obj_ids, and background-only turns fall back to
+    the owning theater's serial ``run_turn``.
+    """
+    assert len(theaters) == len(specs) == len(seeds)
+    lead = theaters[0]
+    results: Dict[int, TurnResult] = {}
+
+    # -- host prep + character jobs per dialogue
+    states, jobs = [], []
+    for d, (th, spec, seed) in enumerate(zip(theaters, specs, seeds)):
+        t0 = time.time()
+        if th.is_xl or th.use_t2i:
+            # XL micro-conds and t2i adapter_feats aren't threaded through
+            # the batched final runner — those dialogues run serially
+            results[d] = th.run_turn(spec, seed, frozen_step_ratio)
+            continue
+        plan = parse.convert_spec(spec, th.cfg.pipeline.height,
+                                  th.cfg.pipeline.width)
+        extra_neg = spec.get("extra_neg_prompt") or ""
+        rng = jax.random.key(seed)
+        order, uplans, uidx = _dedup_plans(plan)
+        distinct = len({p.obj_id for p in uplans}) == len(uplans)
+        if not uplans or not distinct:
+            # background-only turn, or same-id characters whose DB-hit
+            # chain forces sequential generation
+            results[d] = th.run_turn(spec, seed, frozen_step_ratio)
+            continue
+        djobs = [dict(th=th, oplan=p, extra_neg=extra_neg,
+                      prep=th._character_prep(p, extra_neg),
+                      crng=jax.random.fold_in(rng, idx))
+                 for p, idx in zip(uplans, uidx)]
+        states.append(dict(d=d, th=th, plan=plan, extra_neg=extra_neg,
+                           rng=rng, order=order, uplans=uplans,
+                           jobs=djobs, t0=t0))
+        jobs.extend(djobs)
+
+    if not states:
+        return [results[d] for d in range(len(theaters))]
+
+    # -- ONE character batch across dialogues
+    outs = lead._batched_char_exec(jobs)
+
+    # -- per-dialogue composition + final-pass conditioning (host-light,
+    # each a single jitted compose program)
+    pos = 0
+    for st in states:
+        th = st["th"]
+        couts = outs[pos:pos + len(st["jobs"])]
+        pos += len(st["jobs"])
+        cache = {(p.prompt, p.obj_id): o
+                 for p, o in zip(st["uplans"], couts)}
+        st["chars"] = [cache[k2] for k2 in st["order"]]
+        st["fargs"], st["collage"] = th._final_stage(
+            st["plan"], st["chars"], st["extra_neg"], st["rng"])
+        ratio = (th.cfg.pipeline.frozen_step_ratio
+                 if frozen_step_ratio is None else frozen_step_ratio)
+        st["frozen"] = min(int(round(ratio * th.num_steps)),
+                           th.char_sched.num_steps)
+
+    # -- ONE batched final pass across dialogues
+    D = len(states)
+    dp = lead.mesh.shape["dp"] if lead.mesh is not None else 1
+    B = -(-D // dp) * dp
+    pad = B - D
+
+    def stackf(key):
+        xs = [st["fargs"][key] for st in states]
+        return jnp.stack(xs + [xs[0]] * pad)
+
+    gins = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *([st["fargs"]["gin"] for st in states]
+          + [states[0]["fargs"]["gin"]] * pad))
+    rngs = jnp.stack([st["fargs"]["rng"] for st in states]
+                     + [states[0]["fargs"]["rng"]] * pad)
+    frozen = jnp.asarray([st["frozen"] for st in states]
+                         + [states[0]["frozen"]] * pad, jnp.int32)
+
+    with lead.timer.phase("final"):
+        runner = _wave_final_runner(lead)
+        finals = runner(
+            lead.bundle.unet_ip_params,
+            lead.bundle.controlnet_params if lead.use_controlnet else None,
+            stackf("composed"), stackf("frozen_mask"), frozen,
+            stackf("ctx"), stackf("cn_ctx"), stackf("cond_img"),
+            jnp.float32(lead.cfg.pipeline.ip_scale_final), gins, rngs)
+        h, w = (lead.cfg.pipeline.latent_height,
+                lead.cfg.pipeline.latent_width)
+        images = lead._decode(lead.bundle.vae_params,
+                              finals.reshape(B, h, w, 4))
+        # deferred DB writes overlap the batched final (see Theater
+        # _flush_db_saves)
+        for st in states:
+            st["th"]._flush_db_saves()
+        _sync_fetch(images)
+
+    for i, st in enumerate(states):
+        results[st["d"]] = TurnResult(
+            image=np.asarray(images[i]),
+            so_images=[np.asarray(c["image"][0]) for c in st["chars"]],
+            collage=np.asarray(st["collage"]),
+            seconds=time.time() - st["t0"],
+            detections=[bool(c["detected"]) for c in st["chars"]],
         )
+    return [results[d] for d in range(len(theaters))]
