@@ -25,3 +25,32 @@ if _platform == "cpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+# Two-tier suite (full run is ~1h of CPU compiles): files whose tests are
+# dominated by multi-minute e2e orchestrator turns or torch-golden port
+# parity get an automatic ``slow`` marker.  Fast tier for iteration:
+#   python -m pytest tests/ -m "not slow"     (~5 min)
+# CI / pre-commit on touched areas should still run the relevant slow
+# files directly.
+_SLOW_FILES = {
+    "test_theater.py",
+    "test_sdxl.py",
+    "test_character_final.py",
+    "test_cli.py",
+    "test_guidance.py",
+    "test_parallel.py",
+    "test_gdino.py",
+    "test_sam_hf.py",
+    "test_torch_parity.py",
+    "test_inception.py",
+    "test_txt2img.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.path is not None and item.path.name in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
