@@ -76,6 +76,7 @@ def main():
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=fa._VMEM_LIMIT,
             ),
         )(qf, kf, vf)
 
@@ -116,19 +117,24 @@ def main():
                            ).reshape(b, s, h * dp)
         qf, kf, vf = flat(q), flat(k), flat(v)
 
-        # correctness vs the production kernel
+        # correctness vs the copy-based online kernel
+        bq0 = fa._flat_q_block(s, s, h * dp)
+        fa.FLAT = False
         ref = fa._flash_attention_impl(q, k, v, 512, 4096)
-        got = call_flat(qf, kf, vf, h, dp, d, 512).reshape(b, s, h, dp)
+        fa.FLAT = True
+        got = call_flat(qf, kf, vf, h, dp, d, bq0).reshape(b, s, h, dp)
         err = float(jnp.max(jnp.abs(
             (got[..., :d] - ref).astype(jnp.float32))))
-        print(f"flat-vs-online max abs err: {err:.4f}", flush=True)
+        print(f"flat-vs-online (bq{bq0}) max abs err: {err:.4f}", flush=True)
 
-        for bq in (256, 512):
+        for bq in (128, 256, 512):
+            if bq > s:
+                continue
             bench(f"flat@bq{bq}", functools.partial(
                 call_flat, h=h, dp=dp, d_true=d, bq=bq), qf, kf, vf)
-        bench("flat-bf16@bq512", functools.partial(
-            call_flat, h=h, dp=dp, d_true=d, bq=512, bf16_logits=True),
-            qf, kf, vf)
+        # and the production entry end-to-end (pads + kernel + slice)
+        bench("flat-prod (pads incl)", functools.partial(
+            fa._flash_attention_impl, q_block=512, k_block=4096), q, k, v)
 
 
 if __name__ == "__main__":

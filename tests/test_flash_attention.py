@@ -36,8 +36,10 @@ def test_flash_matches_reference(shape):
     )
 
 
-def test_flash_online_softmax_multiblock_k():
-    """k_block < Sk exercises the cross-block correction path."""
+def test_flash_online_softmax_multiblock_k(monkeypatch):
+    """k_block < Sk exercises the cross-block correction path (FLAT off:
+    the flat kernel would swallow this shape and skip the online code)."""
+    monkeypatch.setattr(fa, "FLAT", False)
     shape = (1, 1024, 1, 64)
     q = jax.random.normal(jax.random.key(0), shape) * 3  # larger logits
     k = jax.random.normal(jax.random.key(1), shape) * 3
@@ -48,6 +50,40 @@ def test_flash_online_softmax_multiblock_k():
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(multi),
                                np.asarray(_ref(q, k, v)), atol=2e-3)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 1024, 2, 40),
+    (2, 1024, 2, 64),
+    (1, 2048, 1, 80),
+])
+def test_flash_flat_matches_online_and_reference(shape, monkeypatch):
+    """The flat [B,S,H*Dp] kernel (the production route for self-attn
+    shapes) must equal the copy-based online kernel and the XLA
+    reference."""
+    b, s, h, d = shape
+    q = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    k = jax.random.normal(jax.random.key(1), shape, jnp.float32)
+    v = jax.random.normal(jax.random.key(2), shape, jnp.float32)
+    assert fa.flat_supported(q, k)
+    flat = fa._flash_attention_flat(q, k, v)
+    monkeypatch.setattr(fa, "FLAT", False)
+    online = fa._flash_attention_impl(q, k, v, 256, 512)
+    np.testing.assert_allclose(
+        np.asarray(flat), np.asarray(_ref(q, k, v)), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(flat), np.asarray(online), atol=2e-3)
+
+
+def test_flash_flat_gate():
+    """Flat only where the whole K fits in VMEM with the output layout."""
+    z = lambda s, h, d: jnp.zeros((1, s, h, d))
+    assert fa.flat_supported(z(4096, 8, 40), z(4096, 8, 40))
+    assert fa.flat_supported(z(1024, 8, 80), z(1024, 8, 80))
+    # cross-shaped (sq != sk) stays on the online kernel
+    assert not fa.flat_supported(z(256, 1, 64), z(1536, 1, 64))
+    # 16k SDXL tokens exceed the whole-K budget
+    assert not fa.flat_supported(z(16384, 10, 64), z(16384, 10, 64))
 
 
 def test_flash_q_padding():

@@ -52,7 +52,32 @@ INTERPRET = False
 # BlockSpecs instead of materializing transposed+padded [B*H, S, 64]
 # copies of Q/K/V (and un-transposing O) around the pallas_call — six
 # full HBM passes per layer saved. Opt-in until measured on chip.
+# MEASURED (scripts/bench_flash_bshd.py): does not compile on real TPUs —
+# Mosaic requires the last two block dims divisible by (8, 128) and the
+# trailing (h=1, d=40) blocks violate it; any head-minor layout tiles
+# 4-6.4× inflated in VMEM. Kept for the interpreter; superseded by the
+# flat layout below.
 BSHD_NATIVE = os.environ.get("THEATERGEN_FLASH_BSHD", "0") == "1"
+
+# Flat-layout kernel: [B, S, H*Dp] in/out (heads side by side, each
+# zero-padded to the 64/128-lane boundary), loops heads over lane slices
+# inside VMEM.  Removes the six transpose+pad HBM passes of the
+# copy-based path — measured 1.4 ms of the 6.6 ms L0 call
+# (scripts/bench_flash_parts.py).  Needs the whole K in one block (plain
+# softmax, no online state), so it is bounded by scoped VMEM:
+# 2·Sk·F·2B (K+V) + bq·Sk·4B (f32 logits) + 3·bq·F — the adaptive
+# q-block below keeps it under budget for every SD1.5/SDXL self-attn
+# shape with Sk ≤ 4096; longer sequences fall back to the copy-based
+# online kernel.
+# default OFF until chip-validated (the raised vmem limit compiled only
+# in the interpreter so far — flip to "1" after probe3 runs on hardware);
+# the interpreter tests always cover the flat path explicitly
+FLAT = os.environ.get("THEATERGEN_FLASH_FLAT", "0") == "1"
+# The compiler's default scoped-vmem reservation is 16M, far below the
+# 128M physical VMEM; the flat kernel raises its own limit and budgets
+# against that (whole-K blocks are what buy the copy-free layout).
+_VMEM_LIMIT = 96 * 1024 * 1024
+_VMEM_BUDGET = 80 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -159,6 +184,100 @@ def _attn_kernel_bshd(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
         o_ref[0, :, 0, :] = (acc_ref[...] * inv).astype(o_ref.dtype)
 
 
+def _flat_q_block(sq: int, sk: int, f: int) -> int:
+    """Largest q block keeping the flat kernel inside scoped VMEM.
+
+    Calibrated against the compiler's scoped-vmem accounting (probe3:
+    bq=256 at Sk=4096/F=512 allocates 17M, bq=128 16.5M): K+V blocks,
+    the f32 logits held twice across the software-pipelined head loop
+    (s and p), the bf16 p copy fed to the MXU, and double-buffered
+    q/out blocks, plus ~2M fixed."""
+    kv = 2 * sk * f * 2
+    for bq in (512, 256, 128):
+        if bq > sq or sq % bq != 0:
+            continue
+        est = (kv + 2 * bq * sk * 4 + bq * sk * 2 + 4 * bq * f * 2
+               + 2 * 1024 * 1024)
+        if est <= _VMEM_BUDGET:
+            return bq
+    return 0
+
+
+def flat_supported(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if sq != sk or sk > 4096:
+        return False
+    return _flat_q_block(sq, sk, h * _pad_head_dim(d)) > 0
+
+
+def _attn_kernel_flat(q_ref, k_ref, v_ref, o_ref, *, h: int, dp: int):
+    """Whole-K softmax per (batch, q_block) cell; heads are 64/128-lane
+    slices of the flat feature axis, processed one at a time so only a
+    single [bq, Sk] logits buffer is ever live."""
+    for hh in range(h):
+        sl = slice(hh * dp, (hh + 1) * dp)
+        q = q_ref[0, :, sl]                       # [bq, dp] (pre-scaled)
+        k = k_ref[0, :, sl]                       # [sk, dp]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # [bq, sk] base-2 logits
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc = jax.lax.dot(p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+        inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, :, sl] = (acc * inv).astype(o_ref.dtype)
+
+
+def _flash_attention_flat(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Copy-free path: one fused lane-pad per input (no transposes), flat
+    [B, S, H*Dp] blocks through the kernel, slice back."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    dp = _pad_head_dim(d)
+    f = h * dp
+    bq = _flat_q_block(sq, sk, f)
+
+    q = q * jnp.asarray(d ** -0.5 * LOG2E, q.dtype)
+
+    def flat(x):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(
+            x.shape[0], x.shape[1], f)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_flat, h=h, dp=dp),
+        out_shape=jax.ShapeDtypeStruct((b, sq, f), q.dtype),
+        grid=(b, sq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, f), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, f), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, f), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, f), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=INTERPRET,
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * (b * h) * sq * sk * dp,
+            bytes_accessed=b * sq * f * 2 * 2 + 2 * b * sk * f * 2,
+            transcendentals=(b * h) * sq * sk,
+        ),
+    )(flat(q), flat(k), flat(v))
+    return out.reshape(b, sq, h, dp)[..., :d]
+
+
 def _flash_attention_bshd(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q_block: int, k_block: int,
@@ -219,6 +338,8 @@ def _flash_attention_impl(
             f"({q_block}, {k_block})")
     if BSHD_NATIVE and q.shape[1] % min(q_block, q.shape[1]) == 0:
         return _flash_attention_bshd(q, k, v, q_block, k_block)
+    if FLAT and flat_supported(q, k):
+        return _flash_attention_flat(q, k, v)
     b, sq, h, d = q.shape
     sk = k.shape[1]
     dp = _pad_head_dim(d)
