@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    os.environ["THEATERGEN_FLASH_FLAT"] = "1"   # before the fa import
+
     from theatergen_tpu.utils.fastinit import setup_compile_cache
 
     setup_compile_cache()
@@ -104,6 +106,8 @@ def main():
     cases = [
         ("sd15-L0 b8 s4096 h8 d40", 8, 4096, 8, 40),
         ("sd15-L1 b8 s1024 h8 d80", 8, 1024, 8, 80),
+        ("sdxl-4k b2 s4096 h10 d64", 2, 4096, 10, 64),
+        ("sdxl-16k b2 s16384 h10 d64", 2, 16384, 10, 64),
     ]
     for label, b, s, h, d in cases:
         print(f"== {label} ==", flush=True)
@@ -117,23 +121,36 @@ def main():
                            ).reshape(b, s, h * dp)
         qf, kf, vf = flat(q), flat(k), flat(v)
 
-        # correctness vs the copy-based online kernel
+        # correctness vs the copy-based online kernel (one jitted program:
+        # eager ops each pay a remote compile through the tunnel)
         bq0 = fa._flat_q_block(s, s, h * dp)
         fa.FLAT = False
-        ref = fa._flash_attention_impl(q, k, v, 512, 4096)
+
+        @jax.jit
+        def check(q, k, v, qf, kf, vf):
+            ref = fa._flash_attention_impl(q, k, v, 512, 4096)
+            got = call_flat(qf, kf, vf, h, dp, d, bq0).reshape(b, s, h, dp)
+            return jnp.max(jnp.abs((got[..., :d] - ref
+                                    ).astype(jnp.float32)))
+
+        try:
+            err = float(check(q, k, v, qf, kf, vf))
+            print(f"flat-vs-online (bq{bq0}) max abs err: {err:.4f}",
+                  flush=True)
+        except Exception as e:
+            print(f"flat correctness (bq{bq0}) FAILED: {str(e)[:110]}",
+                  flush=True)
         fa.FLAT = True
-        got = call_flat(qf, kf, vf, h, dp, d, bq0).reshape(b, s, h, dp)
-        err = float(jnp.max(jnp.abs(
-            (got[..., :d] - ref).astype(jnp.float32))))
-        print(f"flat-vs-online (bq{bq0}) max abs err: {err:.4f}", flush=True)
 
         for bq in (128, 256, 512):
             if bq > s:
                 continue
             bench(f"flat@bq{bq}", functools.partial(
                 call_flat, h=h, dp=dp, d_true=d, bq=bq), qf, kf, vf)
-        # and the production entry end-to-end (pads + kernel + slice)
-        bench("flat-prod (pads incl)", functools.partial(
+        # and the production route end-to-end (pads + kernel + slice when
+        # flat applies; the copy-based path otherwise, e.g. 16k)
+        with_flat = "flat" if fa.flat_supported(q, k) else "copy"
+        bench(f"prod-route [{with_flat}] (pads incl)", functools.partial(
             fa._flash_attention_impl, q_block=512, k_block=4096), q, k, v)
 
 
