@@ -184,7 +184,7 @@ def _attn_kernel_bshd(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
         o_ref[0, :, 0, :] = (acc_ref[...] * inv).astype(o_ref.dtype)
 
 
-def _flat_q_block(sq: int, sk: int, f: int) -> int:
+def _flat_q_block(sq: int, sk: int, f: int, itemsize: int = 2) -> int:
     """Largest q block keeping the flat kernel inside scoped VMEM.
 
     Calibrated against the compiler's scoped-vmem accounting (probe3:
@@ -192,12 +192,12 @@ def _flat_q_block(sq: int, sk: int, f: int) -> int:
     the f32 logits held twice across the software-pipelined head loop
     (s and p), the bf16 p copy fed to the MXU, and double-buffered
     q/out blocks, plus ~2M fixed."""
-    kv = 2 * sk * f * 2
+    kv = 2 * sk * f * itemsize
     for bq in (512, 256, 128):
         if bq > sq or sq % bq != 0:
             continue
-        est = (kv + 2 * bq * sk * 4 + bq * sk * 2 + 4 * bq * f * 2
-               + 2 * 1024 * 1024)
+        est = (kv + 2 * bq * sk * 4 + bq * sk * itemsize
+               + 4 * bq * f * itemsize + 2 * 1024 * 1024)
         if est <= _VMEM_BUDGET:
             return bq
     return 0
@@ -208,7 +208,8 @@ def flat_supported(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     sk = k.shape[1]
     if sq != sk or sk > 4096:
         return False
-    return _flat_q_block(sq, sk, h * _pad_head_dim(d)) > 0
+    return _flat_q_block(sq, sk, h * _pad_head_dim(d),
+                         q.dtype.itemsize) > 0
 
 
 def _attn_kernel_flat(q_ref, k_ref, v_ref, o_ref, *, h: int, dp: int):
@@ -241,7 +242,7 @@ def _flash_attention_flat(
     sk = k.shape[1]
     dp = _pad_head_dim(d)
     f = h * dp
-    bq = _flat_q_block(sq, sk, f)
+    bq = _flat_q_block(sq, sk, f, q.dtype.itemsize)
 
     q = q * jnp.asarray(d ** -0.5 * LOG2E, q.dtype)
 
