@@ -45,6 +45,7 @@ _SLOW_FILES = {
     "test_torch_parity.py",
     "test_inception.py",
     "test_txt2img.py",
+    "test_serve.py",
 }
 
 

@@ -1,0 +1,166 @@
+"""Serving layer: batching request queue + HTTP facade (tiny config)."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from theatergen_tpu.config import tiny_config
+from theatergen_tpu.pipelines.bundle import init_bundle
+from theatergen_tpu.serve import ServerBusy, TheaterServer, serve_http
+
+SPEC_A = {
+    "prompt": "a knight in a forest",
+    "gen_boxes": [("a red knight", (50, 100, 150, 300))],
+    "bg_prompt": "a forest clearing",
+    "extra_neg_prompt": "",
+    "obj_ids": [0],
+    "canvas_height": 512, "canvas_width": 512,
+}
+SPEC_B = {
+    "prompt": "a dragon over mountains",
+    "gen_boxes": [("a green dragon", (300, 80, 180, 350))],
+    "bg_prompt": "snowy mountains",
+    "extra_neg_prompt": "",
+    "obj_ids": [0],
+    "canvas_height": 512, "canvas_width": 512,
+}
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return init_bundle(tiny_config(), jax.random.key(0), with_ip=True,
+                       with_controlnet=True, with_vision=True)
+
+
+@pytest.fixture()
+def server(bundle, tmp_path):
+    srv = TheaterServer(bundle, str(tmp_path / "db"), num_steps=3,
+                        batch_window_s=0.2)
+    yield srv
+    srv.close()
+
+
+def test_single_session_turns_sequential(server):
+    server.open_session("dlg0")
+    r1 = server.run_turn("dlg0", SPEC_A, seed=0, timeout=600)
+    assert r1.image.shape[-1] == 3
+    assert np.isfinite(r1.image).all()
+    # second turn reuses the session's DB (turn index advanced)
+    r2 = server.run_turn("dlg0", SPEC_A, seed=1, timeout=600)
+    assert server.sessions["dlg0"].turn_index == 2
+    assert server.stats()["turns"] == 2
+    assert not np.array_equal(r1.image, r2.image)   # different seeds
+
+
+def test_concurrent_sessions_form_a_wave(server):
+    server.open_session("a")
+    server.open_session("b")
+    # stall the worker with a first request so both land in one window
+    f1 = server.submit("a", SPEC_A, seed=0)
+    f2 = server.submit("b", SPEC_B, seed=0)
+    res = [f1.result(timeout=900), f2.result(timeout=900)]
+    assert all(np.isfinite(r.image).all() for r in res)
+    # either both were taken into one wave, or timing split them — but
+    # with a 0.2 s window and an immediate double submit the wave path
+    # must have fired at least for the tail pair in this module's runs
+    assert server.stats()["turns"] == 2
+
+
+def test_wave_matches_serial(bundle, tmp_path):
+    """A wave of two dialogues must produce the same images as running
+    each dialogue serially (sharding is a layout, not a semantic)."""
+    srv = TheaterServer(bundle, str(tmp_path / "db1"), num_steps=3,
+                        batch_window_s=0.5)
+    try:
+        srv.open_session("a")
+        srv.open_session("b")
+        f1 = srv.submit("a", SPEC_A, seed=3)
+        f2 = srv.submit("b", SPEC_B, seed=4)
+        wave_a, wave_b = f1.result(900), f2.result(900)
+        took_wave = srv.stats()["waves"] >= 1
+    finally:
+        srv.close()
+
+    srv2 = TheaterServer(bundle, str(tmp_path / "db2"), num_steps=3,
+                         batch_window_s=0.0)   # no batching: serial
+    try:
+        srv2.open_session("a")
+        srv2.open_session("b")
+        ser_a = srv2.run_turn("a", SPEC_A, seed=3, timeout=900)
+        ser_b = srv2.run_turn("b", SPEC_B, seed=4, timeout=900)
+        assert srv2.stats()["waves"] == 0
+    finally:
+        srv2.close()
+
+    assert took_wave
+    np.testing.assert_allclose(wave_a.image, ser_a.image, atol=2e-4)
+    np.testing.assert_allclose(wave_b.image, ser_b.image, atol=2e-4)
+
+
+def test_same_session_not_batched_in_one_wave(server):
+    server.open_session("s")
+    f1 = server.submit("s", SPEC_A, seed=0)
+    f2 = server.submit("s", SPEC_A, seed=1)
+    f1.result(900), f2.result(900)
+    # both ran (ordered), never as a wave
+    assert server.sessions["s"].turn_index == 2
+    assert server.stats()["waves"] == 0
+
+
+def test_backpressure(bundle, tmp_path):
+    srv = TheaterServer(bundle, str(tmp_path / "db"), num_steps=3,
+                        max_queue=1, batch_window_s=0.0)
+    try:
+        srv.open_session("x")
+        srv.open_session("y")
+        f1 = srv.submit("x", SPEC_A, seed=0)
+        with pytest.raises(ServerBusy):
+            srv.submit("y", SPEC_B, seed=0)
+            srv.submit("y", SPEC_B, seed=1)
+        f1.result(900)
+    finally:
+        srv.close()
+
+
+def test_unknown_session_and_close(server):
+    with pytest.raises(KeyError):
+        server.submit("nope", SPEC_A)
+    server.open_session("c")
+    server.close_session("c")
+    with pytest.raises(KeyError):
+        server.submit("c", SPEC_A)
+
+
+def test_http_facade(bundle, tmp_path):
+    srv = TheaterServer(bundle, str(tmp_path / "db"), num_steps=3)
+    httpd = serve_http(srv, str(tmp_path / "out"), port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            base + path, json.dumps(obj).encode(),
+            {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=900) as r:
+            return r.status, json.loads(r.read())
+
+    try:
+        code, health = 200, json.loads(urllib.request.urlopen(
+            base + "/healthz", timeout=30).read())
+        assert health["sessions"] == 0
+        code, out = post("/sessions", {"id": "h1"})
+        assert code == 201 and out["id"] == "h1"
+        code, out = post("/sessions/h1/turns", dict(SPEC_A, seed=0))
+        assert code == 200
+        assert out["detections"] is not None
+        import os
+        assert os.path.exists(out["image"])
+    finally:
+        httpd.shutdown()
+        srv.close()

@@ -1,0 +1,317 @@
+"""Serving front-end: a batching request queue over the orchestrator.
+
+The reference is a batch CLI only (``generate.py`` walks a dataset
+serially); a production deployment needs an always-on process that
+accepts turn requests for many concurrent dialogues and keeps the chip
+busy.  This module provides that as a library (no framework deps —
+stdlib threads + ``concurrent.futures``) plus an optional HTTP facade
+on ``http.server``.
+
+Design:
+
+- ``Session`` = one dialogue: its own :class:`~theatergen_tpu.db.CharacterDB`
+  directory and :class:`~theatergen_tpu.theater.Theater`, sharing the
+  server's single :class:`~theatergen_tpu.pipelines.bundle.Bundle` (and
+  therefore one set of compiled programs — Theater pipelines are
+  memoized on the bundle).
+- Turns within a session are sequentially dependent (the character DB
+  chains identity across turns), so each session admits one in-flight
+  turn; the server batches turns of *different* sessions that arrive
+  within ``batch_window_s`` into one :func:`theatergen_tpu.theater.run_turn_wave`
+  — a single denoise program sharded over the dp mesh axis when a mesh
+  is configured.  A lone request runs the serial path (no padding
+  waste).
+- Backpressure: ``submit`` returns a ``Future``; ``max_queue`` bounds
+  accepted-but-unstarted turns, raising ``ServerBusy`` beyond it.
+
+Reference contract being replaced: the dialogue loop of
+``generate.py:180-269`` (offline, strictly serial, one process per run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from .db import CharacterDB
+from .theater import Theater, TurnResult, run_turn_wave
+
+
+class ServerBusy(RuntimeError):
+    """Raised by submit() when the pending-turn queue is full."""
+
+
+@dataclass
+class _Request:
+    session_id: str
+    spec: dict
+    seed: int
+    future: Future = field(default_factory=Future)
+
+
+class Session:
+    def __init__(self, session_id: str, theater: Theater):
+        self.id = session_id
+        self.theater = theater
+        self.turn_index = 0
+        # ordering invariant: at most ONE request of a session is ever in
+        # the global queue / in flight; the rest wait here in FIFO order
+        self.active = False
+        self.pending: "list[_Request]" = []
+
+
+class TheaterServer:
+    """Batching turn server over one shared bundle.
+
+    Parameters
+    ----------
+    bundle : Bundle
+        Built once (``init_bundle`` / ``load_bundle``); all sessions
+        share it, so all sessions share compiled pipelines.
+    db_root : str
+        Directory; each session keeps its character DB in a subdir.
+    mesh : optional jax Mesh with a ``dp`` axis — enables wave batching
+        sharded across chips (sessions still work without one; waves
+        then just share one program on one chip).
+    theater_kwargs : forwarded to every session's Theater (num_steps,
+        guided, use_controlnet, ...).
+    """
+
+    def __init__(self, bundle, db_root: str, *, mesh=None,
+                 max_wave: int = 8, batch_window_s: float = 0.05,
+                 max_queue: int = 64, **theater_kwargs):
+        self.bundle = bundle
+        self.db_root = db_root
+        self.mesh = mesh
+        self.max_wave = max(1, int(max_wave))
+        self.batch_window_s = float(batch_window_s)
+        self.max_queue = int(max_queue)
+        self.theater_kwargs = theater_kwargs
+        self.sessions: Dict[str, Session] = {}
+        self._lock = threading.Lock()
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._pending = 0
+        self.waves_run = 0            # observability (and test hooks)
+        self.turns_done = 0
+        self._stop = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="theater-serve-worker")
+        self._worker.start()
+
+    # ---- session management ------------------------------------------
+    def open_session(self, session_id: str) -> Session:
+        with self._lock:
+            if session_id in self.sessions:
+                raise ValueError(f"session exists: {session_id}")
+            db = CharacterDB(os.path.join(self.db_root, session_id))
+            th = Theater(self.bundle, db, mesh=self.mesh,
+                         **self.theater_kwargs)
+            s = Session(session_id, th)
+            self.sessions[session_id] = s
+            return s
+
+    def close_session(self, session_id: str) -> None:
+        with self._lock:
+            s = self.sessions.get(session_id)
+            if s is not None and (s.active or s.pending):
+                raise RuntimeError(
+                    f"session {session_id} has queued/in-flight turns")
+            self.sessions.pop(session_id, None)
+
+    # ---- request path --------------------------------------------------
+    def submit(self, session_id: str, spec: dict,
+               seed: Optional[int] = None) -> "Future[TurnResult]":
+        """Queue one turn; the Future resolves to a TurnResult."""
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("server closed")
+            s = self.sessions.get(session_id)
+            if s is None:
+                raise KeyError(f"unknown session: {session_id}")
+            if self._pending >= self.max_queue:
+                raise ServerBusy(f"{self._pending} turns pending")
+            self._pending += 1
+            if seed is None:
+                # the reference derives per-turn seeds from the dialogue
+                # index + turn index (generate.py:236-243); sessions do
+                # the same from a stable CRC so repeats reproduce
+                import zlib
+
+                seed = ((zlib.crc32(session_id.encode()) & 0xFFFF) * 100
+                        + s.turn_index + len(s.pending))
+            req = _Request(session_id, spec, int(seed))
+            if s.active:
+                s.pending.append(req)       # strict per-dialogue FIFO
+            else:
+                s.active = True
+                self._queue.put(req)
+        return req.future
+
+    def run_turn(self, session_id: str, spec: dict,
+                 seed: Optional[int] = None,
+                 timeout: Optional[float] = None) -> TurnResult:
+        """Synchronous convenience wrapper."""
+        return self.submit(session_id, spec, seed).result(timeout)
+
+    # ---- lifecycle -----------------------------------------------------
+    def close(self, timeout: float = 60.0) -> None:
+        with self._lock:
+            self._stop = True
+        self._queue.put(None)
+        self._worker.join(timeout)
+
+    def stats(self) -> dict:
+        return dict(sessions=len(self.sessions), pending=self._pending,
+                    waves=self.waves_run, turns=self.turns_done)
+
+    # ---- worker ---------------------------------------------------------
+    def _take_wave(self) -> List[_Request]:
+        """Block for one request, then gather the ones arriving inside the
+        batch window.  submit() guarantees at most one queued request per
+        session, so every take is wave-compatible."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        wave = [first]
+        deadline = time.monotonic() + self.batch_window_s
+        while len(wave) < self.max_wave:
+            rest = deadline - time.monotonic()
+            if rest <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=rest)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)       # keep the stop signal
+                break
+            wave.append(nxt)
+        return wave
+
+    def _run(self) -> None:
+        while True:
+            wave = self._take_wave()
+            if not wave:
+                return
+            theaters, specs, seeds, live = [], [], [], []
+            for r in wave:
+                with self._lock:
+                    s = self.sessions.get(r.session_id)
+                if s is None:
+                    r.future.set_exception(
+                        KeyError(f"session closed: {r.session_id}"))
+                    continue
+                theaters.append(s.theater)
+                specs.append(r.spec)
+                seeds.append(r.seed)
+                live.append((r, s))
+            if not live:
+                continue
+            try:
+                if len(live) == 1:
+                    results = [theaters[0].run_turn(specs[0], seeds[0])]
+                else:
+                    results = run_turn_wave(theaters, specs, seeds)
+                    self.waves_run += 1
+                for (r, s), res in zip(live, results):
+                    s.turn_index += 1
+                    self.turns_done += 1
+                    r.future.set_result(res)
+            except Exception as e:          # noqa: BLE001 — deliver to callers
+                for r, _ in live:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+            finally:
+                with self._lock:
+                    self._pending -= len(live)
+                    for _, s in live:
+                        # release the session's queue slot; promote its
+                        # next pending turn (strict FIFO)
+                        if s.pending:
+                            self._queue.put(s.pending.pop(0))
+                        else:
+                            s.active = False
+
+
+# ---- optional HTTP facade (stdlib only) --------------------------------
+
+def make_http_handler(server: TheaterServer, out_dir: str):
+    """A minimal JSON/HTTP facade:
+
+    - ``POST /sessions``              {"id": "dlg1"}
+    - ``POST /sessions/<id>/turns``   CMIGBench turn spec (+opt "seed")
+      → {"image": "<out_dir>/<id>/turn_<n>.png", "detections": [...]}
+    - ``GET  /healthz``               stats
+
+    Images are written to ``out_dir`` (returning file paths keeps the
+    facade dependency-free; a fronting service can stream them).
+    """
+    import http.server
+
+    from .cli.generate import save_image
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):          # quiet test runs
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, server.stats())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                self._json(400, {"error": "bad json"})
+                return
+            parts = [p for p in self.path.split("/") if p]
+            try:
+                if parts == ["sessions"]:
+                    s = server.open_session(str(payload["id"]))
+                    self._json(201, {"id": s.id})
+                elif (len(parts) == 3 and parts[0] == "sessions"
+                        and parts[2] == "turns"):
+                    sid = parts[1]
+                    seed = payload.pop("seed", None)
+                    res = server.run_turn(sid, payload, seed)
+                    turn = server.sessions[sid].turn_index
+                    os.makedirs(os.path.join(out_dir, sid), exist_ok=True)
+                    path = os.path.join(out_dir, sid, f"turn_{turn}.png")
+                    save_image(path, res.image)
+                    self._json(200, {"image": path,
+                                     "seconds": res.seconds,
+                                     "detections": res.detections})
+                else:
+                    self._json(404, {"error": "not found"})
+            except (KeyError, ValueError) as e:
+                self._json(400, {"error": str(e)})
+            except ServerBusy as e:
+                self._json(429, {"error": str(e)})
+
+    return Handler
+
+
+def serve_http(server: TheaterServer, out_dir: str, port: int = 8787):
+    """Blocking HTTP loop (returns the HTTPServer for test shutdown)."""
+    import http.server
+
+    httpd = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", port), make_http_handler(server, out_dir))
+    return httpd
