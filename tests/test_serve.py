@@ -101,6 +101,39 @@ def test_wave_matches_serial(bundle, tmp_path):
     np.testing.assert_allclose(wave_b.image, ser_b.image, atol=2e-4)
 
 
+def test_serve_waves_over_dp_mesh(bundle, tmp_path):
+    """Distributed serving: waves shard over the dp mesh axis and still
+    reproduce the serial images (8 virtual CPU devices, conftest)."""
+    import jax as _jax
+
+    from theatergen_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=2, tp=1, devices=_jax.devices()[:2])
+    srv = TheaterServer(bundle, str(tmp_path / "db"), num_steps=3,
+                        mesh=mesh, batch_window_s=0.5)
+    try:
+        srv.open_session("a")
+        srv.open_session("b")
+        f1 = srv.submit("a", SPEC_A, seed=3)
+        f2 = srv.submit("b", SPEC_B, seed=4)
+        res_a, res_b = f1.result(900), f2.result(900)
+        assert srv.stats()["waves"] >= 1
+    finally:
+        srv.close()
+
+    srv2 = TheaterServer(bundle, str(tmp_path / "db2"), num_steps=3,
+                         batch_window_s=0.0)
+    try:
+        srv2.open_session("a")
+        srv2.open_session("b")
+        ser_a = srv2.run_turn("a", SPEC_A, seed=3, timeout=900)
+        ser_b = srv2.run_turn("b", SPEC_B, seed=4, timeout=900)
+    finally:
+        srv2.close()
+    np.testing.assert_allclose(res_a.image, ser_a.image, atol=2e-4)
+    np.testing.assert_allclose(res_b.image, ser_b.image, atol=2e-4)
+
+
 def test_same_session_not_batched_in_one_wave(server):
     server.open_session("s")
     f1 = server.submit("s", SPEC_A, seed=0)
