@@ -193,3 +193,20 @@ def test_inception_embedder_preprocessing(inception_setup):
     feats = emb.embed_images(imgs)
     assert feats.shape == (2, 2048)
     assert np.isfinite(feats).all()
+
+
+def test_inception_embedder_chunked_matches_one_shot(inception_setup):
+    """Chunked embedding (pytorch_fid batches of 50; ours is needed to
+    avoid OOM on full-benchmark crop sets) equals the one-shot result,
+    including the padded final partial chunk."""
+    _, params = inception_setup
+    emb = InceptionEmbedder(params, size=96)
+    imgs = [np.random.RandomState(i).rand(40, 56, 3).astype(np.float32)
+            for i in range(7)]
+    one = emb.embed_images(imgs, batch_size=50)
+    chunked = emb.embed_images(imgs, batch_size=3)   # 3 + 3 + 1(padded)
+    assert one.shape == chunked.shape == (7, 2048)
+    # different batch shapes compile different XLA programs; with the
+    # fixture's perturbed BN stats the f32 drift reaches ~3e-5 on
+    # features of scale ~28 (measured) — same tolerance as the golden test
+    np.testing.assert_allclose(chunked, one, atol=2e-4)

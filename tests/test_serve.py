@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import jax
@@ -159,6 +160,52 @@ def test_backpressure(bundle, tmp_path):
         srv.close()
 
 
+def test_auto_seeds_unique_for_pipelined_submits(server):
+    """Auto-derived seeds must differ even when the second turn is
+    submitted while the first is still in flight (turn_index hasn't
+    advanced yet)."""
+    server.open_session("p")
+    r1 = server._submit("p", SPEC_A, None)
+    r2 = server._submit("p", SPEC_A, None)
+    assert r1.seed != r2.seed
+    res1, res2 = r1.future.result(900), r2.future.result(900)
+    assert not np.array_equal(res1.image, res2.image)
+    # turn numbers were assigned atomically with completion
+    assert (r1.turn_no, r2.turn_no) == (1, 2)
+
+
+def test_run_turn_numbered(server):
+    server.open_session("n")
+    turn, res = server.run_turn_numbered("n", SPEC_A, seed=5, timeout=900)
+    assert turn == 1 and np.isfinite(res.image).all()
+
+
+def test_wave_failure_isolated_per_request(bundle, tmp_path):
+    """One malformed spec must not fail its wave-mates: the worker falls
+    back to per-request serial runs (mirroring the CLI quarantine), and
+    the failed wave leaves no stale deferred DB state behind."""
+    srv = TheaterServer(bundle, str(tmp_path / "db"), num_steps=3,
+                        batch_window_s=0.5)
+    try:
+        srv.open_session("good")
+        srv.open_session("bad")
+        f_good = srv.submit("good", SPEC_A, seed=0)
+        bad_spec = dict(SPEC_B)
+        del bad_spec["gen_boxes"]
+        f_bad = srv.submit("bad", bad_spec, seed=0)
+        res = f_good.result(900)       # must succeed despite the wave-mate
+        assert np.isfinite(res.image).all()
+        with pytest.raises(Exception):
+            f_bad.result(900)
+        for s in srv.sessions.values():
+            assert not s.theater._pending_saves
+        # the good session keeps working afterwards
+        res2 = srv.run_turn("good", SPEC_A, seed=1, timeout=900)
+        assert np.isfinite(res2.image).all()
+    finally:
+        srv.close()
+
+
 def test_unknown_session_and_close(server):
     with pytest.raises(KeyError):
         server.submit("nope", SPEC_A)
@@ -194,6 +241,15 @@ def test_http_facade(bundle, tmp_path):
         assert out["detections"] is not None
         import os
         assert os.path.exists(out["image"])
+        # turn failures must yield a JSON error response, not a dropped
+        # connection: a spec without gen_boxes fails inside the worker
+        bad = {k: v for k, v in SPEC_A.items() if k != "gen_boxes"}
+        try:
+            post("/sessions/h1/turns", dict(bad, seed=1))
+            raise AssertionError("expected an HTTP error")
+        except urllib.error.HTTPError as e:
+            assert e.code in (400, 500)
+            assert "error" in json.loads(e.read())
     finally:
         httpd.shutdown()
         srv.close()

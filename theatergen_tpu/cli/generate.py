@@ -226,6 +226,7 @@ def _run_wave_mode(args, bundle, mesh, dataset, dialogues, save_dir,
     W = args.dp_dialogues
     canvas = args.box_canvas or (512 if args.tiny else None)
     use_time = []
+    profiled = False
     for regen_ind in range(args.regenerate):
         for w0 in range(0, len(dialogues), W):
             wave = dialogues[w0:w0 + W]
@@ -263,6 +264,14 @@ def _run_wave_mode(args, bundle, mesh, dataset, dialogues, save_dir,
                         seeds.append(turn_seed(args.seed_offset, base,
                                                t_idx, rep,
                                                regen=regen_ind))
+                    profile_ctx = None
+                    if args.profile and not profiled:
+                        from jax.profiler import trace
+
+                        profile_ctx = trace(os.path.join(save_dir,
+                                                         "profile"))
+                        profile_ctx.__enter__()
+                        profiled = True
                     try:
                         results = run_turn_wave(
                             [theaters[i] for i in sel], specs, seeds,
@@ -283,6 +292,11 @@ def _run_wave_mode(args, bundle, mesh, dataset, dialogues, save_dir,
                                       f"rep {rep}:")
                                 traceback.print_exc()
                                 results.append(None)
+                    finally:
+                        if profile_ctx is not None:
+                            profile_ctx.__exit__(None, None, None)
+                            print("profiler trace: "
+                                  f"{os.path.join(save_dir, 'profile')}")
                     for i, res in zip(sel, results):
                         if res is None:
                             continue

@@ -260,12 +260,24 @@ class InceptionEmbedder:
         p = m.init(rng, jnp.zeros((1, size, size, 3)))["params"]
         return cls(p, size)
 
-    def embed_images(self, images) -> "np.ndarray":  # noqa: F821
+    def embed_images(self, images, batch_size: int = 50) -> "np.ndarray":  # noqa: F821
+        """Chunked like ``pytorch_fid`` (batch 50): a full benchmark run
+        yields thousands of crops, and one unchunked program would OOM on
+        the 299² activations.  The last chunk is padded to a full batch so
+        every call reuses one compiled shape."""
         import numpy as np
 
-        batch = jnp.stack([
-            jax.image.resize(jnp.asarray(im, jnp.float32),
-                             (self.size, self.size, 3), "bilinear")
-            for im in images
-        ])
-        return np.asarray(self._jit(self.params, batch * 2.0 - 1.0))
+        outs = []
+        for i in range(0, len(images), batch_size):
+            chunk = [
+                jax.image.resize(jnp.asarray(im, jnp.float32),
+                                 (self.size, self.size, 3), "bilinear")
+                for im in images[i:i + batch_size]
+            ]
+            n = len(chunk)
+            if n < batch_size and len(images) > batch_size:
+                chunk = chunk + [chunk[-1]] * (batch_size - n)
+            batch = jnp.stack(chunk)
+            outs.append(np.asarray(
+                self._jit(self.params, batch * 2.0 - 1.0))[:n])
+        return np.concatenate(outs, axis=0)

@@ -53,6 +53,9 @@ class _Request:
     spec: dict
     seed: int
     future: Future = field(default_factory=Future)
+    # turn number assigned by the worker atomically with completion, so
+    # pipelined same-session requests can't both read the post-bump index
+    turn_no: int = -1
 
 
 class Session:
@@ -60,6 +63,7 @@ class Session:
         self.id = session_id
         self.theater = theater
         self.turn_index = 0
+        self.submitted = 0   # turns ever accepted (includes in-flight)
         # ordering invariant: at most ONE request of a session is ever in
         # the global queue / in flight; the rest wait here in FIFO order
         self.active = False
@@ -128,6 +132,10 @@ class TheaterServer:
     def submit(self, session_id: str, spec: dict,
                seed: Optional[int] = None) -> "Future[TurnResult]":
         """Queue one turn; the Future resolves to a TurnResult."""
+        return self._submit(session_id, spec, seed).future
+
+    def _submit(self, session_id: str, spec: dict,
+                seed: Optional[int]) -> _Request:
         with self._lock:
             if self._stop:
                 raise RuntimeError("server closed")
@@ -140,24 +148,38 @@ class TheaterServer:
             if seed is None:
                 # the reference derives per-turn seeds from the dialogue
                 # index + turn index (generate.py:236-243); sessions do
-                # the same from a stable CRC so repeats reproduce
+                # the same from a stable CRC on ever-accepted turn count
+                # (turn_index alone would collide for a turn submitted
+                # while its predecessor is still in flight)
                 import zlib
 
                 seed = ((zlib.crc32(session_id.encode()) & 0xFFFF) * 100
-                        + s.turn_index + len(s.pending))
+                        + s.submitted)
+            s.submitted += 1
             req = _Request(session_id, spec, int(seed))
             if s.active:
                 s.pending.append(req)       # strict per-dialogue FIFO
             else:
                 s.active = True
                 self._queue.put(req)
-        return req.future
+        return req
 
     def run_turn(self, session_id: str, spec: dict,
                  seed: Optional[int] = None,
                  timeout: Optional[float] = None) -> TurnResult:
         """Synchronous convenience wrapper."""
         return self.submit(session_id, spec, seed).result(timeout)
+
+    def run_turn_numbered(self, session_id: str, spec: dict,
+                          seed: Optional[int] = None,
+                          timeout: Optional[float] = None
+                          ) -> "tuple[int, TurnResult]":
+        """Like run_turn, but also returns the 1-based turn number the
+        worker assigned atomically with completion (reading
+        ``session.turn_index`` after the fact races pipelined requests)."""
+        req = self._submit(session_id, spec, seed)
+        res = req.future.result(timeout)
+        return req.turn_no, res
 
     # ---- lifecycle -----------------------------------------------------
     def close(self, timeout: float = 60.0) -> None:
@@ -221,12 +243,31 @@ class TheaterServer:
                     self.waves_run += 1
                 for (r, s), res in zip(live, results):
                     s.turn_index += 1
+                    r.turn_no = s.turn_index
                     self.turns_done += 1
                     r.future.set_result(res)
-            except Exception as e:          # noqa: BLE001 — deliver to callers
-                for r, _ in live:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+            except Exception:               # noqa: BLE001
+                if len(live) == 1:
+                    import sys
+
+                    r, _ = live[0]
+                    r.future.set_exception(sys.exc_info()[1])
+                else:
+                    # per-request isolation: one bad spec must not fail its
+                    # wave-mates.  Mirror the CLI quarantine
+                    # (cli/generate.py) — rerun each turn serially with its
+                    # own seed; run_turn_wave cleared any deferred DB state
+                    # so the rerun starts clean
+                    for (r, s), spec, seed in zip(live, specs, seeds):
+                        try:
+                            res = s.theater.run_turn(spec, seed)
+                        except Exception as e:  # noqa: BLE001 — to caller
+                            r.future.set_exception(e)
+                        else:
+                            s.turn_index += 1
+                            r.turn_no = s.turn_index
+                            self.turns_done += 1
+                            r.future.set_result(res)
             finally:
                 with self._lock:
                     self._pending -= len(live)
@@ -290,8 +331,7 @@ def make_http_handler(server: TheaterServer, out_dir: str):
                         and parts[2] == "turns"):
                     sid = parts[1]
                     seed = payload.pop("seed", None)
-                    res = server.run_turn(sid, payload, seed)
-                    turn = server.sessions[sid].turn_index
+                    turn, res = server.run_turn_numbered(sid, payload, seed)
                     os.makedirs(os.path.join(out_dir, sid), exist_ok=True)
                     path = os.path.join(out_dir, sid, f"turn_{turn}.png")
                     save_image(path, res.image)
@@ -300,10 +340,12 @@ def make_http_handler(server: TheaterServer, out_dir: str):
                                      "detections": res.detections})
                 else:
                     self._json(404, {"error": "not found"})
-            except (KeyError, ValueError) as e:
-                self._json(400, {"error": str(e)})
             except ServerBusy as e:
                 self._json(429, {"error": str(e)})
+            except (KeyError, ValueError) as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:          # noqa: BLE001 — turn execution
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 
