@@ -35,4 +35,8 @@ stamp "bench_dialogue: LCM-4, flat ON"
 THEATERGEN_FLASH_FLAT=1 timeout 2400 python scripts/bench_dialogue.py \
   --scheduler lcm --num_steps 4 2>&1 | tail -15
 
+stamp "bench_dialogue: DDIM-50 batched characters (one program/turn), flat ON"
+THEATERGEN_FLASH_FLAT=1 timeout 3600 python scripts/bench_dialogue.py \
+  --batch_chars 2>&1 | tail -15
+
 stamp "done"

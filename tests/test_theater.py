@@ -252,6 +252,25 @@ def test_turn_with_sam_masks(tmp_path):
     assert "final" in summary
 
 
+def test_batched_characters_with_sam_match_serial(tmp_path):
+    """The batched character path segments the whole batch in ONE SAM
+    program (segment_with_box_batch); images must match the serial
+    per-character segmentation path."""
+    from theatergen_tpu.config import tiny_config
+    from theatergen_tpu.pipelines.bundle import init_bundle
+
+    bundle = init_bundle(tiny_config(), jax.random.key(0), with_ip=True,
+                         with_controlnet=True, with_vision=True,
+                         with_sam=True)
+    serial = Theater(bundle, CharacterDB(str(tmp_path / "s")),
+                     num_steps=2).run_turn(SPEC_T1, seed=0)
+    batched = Theater(bundle, CharacterDB(str(tmp_path / "b")),
+                      num_steps=2,
+                      batch_characters=True).run_turn(SPEC_T1, seed=0)
+    assert len(serial.so_images) == len(batched.so_images)
+    np.testing.assert_allclose(batched.image, serial.image, atol=2e-3)
+
+
 def test_turn_with_sam_hf_backend(tmp_path):
     """Orchestrator with the checkpoint-faithful SamHF segmenter (tiny):
     same dual-scale mask branch through the backend dispatch."""
@@ -456,3 +475,34 @@ def test_run_turn_wave_matches_serial(theater, tmp_path):
         assert np.abs(s.image - wv.image).max() < 2e-3
         assert len(s.so_images) == len(wv.so_images)
         assert s.detections == wv.detections
+
+
+def test_wave_failure_clears_pending_saves(theater, tmp_path,
+                                           monkeypatch):
+    """A wave that dies after its character batch (e.g. in the batched
+    final pass) must clear the deferred DB writes: the quarantine rerun
+    would otherwise see a first-appearance character as a DB hit and
+    flush the aborted wave's image as its canonical reference."""
+    from theatergen_tpu import theater as theater_mod
+    from theatergen_tpu.theater import run_turn_wave
+
+    bundle = theater.bundle
+
+    def boom(_th):
+        raise RuntimeError("injected final-pass failure")
+
+    monkeypatch.setattr(theater_mod, "_wave_final_runner", boom)
+    ths = [Theater(bundle, CharacterDB(str(tmp_path / f"f{i}")),
+                   num_steps=3) for i in range(2)]
+    with pytest.raises(RuntimeError, match="injected"):
+        run_turn_wave(ths, [SPEC_T1, SPEC_T2], [0, 1])
+    for th, sp in zip(ths, [SPEC_T1, SPEC_T2]):
+        assert not th._pending_saves
+        assert not any(th.db.has(i) for i in sp["obj_ids"])
+    monkeypatch.undo()
+
+    # the serial rerun (the CLI quarantine path) now matches a clean run
+    rerun = ths[0].run_turn(SPEC_T1, seed=0)
+    clean = Theater(bundle, CharacterDB(str(tmp_path / "clean")),
+                    num_steps=3).run_turn(SPEC_T1, seed=0)
+    np.testing.assert_allclose(rerun.image, clean.image, atol=2e-4)

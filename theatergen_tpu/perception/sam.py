@@ -252,6 +252,29 @@ def segment_with_box(
     return tuple(outs), iou[idx]
 
 
+def segment_with_box_batch(
+    sam: SAMLite, params, images: jnp.ndarray, boxes: jnp.ndarray,
+    out_sizes: Tuple[int, ...] = (64, 512),
+):
+    """Batch-of-characters variant of :func:`segment_with_box`: one SAM
+    forward over ``[B, S, S, 3]`` images with one box prompt each
+    (``[B, 4]``), returning per-scale mask stacks ``[B, s, s]``.  Used by
+    the batched character path so a wave costs ONE segmentation program
+    instead of B (the reference segments characters one by one,
+    ``theatergen.py:174-182``)."""
+    logits, iou = _apply_sam(sam, params, images, boxes[:, None])
+    logits, iou = logits[:, 0], iou[:, 0]       # [B, M, h, w], [B, M]
+    probs = jax.nn.sigmoid(logits)
+    masks_bin = (probs > 0.5).astype(jnp.float32)
+    idx = jax.vmap(lambda mb, io: select_mask(mb, io, None))(masks_bin, iou)
+    chosen = jax.vmap(lambda p, i: p[i])(probs, idx)
+    outs = tuple(
+        jax.vmap(lambda m: refine_mask(G.resize_bilinear(m, s, s)))(chosen)
+        for s in out_sizes
+    )
+    return outs, jax.vmap(lambda io, i: io[i])(iou, idx)
+
+
 def segment_with_boxes(
     sam: SAMLite, params, image: jnp.ndarray, boxes: jnp.ndarray,
     out_size: int = 64,

@@ -315,6 +315,48 @@ class Theater:
         return self.bundle.jitted("attn_masks", fallback)(
             tuple(agg_maps), jnp.asarray(box_hint, jnp.float32))
 
+    def _extract_masks_batched(self, agg_maps, images, box_hints):
+        """Batched :meth:`_extract_masks`: masks for a whole character
+        batch as ONE jitted program (one SAM forward / one vmapped
+        attention-threshold program) instead of B eager ones."""
+        h = self.cfg.pipeline.latent_height
+        w = self.cfg.pipeline.latent_width
+        H = self.cfg.pipeline.height
+        W = self.cfg.pipeline.width
+        sam = self.bundle.sam
+        if sam is not None:
+            size = sam_lib.sam_input_size(sam)
+
+            def prog(params, imgs, boxes):
+                imgs_s = jax.vmap(lambda im: jnp.transpose(
+                    G.resize_bilinear(jnp.transpose(im, (2, 0, 1)),
+                                      size, size), (1, 2, 0)))(imgs)
+                (m_lat, m_pix), _conf = sam_lib.segment_with_box_batch(
+                    sam, params, imgs_s, boxes, out_sizes=(h, H))
+                return m_lat, m_pix
+
+            return self.bundle.jitted(f"sam_masks_b_{id(sam)}", prog)(
+                self.bundle.sam_params, images,
+                jnp.asarray(box_hints, jnp.float32))
+
+        def fallback_one(maps, hint):
+            agg = jnp.zeros((h, w), jnp.float32)
+            for m in maps:
+                mm = jnp.mean(m, axis=0)
+                side = int(round(mm.shape[0] ** 0.5))
+                agg = agg + G.resize_bilinear(mm.reshape(side, side), h, w)
+            agg = agg / (jnp.max(agg) + 1e-8)
+            box_m = G.box_mask(hint, h, w)
+            m_lat = jnp.maximum((agg > 0.3).astype(jnp.float32),
+                                box_m * (agg > 0.1))
+            return m_lat, G.upsample_nearest(m_lat, H, W)
+
+        return self.bundle.jitted(
+            "attn_masks_b",
+            lambda maps, hints: jax.vmap(
+                lambda *a: fallback_one(a[:-1], a[-1]))(*maps, hints),
+        )(tuple(agg_maps), jnp.asarray(box_hints, jnp.float32))
+
     # ---------------------------------------------------------- character
 
     def _character_prep(self, plan: parse.ObjectPlan, extra_neg: str) -> dict:
@@ -384,13 +426,15 @@ class Theater:
 
     def _character_finish(self, plan: parse.ObjectPlan, prep: dict,
                           result, image, agg, detected_ok: bool,
-                          det_box) -> dict:
+                          det_box, masks=None) -> dict:
         """Masks + DB persistence + result dict, shared by both paths
-        (theatergen.py:158-201, models/pipelines.py:476-477)."""
+        (theatergen.py:158-201, models/pipelines.py:476-477).  ``masks``
+        carries (m_lat, m_pix) precomputed by the batched path."""
         b = self.bundle
         img_embed = prep["img_embed"]
         with self.timer.phase("char.masks"):
-            m_lat, m_pix = self._extract_masks(agg, image, det_box)
+            m_lat, m_pix = (masks if masks is not None
+                            else self._extract_masks(agg, image, det_box))
         if not prep["hit"]:
             with self.timer.phase("char.embed_db"):
                 # dispatch CLIP-H on device; the fetch + disk write are
@@ -538,20 +582,39 @@ class Theater:
             aggs = self._aggregate_attn(res.ref_attn)   # per key [B,heads,HW]
             _sync_fetch(aggs[0], images)
 
+        # detection for the whole batch as ONE program + ONE host sync
+        # (the per-character loop costs B tunnel round trips on the bool
+        # fetch alone); masks for the whole batch as one program too.
+        # External detector backends stay per-image (host-driven).
+        det_b = masks_b = oks = None
+        if b.detector is None:
+            with self.timer.phase("char.detect"):
+                det_b = b.jitted(
+                    "attn_detect_b",
+                    lambda maps: jax.vmap(
+                        lambda *ms: det.attention_detect(list(ms), None)
+                    )(*maps),
+                )(tuple(aggs))
+                oks = np.asarray(det_b.ok)
+            with self.timer.phase("char.masks"):
+                masks_b = self._extract_masks_batched(aggs, images,
+                                                      det_b.box)
+
         outs = []
         for i, j in enumerate(jobs):
             th, oplan, prep = j["th"], j["oplan"], j["prep"]
             image = images[i][None]
             agg = [m[i] for m in aggs]
-            with th.timer.phase("char.detect"):
-                if b.detector is not None:
+            masks = None
+            if b.detector is not None:
+                with th.timer.phase("char.detect"):
                     detection = b.detector(image[0], oplan.phrase)
-                else:
-                    detection = b.jitted(
-                        "attn_detect",
-                        lambda maps: det.attention_detect(list(maps), None),
-                    )(tuple(agg))
-                detected_ok = bool(detection.ok)
+                    detected_ok = bool(detection.ok)
+                det_box = detection.box
+            else:
+                detected_ok = bool(oks[i])
+                det_box = det_b.box[i]
+                masks = (masks_b[0][i], masks_b[1][i])
             if not detected_ok:
                 # rare path: rejoin the serial regen loop (same seeds —
                 # attempt 0 is recomputed, then reseeded retries)
@@ -563,7 +626,8 @@ class Theater:
                 trajectory=res.trajectory[i],
                 ref_attn=tuple(m[i] for m in res.ref_attn))
             outs.append(th._character_finish(
-                oplan, prep, result, image, agg, True, detection.box))
+                oplan, prep, result, image, agg, True, det_box,
+                masks=masks))
         return outs
 
     # --------------------------------------------------------------- turn
@@ -869,6 +933,23 @@ def run_turn_wave(theaters: List["Theater"], specs: List[dict],
     if not states:
         return [results[d] for d in range(len(theaters))]
 
+    try:
+        return _run_wave_body(lead, theaters, states, jobs, results,
+                              frozen_step_ratio)
+    except BaseException:
+        # a failed wave must not leave deferred DB writes behind: the
+        # quarantine fallback (cli/generate.py) reruns the turn serially
+        # with the same seed, and a stale _pending_saves entry would make
+        # _character_prep treat a first appearance as a DB hit (and
+        # run_turn's durability flush would then write the aborted wave's
+        # image as the character's canonical reference)
+        for st in states:
+            st["th"]._pending_saves.clear()
+        raise
+
+
+def _run_wave_body(lead, theaters, states, jobs, results,
+                   frozen_step_ratio):
     # -- ONE character batch across dialogues
     outs = lead._batched_char_exec(jobs)
 
