@@ -173,6 +173,48 @@ def test_theater_xl_turn(tmp_path):
     np.testing.assert_array_equal(res.image, res2.image)
 
 
+def test_theater_xl_wave_and_batched_match_serial(tmp_path):
+    """XL dialogues are wave-capable: micro-conds (pooled/time_ids) batch
+    through the character runner's extra_cond axis and T2I-Adapter
+    features through the final runner's adapter axis.  Wave-of-2 and
+    batched-characters runs must reproduce the serial path."""
+    from theatergen_tpu.db import CharacterDB
+    from theatergen_tpu.theater import Theater, run_turn_wave
+
+    b = init_bundle(CFG, jax.random.key(0), with_ip=True, with_vision=True,
+                    with_t2i_adapter=True)
+    spec1 = {"prompt": "a red knight and a green dragon in a forest",
+             "bg_prompt": "a forest",
+             "gen_boxes": [("a red knight", (60, 100, 150, 300)),
+                           ("a green dragon", (300, 80, 180, 350))],
+             "extra_neg_prompt": "", "obj_ids": [0, 1],
+             "canvas_height": 512, "canvas_width": 512}
+    spec2 = {"prompt": "a blue wizard on a mountain",
+             "bg_prompt": "snowy mountains",
+             "gen_boxes": [("a blue wizard", (200, 120, 160, 320))],
+             "extra_neg_prompt": "", "obj_ids": [2],
+             "canvas_height": 512, "canvas_width": 512}
+
+    serial = []
+    for i, sp in enumerate([spec1, spec2]):
+        th = Theater(b, CharacterDB(str(tmp_path / f"s{i}")), num_steps=2)
+        serial.append(th.run_turn(sp, seed=i))
+
+    # within-turn character batching (XL extra_cond axis on the char runner)
+    batched = Theater(b, CharacterDB(str(tmp_path / "b")), num_steps=2,
+                      batch_characters=True).run_turn(spec1, seed=0)
+    np.testing.assert_allclose(batched.image, serial[0].image, atol=2e-3)
+
+    # dialogue wave (XL extra_cond + adapter axes on the final runner)
+    ths = [Theater(b, CharacterDB(str(tmp_path / f"w{i}")), num_steps=2)
+           for i in range(2)]
+    assert all(t.is_xl and t.use_t2i for t in ths)
+    wave = run_turn_wave(ths, [spec1, spec2], [0, 1])
+    for s, wv in zip(serial, wave):
+        np.testing.assert_allclose(wv.image, s.image, atol=2e-3)
+        assert s.detections == wv.detections
+
+
 def test_text2img_xl_pipeline_class(bundle):
     """Full Text2ImgXL: dual-encoder prompts → EA denoise → VAE decode."""
     from theatergen_tpu.pipelines.sdxl import Text2ImgXL

@@ -516,12 +516,14 @@ class Theater:
             self._char_run_b = self.bundle.memo(
                 f"char_batched_{id(self.bundle.unet_ip)}_{id(self.cfg)}_"
                 f"{self.num_steps}_{self.guided}_{pl.cfg_cutoff_fraction}_"
-                f"{pl.deepcache_interval}_{tuple(mesh.shape.items())}",
+                f"{pl.deepcache_interval}_{self.is_xl}_"
+                f"{tuple(mesh.shape.items())}",
                 lambda: dp_driver.make_dp_character_runner(
                     self.bundle, self.num_steps, mesh, use_ip=True,
                     guided=self.guided, capture_ref_attn=True,
                     cfg_cutoff_fraction=pl.cfg_cutoff_fraction,
                     deepcache_interval=pl.deepcache_interval,
+                    with_extra_cond=self.is_xl,
                 )[0])
         return self._char_run_b
 
@@ -572,10 +574,16 @@ class Theater:
                             *([j["prep"]["gin"] for j in jobs]
                               + [jobs[0]["prep"]["gin"]] * pad))
         rngs = stack(run_rngs)
+        args = [b.unet_ip_params, lats, ctxs, scales, gins, rngs]
+        if self.is_xl:
+            # SDXL micro-conditioning (pooled_text/time_ids) per character
+            args.append(jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *([j["prep"]["extra_cond"] for j in jobs]
+                  + [jobs[0]["prep"]["extra_cond"]] * pad)))
 
         with self.timer.phase("char.denoise_decode"):
-            res = self._batched_char_runner()(
-                b.unet_ip_params, lats, ctxs, scales, gins, rngs)
+            res = self._batched_char_runner()(*args)
             h, w = self.cfg.pipeline.latent_height, self.cfg.pipeline.latent_width
             images = self._decode(b.vae_params,
                                   res.latents.reshape(B, h, w, 4))
@@ -674,11 +682,11 @@ class Theater:
         # -- per-character generation with dedup (theatergen.py:217-226)
         order, unique_plans, unique_idx = _dedup_plans(plan)
         cache: Dict[Tuple[str, int], dict] = {k2: None for k2 in order}
-        # batched mode needs SD1.5-style conditioning (no per-char SDXL
-        # micro-cond batching) and distinct obj_ids: with duplicate ids the
-        # serial path's first write becomes the second's DB hit
+        # batched mode needs distinct obj_ids: with duplicate ids the
+        # serial path's first write becomes the second's DB hit (XL
+        # micro-conds batch through the runner's extra_cond axis)
         use_batched = (
-            self.batch_characters and not self.is_xl and unique_plans
+            self.batch_characters and unique_plans
             and (len(unique_plans) > 1 or self.mesh is not None)
             and len({p.obj_id for p in unique_plans}) == len(unique_plans))
         if use_batched:
@@ -872,13 +880,15 @@ def _wave_final_runner(th: "Theater"):
         f"final_batched_{id(th.bundle.unet_ip)}_{id(th.bundle.controlnet)}_"
         f"{id(th.cfg)}_{th.num_steps}_{th.guided}_{th.use_controlnet}_"
         f"{pl.cfg_cutoff_fraction}_{pl.deepcache_interval}_"
-        f"{pl.controlnet_interval}_{tuple(mesh.shape.items())}",
+        f"{pl.controlnet_interval}_{th.is_xl}_{th.use_t2i}_"
+        f"{tuple(mesh.shape.items())}",
         lambda: dp_driver.make_dp_final_runner(
             th.bundle, th.num_steps, mesh, use_ip=True,
             use_controlnet=th.use_controlnet, guided=th.guided,
             cfg_cutoff_fraction=pl.cfg_cutoff_fraction,
             deepcache_interval=pl.deepcache_interval,
-            controlnet_interval=pl.controlnet_interval)[0])
+            controlnet_interval=pl.controlnet_interval,
+            with_extra_cond=th.is_xl, with_adapter=th.use_t2i)[0])
 
 
 def run_turn_wave(theaters: List["Theater"], specs: List[dict],
@@ -894,8 +904,9 @@ def run_turn_wave(theaters: List["Theater"], specs: List[dict],
     dp mesh axis (the reference processes dialogues strictly serially on
     one GPU, generate.py:180-269).  Theaters must share one bundle/mesh
     and settings; each keeps its own per-dialogue character DB.  XL/t2i
-    bundles, duplicate obj_ids, and background-only turns fall back to
-    the owning theater's serial ``run_turn``.
+    bundles batch through the runners' extra_cond/adapter axes; duplicate
+    obj_ids and background-only turns fall back to the owning theater's
+    serial ``run_turn``.
     """
     assert len(theaters) == len(specs) == len(seeds)
     lead = theaters[0]
@@ -905,11 +916,6 @@ def run_turn_wave(theaters: List["Theater"], specs: List[dict],
     states, jobs = [], []
     for d, (th, spec, seed) in enumerate(zip(theaters, specs, seeds)):
         t0 = time.time()
-        if th.is_xl or th.use_t2i:
-            # XL micro-conds and t2i adapter_feats aren't threaded through
-            # the batched final runner — those dialogues run serially
-            results[d] = th.run_turn(spec, seed, frozen_step_ratio)
-            continue
         plan = parse.convert_spec(spec, th.cfg.pipeline.height,
                                   th.cfg.pipeline.width)
         extra_neg = spec.get("extra_neg_prompt") or ""
@@ -989,6 +995,18 @@ def _run_wave_body(lead, theaters, states, jobs, results,
     frozen = jnp.asarray([st["frozen"] for st in states]
                          + [states[0]["frozen"]] * pad, jnp.int32)
 
+    extra_conds = adapter_featss = None
+    if lead.is_xl:
+        extra_conds = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *([st["fargs"]["extra_cond"] for st in states]
+              + [states[0]["fargs"]["extra_cond"]] * pad))
+    if lead.use_t2i:
+        adapter_featss = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *([st["fargs"]["adapter_feats"] for st in states]
+              + [states[0]["fargs"]["adapter_feats"]] * pad))
+
     with lead.timer.phase("final"):
         runner = _wave_final_runner(lead)
         finals = runner(
@@ -996,7 +1014,8 @@ def _run_wave_body(lead, theaters, states, jobs, results,
             lead.bundle.controlnet_params if lead.use_controlnet else None,
             stackf("composed"), stackf("frozen_mask"), frozen,
             stackf("ctx"), stackf("cn_ctx"), stackf("cond_img"),
-            jnp.float32(lead.cfg.pipeline.ip_scale_final), gins, rngs)
+            jnp.float32(lead.cfg.pipeline.ip_scale_final), gins, rngs,
+            extra_conds=extra_conds, adapter_featss=adapter_featss)
         h, w = (lead.cfg.pipeline.latent_height,
                 lead.cfg.pipeline.latent_width)
         images = lead._decode(lead.bundle.vae_params,
