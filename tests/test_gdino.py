@@ -269,3 +269,23 @@ def test_detector_backend(pair, tmp_path):
     assert np.isfinite(float(det.confidence))
     det2 = backend(img, "dog cat")   # longer phrase, same compiled shape
     assert np.asarray(det2.box).shape == (4,)
+
+    # batched detection (one forward for the whole character batch) must
+    # reproduce the per-image path exactly
+    import jax.numpy as jnp
+
+    img2 = rng.rand(48, 48, 3).astype(np.float32)
+    batch = backend.detect_batch(jnp.stack([jnp.asarray(img),
+                                            jnp.asarray(img2)]),
+                                 ["cat", "dog cat"])
+    assert np.asarray(batch.box).shape == (2, 4)
+    d2 = backend(img2, "dog cat")
+    np.testing.assert_allclose(np.asarray(batch.box[0]),
+                               np.asarray(det.box), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(batch.box[1]),
+                               np.asarray(d2.box), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(batch.confidence),
+                               [float(det.confidence),
+                                float(d2.confidence)], atol=1e-5)
+    assert (np.asarray(batch.ok)
+            == [bool(det.ok), bool(d2.ok)]).all()

@@ -335,6 +335,16 @@ def test_turn_with_gdino_detector(tmp_path):
     assert np.isfinite(res.image).all()
     assert all(res.detections)
 
+    # batched characters route detection through detect_batch (one GDINO
+    # forward per turn) — must reproduce the serial turn
+    serial = Theater(bundle, CharacterDB(str(tmp_path / "s")),
+                     num_steps=2).run_turn(SPEC_T1, seed=0)
+    batched = Theater(bundle, CharacterDB(str(tmp_path / "b")),
+                      num_steps=2,
+                      batch_characters=True).run_turn(SPEC_T1, seed=0)
+    assert serial.detections == batched.detections
+    np.testing.assert_allclose(batched.image, serial.image, atol=2e-3)
+
 
 def test_ema_update():
     from theatergen_tpu.training.diffusion import ema_update

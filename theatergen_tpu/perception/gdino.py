@@ -752,17 +752,20 @@ class GroundingDinoBackend:
         self_mask, pos_ids = prepare_text_inputs(padded)
         return padded, self_mask, pos_ids, token_mask, n
 
-    def __call__(self, image01: jnp.ndarray, phrase: str):
-        """image01 [H, W, 3] in [0,1] → Detection (normalized xyxy box)."""
+    def _resize(self, image01: jnp.ndarray) -> jnp.ndarray:
         from ..ops import geometry as G
-        from .detector import Detection
 
         s = self.cfg.image_size
-        img = image01
-        if img.shape[0] != s or img.shape[1] != s:
-            chw = jnp.transpose(img, (2, 0, 1))
-            img = jnp.transpose(G.resize_bilinear(chw, s, s), (1, 2, 0))
-        pixels = preprocess(img)[None]
+        if image01.shape[0] == s and image01.shape[1] == s:
+            return image01
+        chw = jnp.transpose(image01, (2, 0, 1))
+        return jnp.transpose(G.resize_bilinear(chw, s, s), (1, 2, 0))
+
+    def __call__(self, image01: jnp.ndarray, phrase: str):
+        """image01 [H, W, 3] in [0,1] → Detection (normalized xyxy box)."""
+        from .detector import Detection
+
+        pixels = preprocess(self._resize(image01))[None]
         ids, self_mask, pos_ids, token_mask, n = self._encode_text(phrase)
         logits, boxes = self._fwd(self.params, pixels, ids, self_mask,
                                   pos_ids, token_mask)
@@ -775,5 +778,41 @@ class GroundingDinoBackend:
         box = jnp.asarray([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
         box = jnp.clip(box, 0.0, 1.0)
         return Detection(box=box, confidence=jnp.asarray(conf),
+                         ok=jnp.asarray(conf > self.BOX_THRESHOLD))
+
+    def detect_batch(self, images01: jnp.ndarray, phrases):
+        """Batched detection: ONE model forward for ``[B, H, W, 3]``
+        images with one phrase each → Detection with ``[B, ...]`` leaves.
+        Used by the batched character path so a wave costs one GDINO
+        program + one host fetch instead of B of each (the reference
+        detects characters one by one, ``utils/detector.py:5-21``)."""
+        from .detector import Detection
+
+        assert len(phrases) == images01.shape[0], (len(phrases),
+                                                   images01.shape)
+        pixels = preprocess(jnp.stack([self._resize(im)
+                                       for im in images01]))
+        enc = [self._encode_text(p) for p in phrases]
+        ids = np.concatenate([e[0] for e in enc])
+        self_mask = np.concatenate([e[1] for e in enc])
+        pos_ids = np.concatenate([e[2] for e in enc])
+        token_mask = np.concatenate([e[3] for e in enc])
+        ns = np.asarray([e[4] for e in enc])
+        logits, boxes = self._fwd(self.params, pixels, ids, self_mask,
+                                  pos_ids, token_mask)
+        probs = jax.nn.sigmoid(np.asarray(logits, np.float32))  # [B,Q,T]
+        # per-row word-token window: positions 1..n-1 (mask the rest)
+        t = probs.shape[-1]
+        word = ((np.arange(t)[None] >= 1)
+                & (np.arange(t)[None] < np.maximum(ns - 1, 2)[:, None]))
+        scores = np.where(word[:, None, :], probs, -np.inf).max(-1)  # [B,Q]
+        best = scores.argmax(-1)
+        conf = scores[np.arange(len(best)), best].astype(np.float32)
+        cxywh = np.asarray(boxes, np.float32)[np.arange(len(best)), best]
+        cx, cy, w, h = cxywh.T
+        box = np.clip(np.stack([cx - w / 2, cy - h / 2,
+                                cx + w / 2, cy + h / 2], -1), 0.0, 1.0)
+        return Detection(box=jnp.asarray(box),
+                         confidence=jnp.asarray(conf),
                          ok=jnp.asarray(conf > self.BOX_THRESHOLD))
 

@@ -593,7 +593,7 @@ class Theater:
         # detection for the whole batch as ONE program + ONE host sync
         # (the per-character loop costs B tunnel round trips on the bool
         # fetch alone); masks for the whole batch as one program too.
-        # External detector backends stay per-image (host-driven).
+        # External backends without detect_batch stay per-image.
         det_b = masks_b = oks = None
         if b.detector is None:
             with self.timer.phase("char.detect"):
@@ -604,6 +604,13 @@ class Theater:
                     )(*maps),
                 )(tuple(aggs))
                 oks = np.asarray(det_b.ok)
+        elif hasattr(b.detector, "detect_batch"):
+            with self.timer.phase("char.detect"):
+                phrases = ([j["oplan"].phrase for j in jobs]
+                           + [jobs[0]["oplan"].phrase] * pad)
+                det_b = b.detector.detect_batch(images, phrases)
+                oks = np.asarray(det_b.ok)
+        if det_b is not None:
             with self.timer.phase("char.masks"):
                 masks_b = self._extract_masks_batched(aggs, images,
                                                       det_b.box)
@@ -614,7 +621,7 @@ class Theater:
             image = images[i][None]
             agg = [m[i] for m in aggs]
             masks = None
-            if b.detector is not None:
+            if det_b is None:
                 with th.timer.phase("char.detect"):
                     detection = b.detector(image[0], oplan.phrase)
                     detected_ok = bool(detection.ok)
