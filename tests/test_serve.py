@@ -206,6 +206,38 @@ def test_wave_failure_isolated_per_request(bundle, tmp_path):
         srv.close()
 
 
+def test_session_resume_after_restart(bundle, tmp_path):
+    """session.json + the character DB make a dialogue resumable across
+    server restarts: the resumed turn 2 must equal an uninterrupted
+    session's turn 2 (seed counters continue, identity chains via DB)."""
+    srv = TheaterServer(bundle, str(tmp_path / "a"), num_steps=3,
+                        batch_window_s=0.0)
+    try:
+        srv.open_session("d")
+        srv.run_turn("d", SPEC_A, timeout=900)          # auto seeds
+        cont = srv.run_turn("d", SPEC_A, timeout=900)
+    finally:
+        srv.close()
+
+    srv1 = TheaterServer(bundle, str(tmp_path / "b"), num_steps=3,
+                         batch_window_s=0.0)
+    try:
+        srv1.open_session("d")
+        srv1.run_turn("d", SPEC_A, timeout=900)
+    finally:
+        srv1.close()
+    srv2 = TheaterServer(bundle, str(tmp_path / "b"), num_steps=3,
+                         batch_window_s=0.0)
+    try:
+        s = srv2.open_session("d")                       # resume
+        assert s.turn_index == 1
+        resumed = srv2.run_turn("d", SPEC_A, timeout=900)
+        assert s.turn_index == 2
+    finally:
+        srv2.close()
+    np.testing.assert_allclose(resumed.image, cont.image, atol=2e-4)
+
+
 def test_unknown_session_and_close(server):
     with pytest.raises(KeyError):
         server.submit("nope", SPEC_A)

@@ -109,7 +109,16 @@ class TheaterServer:
         self._worker.start()
 
     # ---- session management ------------------------------------------
+    def _state_path(self, session_id: str) -> str:
+        return os.path.join(self.db_root, session_id, "session.json")
+
     def open_session(self, session_id: str) -> Session:
+        """Open (or resume) a session.  Alongside the character DB, a tiny
+        ``session.json`` in the session's DB dir persists the turn/seed
+        counters, so a server restart resumes the dialogue exactly where
+        it stopped — auto-derived seeds keep advancing instead of
+        restarting at turn 0 (which would replay turn-0 noise), and the
+        DB keeps chaining character identity across the restart."""
         with self._lock:
             if session_id in self.sessions:
                 raise ValueError(f"session exists: {session_id}")
@@ -117,8 +126,27 @@ class TheaterServer:
             th = Theater(self.bundle, db, mesh=self.mesh,
                          **self.theater_kwargs)
             s = Session(session_id, th)
+            try:
+                with open(self._state_path(session_id)) as f:
+                    st = json.load(f)
+                s.turn_index = int(st.get("turn_index", 0))
+                s.submitted = int(st.get("submitted", s.turn_index))
+            except (FileNotFoundError, ValueError):
+                pass
             self.sessions[session_id] = s
             return s
+
+    def _persist_session(self, s: Session) -> None:
+        # persist submitted == turn_index (not the live counter): turns
+        # that were in flight at a crash produced no output, so their
+        # reruns after resume should REUSE their seeds — the restarted
+        # dialogue then reproduces an uninterrupted one exactly
+        path = self._state_path(s.id)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"turn_index": s.turn_index,
+                       "submitted": s.turn_index}, f)
+        os.replace(tmp, path)
 
     def close_session(self, session_id: str) -> None:
         with self._lock:
@@ -245,6 +273,7 @@ class TheaterServer:
                     s.turn_index += 1
                     r.turn_no = s.turn_index
                     self.turns_done += 1
+                    self._persist_session(s)
                     r.future.set_result(res)
             except Exception:               # noqa: BLE001
                 if len(live) == 1:
@@ -267,6 +296,7 @@ class TheaterServer:
                             s.turn_index += 1
                             r.turn_no = s.turn_index
                             self.turns_done += 1
+                            self._persist_session(s)
                             r.future.set_result(res)
             finally:
                 with self._lock:
