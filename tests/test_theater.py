@@ -516,3 +516,76 @@ def test_wave_failure_clears_pending_saves(theater, tmp_path,
     clean = Theater(bundle, CharacterDB(str(tmp_path / "clean")),
                     num_steps=3).run_turn(SPEC_T1, seed=0)
     np.testing.assert_allclose(rerun.image, clean.image, atol=2e-4)
+
+
+def test_wave_failure_carries_serial_fallback_results(theater, tmp_path,
+                                                      monkeypatch):
+    """A dialogue that completed via the in-wave serial fallback
+    (duplicate obj_ids) must survive a batch failure: WaveFailure carries
+    its TurnResult so quarantine handlers reuse it instead of re-running
+    against its now-durable DB writes."""
+    from theatergen_tpu import theater as theater_mod
+    from theatergen_tpu.theater import WaveFailure, run_turn_wave
+
+    bundle = theater.bundle
+    spec_dup = {
+        "prompt": "a cat sits beside a sleeping cat",
+        "gen_boxes": [("a cat", (50, 100, 120, 120)),
+                      ("a sleeping cat", (300, 100, 120, 120))],
+        "bg_prompt": "a sunny room", "extra_neg_prompt": "",
+        "obj_ids": [7, 7],
+        "canvas_height": 512, "canvas_width": 512,
+    }
+
+    def boom(_th):
+        raise RuntimeError("injected batch failure")
+
+    monkeypatch.setattr(theater_mod, "_wave_final_runner", boom)
+    ths = [Theater(bundle, CharacterDB(str(tmp_path / f"p{i}")),
+                   num_steps=3) for i in range(2)]
+    with pytest.raises(WaveFailure) as ei:
+        run_turn_wave(ths, [spec_dup, SPEC_T1], [0, 1])
+    # dialogue 0 fell back to serial inside the wave and completed
+    assert list(ei.value.results) == [0]
+    assert np.isfinite(ei.value.results[0].image).all()
+    # dialogue 1's batch state was rolled back
+    assert not ths[1]._pending_saves
+    assert not any(ths[1].db.has(i) for i in SPEC_T1["obj_ids"])
+    # ...but dialogue 0's serial DB writes are durable (its turn is done)
+    assert ths[0].db.has(7)
+
+
+def test_wave_failure_after_db_flush_rolls_back(theater, tmp_path,
+                                                monkeypatch):
+    """On a real device an async final-pass error surfaces only at the
+    trailing sync — AFTER _flush_db_saves persisted the wave's character
+    images.  The failure handler must delete those first-appearance DB
+    writes so the quarantine rerun starts from a clean miss."""
+    from theatergen_tpu import theater as theater_mod
+    from theatergen_tpu.theater import run_turn_wave
+
+    bundle = theater.bundle
+    ths = [Theater(bundle, CharacterDB(str(tmp_path / f"f{i}")),
+                   num_steps=3) for i in range(2)]
+    orig = theater_mod._sync_fetch
+
+    def boom_after_flush(*arrays):
+        # fires at the final-phase sync: by then the deferred DB writes
+        # have been flushed (db.has is True), unlike the earlier
+        # char/compose syncs
+        if ths[0].db.has(SPEC_T1["obj_ids"][0]):
+            raise RuntimeError("injected post-flush failure")
+        return orig(*arrays)
+
+    monkeypatch.setattr(theater_mod, "_sync_fetch", boom_after_flush)
+    with pytest.raises(RuntimeError, match="post-flush"):
+        run_turn_wave(ths, [SPEC_T1, SPEC_T2], [0, 1])
+    monkeypatch.undo()
+    for th, sp in zip(ths, [SPEC_T1, SPEC_T2]):
+        assert not th._pending_saves
+        assert not any(th.db.has(i) for i in sp["obj_ids"])
+
+    rerun = ths[0].run_turn(SPEC_T1, seed=0)
+    clean = Theater(bundle, CharacterDB(str(tmp_path / "clean")),
+                    num_steps=3).run_turn(SPEC_T1, seed=0)
+    np.testing.assert_allclose(rerun.image, clean.image, atol=2e-4)

@@ -276,13 +276,21 @@ def _run_wave_mode(args, bundle, mesh, dataset, dialogues, save_dir,
                         results = run_turn_wave(
                             [theaters[i] for i in sel], specs, seeds,
                             frozen_step_ratio=args.frozen_step_ratio)
-                    except Exception:
+                    except Exception as e:
                         # quarantine (generate.py:250-259): a wave failure
                         # falls back to per-dialogue serial turns so one
-                        # bad dialogue can't sink its wave-mates
+                        # bad dialogue can't sink its wave-mates.
+                        # Dialogues the wave already completed (WaveFailure
+                        # carries them) are reused, not re-run — their DB
+                        # writes are durable and a rerun would diverge
                         traceback.print_exc()
+                        partial = getattr(e, "results", {})
                         results = []
-                        for i, spec, seed in zip(sel, specs, seeds):
+                        for w_idx, (i, spec, seed) in enumerate(
+                                zip(sel, specs, seeds)):
+                            if w_idx in partial:
+                                results.append(partial[w_idx])
+                                continue
                             try:
                                 results.append(theaters[i].run_turn(
                                     spec, seed,

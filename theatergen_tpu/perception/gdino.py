@@ -800,7 +800,10 @@ class GroundingDinoBackend:
         ns = np.asarray([e[4] for e in enc])
         logits, boxes = self._fwd(self.params, pixels, ids, self_mask,
                                   pos_ids, token_mask)
-        probs = jax.nn.sigmoid(np.asarray(logits, np.float32))  # [B,Q,T]
+        # sigmoid on host: the fetched logits must not round-trip back to
+        # the device for scoring (this path exists to cut round trips)
+        logits = np.asarray(logits, np.float32)                 # [B,Q,T]
+        probs = 1.0 / (1.0 + np.exp(-logits))
         # per-row word-token window: positions 1..n-1 (mask the rest)
         t = probs.shape[-1]
         word = ((np.arange(t)[None] >= 1)

@@ -131,8 +131,13 @@ class TheaterServer:
                     st = json.load(f)
                 s.turn_index = int(st.get("turn_index", 0))
                 s.submitted = int(st.get("submitted", s.turn_index))
-            except (FileNotFoundError, ValueError):
+            except FileNotFoundError:
                 pass
+            except (ValueError, TypeError, AttributeError):
+                # corrupt state file (truncated json, non-dict top level,
+                # null fields): start the counters fresh rather than
+                # bricking the session id
+                s.turn_index = s.submitted = 0
             self.sessions[session_id] = s
             return s
 
@@ -140,13 +145,22 @@ class TheaterServer:
         # persist submitted == turn_index (not the live counter): turns
         # that were in flight at a crash produced no output, so their
         # reruns after resume should REUSE their seeds — the restarted
-        # dialogue then reproduces an uninterrupted one exactly
-        path = self._state_path(s.id)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"turn_index": s.turn_index,
-                       "submitted": s.turn_index}, f)
-        os.replace(tmp, path)
+        # dialogue then reproduces an uninterrupted one exactly.
+        # Best-effort: a persist I/O failure must not fail the turn (the
+        # result is already computed; resume then restarts counters at the
+        # last successful persist)
+        try:
+            path = self._state_path(s.id)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"turn_index": s.turn_index,
+                           "submitted": s.turn_index}, f)
+            os.replace(tmp, path)
+        except OSError as e:
+            import sys
+
+            print(f"[serve] session {s.id}: state persist failed: {e}",
+                  file=sys.stderr)
 
     def close_session(self, session_id: str) -> None:
         with self._lock:
@@ -275,21 +289,28 @@ class TheaterServer:
                     self.turns_done += 1
                     self._persist_session(s)
                     r.future.set_result(res)
-            except Exception:               # noqa: BLE001
+            except Exception as wave_exc:   # noqa: BLE001
                 if len(live) == 1:
-                    import sys
-
                     r, _ = live[0]
-                    r.future.set_exception(sys.exc_info()[1])
+                    r.future.set_exception(wave_exc)
                 else:
                     # per-request isolation: one bad spec must not fail its
                     # wave-mates.  Mirror the CLI quarantine
                     # (cli/generate.py) — rerun each turn serially with its
-                    # own seed; run_turn_wave cleared any deferred DB state
-                    # so the rerun starts clean
-                    for (r, s), spec, seed in zip(live, specs, seeds):
+                    # own seed; run_turn_wave rolled back the batch's DB
+                    # state so reruns start clean, and WaveFailure carries
+                    # results of dialogues its serial fallback already
+                    # completed (reuse them — their DB writes are durable).
+                    # Skip already-resolved futures: re-running a completed
+                    # turn would double-advance its session
+                    partial = getattr(wave_exc, "results", {})
+                    for w_idx, ((r, s), spec, seed) in enumerate(
+                            zip(live, specs, seeds)):
+                        if r.future.done():
+                            continue
                         try:
-                            res = s.theater.run_turn(spec, seed)
+                            res = (partial[w_idx] if w_idx in partial
+                                   else s.theater.run_turn(spec, seed))
                         except Exception as e:  # noqa: BLE001 — to caller
                             r.future.set_exception(e)
                         else:

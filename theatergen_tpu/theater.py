@@ -48,6 +48,24 @@ ATTN_AGG_START = 10             # theatergen.py:30 attn_aggregation_step_start
 MAX_PHRASE_TOKENS = 8           # fixed token-position pad (shape stability)
 
 
+def _attn_mask_fallback(maps, hint, h: int, w: int, H: int, W: int):
+    """Weightless character mask from aggregated guidance-key attention —
+    the no-SAM fallback for :meth:`Theater._extract_masks` (serial) and
+    its batched vmap (reference ``sam_refine_attn``'s role,
+    ``models/sam.py:126-174``): strong attention anywhere, or moderate
+    attention inside the detection-box hint."""
+    agg = jnp.zeros((h, w), jnp.float32)
+    for m in maps:
+        mm = jnp.mean(m, axis=0)
+        side = int(round(mm.shape[0] ** 0.5))
+        agg = agg + G.resize_bilinear(mm.reshape(side, side), h, w)
+    agg = agg / (jnp.max(agg) + 1e-8)
+    box_m = G.box_mask(hint, h, w)
+    m_lat = jnp.maximum((agg > 0.3).astype(jnp.float32),
+                        box_m * (agg > 0.1))
+    return m_lat, G.upsample_nearest(m_lat, H, W)
+
+
 def _sync_fetch(*arrays) -> None:
     """Pull one element of each array to the host — an honest phase-timer
     sync (dependent-value fetch) that costs a single tiny round trip per
@@ -297,23 +315,12 @@ class Theater:
             )
             return m_lat, m_pix
         # attention fallback (one jitted program — eager jnp costs a
-        # tunnel dispatch per op)
-        def fallback(maps, hint):
-            agg = jnp.zeros((h, w), jnp.float32)
-            for m in maps:
-                mm = jnp.mean(m, axis=0)
-                side = int(round(mm.shape[0] ** 0.5))
-                agg = agg + G.resize_bilinear(mm.reshape(side, side), h, w)
-            agg = agg / (jnp.max(agg) + 1e-8)
-            box_m = G.box_mask(hint, h, w)
-            # strong attention anywhere, or moderate attention in the box
-            m_lat = jnp.maximum((agg > 0.3).astype(jnp.float32),
-                                box_m * (agg > 0.1))
-            m_pix = G.upsample_nearest(m_lat, H, W)
-            return m_lat, m_pix
-
-        return self.bundle.jitted("attn_masks", fallback)(
-            tuple(agg_maps), jnp.asarray(box_hint, jnp.float32))
+        # tunnel dispatch per op); key carries the baked sizes (bundle
+        # jit-cache contract)
+        return self.bundle.jitted(
+            f"attn_masks_{h}_{w}_{H}_{W}",
+            lambda maps, hint: _attn_mask_fallback(maps, hint, h, w, H, W),
+        )(tuple(agg_maps), jnp.asarray(box_hint, jnp.float32))
 
     def _extract_masks_batched(self, agg_maps, images, box_hints):
         """Batched :meth:`_extract_masks`: masks for a whole character
@@ -335,26 +342,16 @@ class Theater:
                     sam, params, imgs_s, boxes, out_sizes=(h, H))
                 return m_lat, m_pix
 
-            return self.bundle.jitted(f"sam_masks_b_{id(sam)}", prog)(
+            return self.bundle.jitted(
+                f"sam_masks_b_{id(sam)}_{h}_{H}", prog)(
                 self.bundle.sam_params, images,
                 jnp.asarray(box_hints, jnp.float32))
 
-        def fallback_one(maps, hint):
-            agg = jnp.zeros((h, w), jnp.float32)
-            for m in maps:
-                mm = jnp.mean(m, axis=0)
-                side = int(round(mm.shape[0] ** 0.5))
-                agg = agg + G.resize_bilinear(mm.reshape(side, side), h, w)
-            agg = agg / (jnp.max(agg) + 1e-8)
-            box_m = G.box_mask(hint, h, w)
-            m_lat = jnp.maximum((agg > 0.3).astype(jnp.float32),
-                                box_m * (agg > 0.1))
-            return m_lat, G.upsample_nearest(m_lat, H, W)
-
         return self.bundle.jitted(
-            "attn_masks_b",
+            f"attn_masks_b_{h}_{w}_{H}_{W}",
             lambda maps, hints: jax.vmap(
-                lambda *a: fallback_one(a[:-1], a[-1]))(*maps, hints),
+                lambda *a: _attn_mask_fallback(a[:-1], a[-1], h, w, H, W)
+            )(*maps, hints),
         )(tuple(agg_maps), jnp.asarray(box_hints, jnp.float32))
 
     # ---------------------------------------------------------- character
@@ -949,16 +946,45 @@ def run_turn_wave(theaters: List["Theater"], specs: List[dict],
     try:
         return _run_wave_body(lead, theaters, states, jobs, results,
                               frozen_step_ratio)
-    except BaseException:
-        # a failed wave must not leave deferred DB writes behind: the
-        # quarantine fallback (cli/generate.py) reruns the turn serially
-        # with the same seed, and a stale _pending_saves entry would make
-        # _character_prep treat a first appearance as a DB hit (and
-        # run_turn's durability flush would then write the aborted wave's
-        # image as the character's canonical reference)
+    except BaseException as e:
+        # A failed batch must not leave DB writes behind: the quarantine
+        # fallback (cli/generate.py, serve.py) reruns the failed turns
+        # serially with the same seeds, and a stale entry would make
+        # _character_prep treat a first appearance as a DB hit.  Two
+        # forms to undo: (a) deferred _pending_saves, and (b) writes
+        # already flushed to disk — on a real device an async final-pass
+        # error only surfaces at the trailing _sync_fetch, AFTER
+        # _flush_db_saves persisted the wave's character images (their
+        # fetches depend only on the successful character program).
+        # First-appearance ids (prep.hit == False) present in the DB now
+        # were written by this wave — delete them, mirroring the
+        # reference's delete-before-retry (theatergen.py:158-159).
         for st in states:
             st["th"]._pending_saves.clear()
+        for j in jobs:
+            if not j["prep"]["hit"] and j["th"].db.has(j["oplan"].obj_id):
+                j["th"].db.delete(j["oplan"].obj_id)
+        # dialogues that already completed via the in-wave serial
+        # fallback (duplicate ids / background-only) have VALID results
+        # and durable DB state — re-running them against that mutated DB
+        # would diverge from a clean run.  Hand their results to the
+        # quarantine so it only reruns the genuinely failed dialogues.
+        if isinstance(e, Exception):
+            raise WaveFailure(results, e) from e
         raise
+
+
+class WaveFailure(RuntimeError):
+    """A wave's batched programs failed.  ``results`` maps wave-local
+    dialogue indices → TurnResult for dialogues that nonetheless completed
+    (via the in-wave serial fallback); quarantine handlers must reuse
+    these instead of re-running those dialogues (their DB writes are
+    durable, so a rerun would see different DB-hit state)."""
+
+    def __init__(self, results: Dict[int, "TurnResult"], cause):
+        super().__init__(f"wave failed: {cause!r} "
+                         f"({len(results)} dialogues completed serially)")
+        self.results = results
 
 
 def _run_wave_body(lead, theaters, states, jobs, results,
