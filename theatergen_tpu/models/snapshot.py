@@ -1,0 +1,105 @@
+"""Native bundle snapshots (orbax): save an assembled Bundle's param
+trees once, reload them directly on later boots.
+
+The reference re-reads and re-assembles every diffusers/HF checkpoint at
+import time on every run (``generate.py:55-147``).  Here the expensive
+path is the one-time torch→flax conversion
+(:func:`theatergen_tpu.models.weights.load_bundle`); a snapshot taken
+after it lets serving cold-starts and benchmark reruns skip straight to
+ready params::
+
+    bundle = load_bundle(cfg, weights_dir)        # once, slow
+    save_bundle_snapshot(bundle, "/ckpt/snap")
+    ...
+    bundle = load_bundle_snapshot(cfg, "/ckpt/snap")   # every boot, fast
+
+Only param pytrees and the flags needed to rebuild the module skeleton
+are stored; modules are reconstructed from ``cfg`` (which the caller
+provides, exactly as for ``load_bundle``).  ``unet_ip_params`` shares its
+base leaves with ``unet_params`` — the snapshot stores both trees whole
+(simple and safe; dedup is a disk-space optimization left out on
+purpose).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, List
+
+# every Bundle field that is a flax param pytree, with the init_bundle
+# flag implied by its presence
+PARAM_FIELDS = (
+    "unet_params",
+    "vae_params",
+    "text_params",
+    "unet_ip_params",
+    "image_proj_params",
+    "vision_params",
+    "text2_params",
+    "t2i_adapter_params",
+    "controlnet_params",
+    "sam_params",
+    "lineart_params",
+)
+
+_META = "bundle_meta.json"
+
+
+def save_bundle_snapshot(bundle, out_dir: str) -> List[str]:
+    """Persist every non-None param tree of ``bundle`` under ``out_dir``
+    (orbax PyTree checkpoint + a small JSON meta).  Returns the saved
+    field names.  Refuses to overwrite an existing snapshot."""
+    import orbax.checkpoint as ocp
+
+    tree = {f: getattr(bundle, f) for f in PARAM_FIELDS
+            if getattr(bundle, f) is not None}
+    if not tree:
+        raise ValueError("bundle has no param trees to snapshot")
+    out_dir = os.path.abspath(out_dir)
+    path = os.path.join(out_dir, "params")
+    if os.path.exists(path):
+        raise FileExistsError(f"snapshot exists: {path}")
+    os.makedirs(out_dir, exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree)
+    meta = {"fields": sorted(tree), "ip_variant": bundle.ip_variant}
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return sorted(tree)
+
+
+def load_bundle_snapshot(cfg, snap_dir: str, *,
+                         tokenizer_assets: str | None = None) -> Any:
+    """Rebuild a Bundle from ``cfg`` + a :func:`save_bundle_snapshot`
+    directory.  The module skeleton comes from ``init_bundle`` (flags
+    inferred from which trees were saved); every saved param tree then
+    replaces its random-init placeholder."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from ..pipelines.bundle import init_bundle
+
+    snap_dir = os.path.abspath(snap_dir)
+    with open(os.path.join(snap_dir, _META)) as f:
+        meta = json.load(f)
+    fields = set(meta["fields"])
+
+    bundle = init_bundle(
+        cfg, jax.random.key(0),
+        with_ip="unet_ip_params" in fields,
+        with_controlnet="controlnet_params" in fields,
+        with_vision="vision_params" in fields,
+        with_sam="sam_params" in fields,
+        with_t2i_adapter="t2i_adapter_params" in fields,
+        ip_variant=meta.get("ip_variant", "base"),
+        tokenizer_assets=tokenizer_assets,
+    )
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.join(snap_dir, "params"))
+    unknown = fields - set(PARAM_FIELDS)
+    if unknown:
+        raise ValueError(f"snapshot has unknown fields: {sorted(unknown)}")
+    for f in meta["fields"]:
+        setattr(bundle, f, tree[f])
+    return bundle
