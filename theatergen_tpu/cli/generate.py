@@ -92,6 +92,10 @@ def make_parser() -> argparse.ArgumentParser:
                          "512-authored boxes stay meaningful at 16px")
     ap.add_argument("--weights", default=None,
                     help="directory of ported checkpoints (models/weights.py)")
+    ap.add_argument("--snapshot", default=None, metavar="DIR",
+                    help="bundle snapshot dir (models/snapshot.py): load "
+                         "from it when present, else save one after the "
+                         "bundle is built — later runs cold-start fast")
     ap.add_argument("--no_guidance", action="store_true")
     ap.add_argument("--cfg_cutoff", type=float, default=None,
                     help="CFG truncation fraction: full CFG for the first "
@@ -178,6 +182,13 @@ def build_theater(args):
         cfg, cfg_cutoff=args.cfg_cutoff, deepcache=args.deepcache,
         scheduler=args.scheduler, cn_interval=args.cn_interval)
     is_xl = args.sd_version == "xl"
+    snap = getattr(args, "snapshot", None)
+    if snap and os.path.exists(os.path.join(snap, "bundle_meta.json")):
+        from ..models.snapshot import load_bundle_snapshot
+
+        print(f"loading bundle snapshot: {snap}")
+        return load_bundle_snapshot(cfg, snap,
+                                    tokenizer_assets=args.weights or None)
     if args.weights:
         from ..models.weights import load_bundle
 
@@ -188,6 +199,11 @@ def build_theater(args):
             with_ip=True, with_controlnet=not is_xl, with_vision=True,
             with_t2i_adapter=is_xl,
         )
+    if snap:
+        from ..models.snapshot import save_bundle_snapshot
+
+        save_bundle_snapshot(bundle, snap)
+        print(f"bundle snapshot saved: {snap} (next run loads it directly)")
     return bundle
 
 
