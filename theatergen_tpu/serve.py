@@ -408,3 +408,59 @@ def serve_http(server: TheaterServer, out_dir: str, port: int = 8787):
     httpd = http.server.ThreadingHTTPServer(
         ("127.0.0.1", port), make_http_handler(server, out_dir))
     return httpd
+
+
+def main(argv=None) -> None:
+    """``python -m theatergen_tpu.serve``: launch the HTTP turn server.
+
+    Bundle/config flags mirror the generation CLI (``--tiny``,
+    ``--sd_version``, ``--weights``, ``--snapshot``, ``--mesh``); serving
+    knobs control batching and backpressure.  Sessions resume across
+    restarts (see :meth:`TheaterServer.open_session`)."""
+    import argparse
+
+    from .cli import generate as gen_cli
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--port", type=int, default=8787)
+    ap.add_argument("--db_root", default="serve_db")
+    ap.add_argument("--out_dir", default="serve_out")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--sd_version", default="1.5", choices=["1.5", "xl"])
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--snapshot", default=None)
+    ap.add_argument("--mesh", default=None, metavar="dp=N[,tp=M]")
+    ap.add_argument("--num_steps", type=int, default=None)
+    ap.add_argument("--max_wave", type=int, default=8)
+    ap.add_argument("--batch_window_s", type=float, default=0.05)
+    ap.add_argument("--max_queue", type=int, default=64)
+    ap.add_argument("--scheduler", default=None,
+                    choices=["ddim", "euler_ancestral", "lcm"])
+    ap.add_argument("--cfg_cutoff", type=float, default=None)
+    ap.add_argument("--deepcache", type=int, default=None)
+    ap.add_argument("--cn_interval", type=int, default=None)
+    ap.add_argument("--no_guidance", action="store_true")
+    args = ap.parse_args(argv)
+
+    bundle = gen_cli.build_theater(args)
+    mesh = gen_cli.parse_mesh_arg(args.mesh)
+    server = TheaterServer(
+        bundle, args.db_root, mesh=mesh, max_wave=args.max_wave,
+        batch_window_s=args.batch_window_s, max_queue=args.max_queue,
+        num_steps=args.num_steps, guided=not args.no_guidance,
+    )
+    httpd = serve_http(server, args.out_dir, args.port)
+    print(f"theatergen serving on http://127.0.0.1:"
+          f"{httpd.server_address[1]} (db={args.db_root}, "
+          f"out={args.out_dir})", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+if __name__ == "__main__":
+    main()
