@@ -57,67 +57,9 @@ def main():
         scheduler=args.scheduler, cn_interval=args.cn_interval)
     print("materializing params...", flush=True)
     t0 = time.time()
-    # build the bundle with fast host-side init to avoid giant init compiles
-    import dataclasses as dc
+    from theatergen_tpu.utils.fastinit import fast_bundle
 
-    from theatergen_tpu.models.controlnet import ControlNet
-    from theatergen_tpu.models.clip import CLIPTextEncoder, CLIPVisionEncoder
-    from theatergen_tpu.models.ip_adapter import ImageProjModel
-    from theatergen_tpu.models.unet import UNet2DCondition
-    from theatergen_tpu.models.vae import AutoencoderKL
-    from theatergen_tpu.pipelines.bundle import Bundle
-    from theatergen_tpu.utils.tokenizer import load_tokenizer
-
-    H = cfg.unet.sample_size
-    img_hw = cfg.pipeline.height
-    L = cfg.text.max_length
-    C = cfg.unet.cross_attention_dim
-
-    unet = UNet2DCondition(cfg.unet)
-    ip_cfg = dc.replace(cfg.unet, ip_num_tokens=cfg.ip_adapter.num_tokens)
-    unet_ip = UNet2DCondition(ip_cfg)
-    vae = AutoencoderKL(cfg.vae)
-    text = CLIPTextEncoder(cfg.text)
-    vision = CLIPVisionEncoder(cfg.vision)
-    cn = ControlNet(cfg.controlnet)
-    proj = ImageProjModel(cfg.ip_adapter)
-
-    def mat(init_fn, seed, dtype=jnp.bfloat16):
-        return materialize_params(init_fn, seed=seed, dtype=dtype)
-
-    zero_lat = jnp.zeros((1, H, H, 4))
-    t_in = jnp.zeros((1,), jnp.int32)
-    bundle = Bundle(
-        cfg=cfg, tokenizer=load_tokenizer(None, cfg.text.vocab_size),
-        unet=unet,
-        unet_params=mat(lambda: unet.init(
-            jax.random.key(0), zero_lat, t_in, jnp.zeros((1, L, C)))["params"], 0),
-        vae=vae,
-        vae_params=mat(lambda: vae.init(
-            jax.random.key(1), jnp.zeros((1, img_hw, img_hw, 3)))["params"], 1),
-        text=text,
-        text_params=mat(lambda: text.init(
-            jax.random.key(2), jnp.zeros((1, L), jnp.int32))["params"], 2,
-            dtype=jnp.float32),
-    )
-    bundle.unet_ip = unet_ip
-    bundle.unet_ip_params = mat(lambda: unet_ip.init(
-        jax.random.key(3), zero_lat, t_in,
-        jnp.zeros((1, L + cfg.ip_adapter.num_tokens, C)))["params"], 3)
-    bundle.vision = vision
-    bundle.vision_params = mat(lambda: vision.init(
-        jax.random.key(4), jnp.zeros(
-            (1, cfg.vision.image_size, cfg.vision.image_size, 3)))["params"],
-        4, dtype=jnp.float32)
-    bundle.controlnet = cn
-    bundle.controlnet_params = mat(lambda: cn.init(
-        jax.random.key(5), zero_lat, t_in, jnp.zeros((1, L, C)),
-        jnp.zeros((1, img_hw, img_hw, 3)))["params"], 5)
-    bundle.image_proj = proj
-    bundle.image_proj_params = mat(lambda: proj.init(
-        jax.random.key(6),
-        jnp.zeros((1, cfg.ip_adapter.clip_embeddings_dim)))["params"], 6,
-        dtype=jnp.float32)
+    bundle = fast_bundle(cfg)
     print(f"params ready in {time.time()-t0:.0f}s", flush=True)
 
     dataset = json.load(open(os.path.join(

@@ -39,4 +39,8 @@ stamp "bench_dialogue: DDIM-50 batched characters (one program/turn), flat ON"
 THEATERGEN_FLASH_FLAT=1 timeout 3600 python scripts/bench_dialogue.py \
   --batch_chars 2>&1 | tail -15
 
+stamp "bench_serve: 4 sessions x 2 turns, wave vs serial, flat ON"
+THEATERGEN_FLASH_FLAT=1 timeout 3600 python scripts/bench_serve.py \
+  --sessions 4 --turns 2 2>&1 | tail -4
+
 stamp "done"

@@ -31,6 +31,78 @@ def setup_compile_cache(path: Optional[str] = None) -> None:
         pass
 
 
+def fast_bundle(cfg) -> Any:
+    """Full orchestrator Bundle (unet/ip-unet/vae/text/vision/controlnet/
+    image-proj) with host-materialized params — the no-giant-init-compile
+    path to a chip-ready bundle for benches and weightless runs.  bf16
+    compute trees; fp32 encoders (matching init_bundle's dtypes)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from ..models.clip import CLIPTextEncoder, CLIPVisionEncoder
+    from ..models.controlnet import ControlNet
+    from ..models.ip_adapter import ImageProjModel
+    from ..models.unet import UNet2DCondition
+    from ..models.vae import AutoencoderKL
+    from ..pipelines.bundle import Bundle
+    from .tokenizer import load_tokenizer
+
+    H = cfg.unet.sample_size
+    img_hw = cfg.pipeline.height
+    L = cfg.text.max_length
+    C = cfg.unet.cross_attention_dim
+
+    unet = UNet2DCondition(cfg.unet)
+    ip_cfg = dc.replace(cfg.unet, ip_num_tokens=cfg.ip_adapter.num_tokens)
+    unet_ip = UNet2DCondition(ip_cfg)
+    vae = AutoencoderKL(cfg.vae)
+    text = CLIPTextEncoder(cfg.text)
+    vision = CLIPVisionEncoder(cfg.vision)
+    cn = ControlNet(cfg.controlnet)
+    proj = ImageProjModel(cfg.ip_adapter)
+
+    zero_lat = jnp.zeros((1, H, H, 4))
+    t_in = jnp.zeros((1,), jnp.int32)
+    bundle = Bundle(
+        cfg=cfg, tokenizer=load_tokenizer(None, cfg.text.vocab_size),
+        unet=unet,
+        unet_params=materialize_params(lambda: unet.init(
+            jax.random.key(0), zero_lat, t_in,
+            jnp.zeros((1, L, C)))["params"], seed=0, dtype=jnp.bfloat16),
+        vae=vae,
+        vae_params=materialize_params(lambda: vae.init(
+            jax.random.key(1),
+            jnp.zeros((1, img_hw, img_hw, 3)))["params"],
+            seed=1, dtype=jnp.bfloat16),
+        text=text,
+        text_params=materialize_params(lambda: text.init(
+            jax.random.key(2), jnp.zeros((1, L), jnp.int32))["params"],
+            seed=2, dtype=jnp.float32),
+    )
+    bundle.unet_ip = unet_ip
+    bundle.unet_ip_params = materialize_params(lambda: unet_ip.init(
+        jax.random.key(3), zero_lat, t_in,
+        jnp.zeros((1, L + cfg.ip_adapter.num_tokens, C)))["params"],
+        seed=3, dtype=jnp.bfloat16)
+    bundle.vision = vision
+    bundle.vision_params = materialize_params(lambda: vision.init(
+        jax.random.key(4), jnp.zeros(
+            (1, cfg.vision.image_size, cfg.vision.image_size, 3)))["params"],
+        seed=4, dtype=jnp.float32)
+    bundle.controlnet = cn
+    bundle.controlnet_params = materialize_params(lambda: cn.init(
+        jax.random.key(5), zero_lat, t_in, jnp.zeros((1, L, C)),
+        jnp.zeros((1, img_hw, img_hw, 3)))["params"],
+        seed=5, dtype=jnp.bfloat16)
+    bundle.image_proj = proj
+    bundle.image_proj_params = materialize_params(lambda: proj.init(
+        jax.random.key(6),
+        jnp.zeros((1, cfg.ip_adapter.clip_embeddings_dim)))["params"],
+        seed=6, dtype=jnp.float32)
+    return bundle
+
+
 def materialize_params(init_fn, *example_args, seed: int = 0,
                        dtype=None, scale: float = 0.02) -> Any:
     """eval_shape ``init_fn(*example_args)`` and fill leaves with seeded
