@@ -206,6 +206,85 @@ def test_wave_failure_isolated_per_request(bundle, tmp_path):
         srv.close()
 
 
+def test_cancelled_future_does_not_kill_worker(server):
+    """cancel() on a queued Future must not crash the worker thread;
+    later submits keep working and the cancelled turn never advances the
+    session."""
+    server.open_session("c1")
+    f1 = server.submit("c1", SPEC_A, seed=0)
+    f2 = server.submit("c1", SPEC_A, seed=1)   # waits in session FIFO
+    assert f2.cancel()
+    f1.result(timeout=900)
+    # the worker survived: a fresh submit completes
+    r3 = server.run_turn("c1", SPEC_A, seed=2, timeout=900)
+    assert np.isfinite(r3.image).all()
+    assert server.sessions["c1"].turn_index == 2   # cancelled turn skipped
+
+
+def test_bad_seed_does_not_leak_pending_slot(server):
+    server.open_session("b1")
+    for _ in range(3):
+        with pytest.raises(ValueError, match="seed must be an integer"):
+            server.submit("b1", SPEC_A, seed="abc")  # type: ignore[arg-type]
+    assert server.stats()["pending"] == 0
+    # seed stream unshifted: auto-seeded turn still runs
+    assert np.isfinite(server.run_turn("b1", SPEC_A,
+                                       timeout=900).image).all()
+
+
+def test_invalid_session_ids_rejected(server):
+    for bad in ("../evil", "/tmp/evil", "a/b", "", ".hidden", "x" * 200):
+        with pytest.raises(ValueError, match="invalid session id"):
+            server.open_session(bad)
+
+
+def test_close_fails_queued_futures(bundle, tmp_path):
+    srv = TheaterServer(bundle, str(tmp_path / "db"), num_steps=3,
+                        batch_window_s=0.0)
+    srv.open_session("q")
+    f1 = srv.submit("q", SPEC_A, seed=0)
+    f2 = srv.submit("q", SPEC_A, seed=1)   # in session FIFO behind f1
+    srv.close()
+    # f1 may have completed or been interrupted; f2 must NOT hang forever
+    try:
+        f1.result(timeout=900)
+    except RuntimeError:
+        pass
+    with pytest.raises(RuntimeError, match="server closed"):
+        f2.result(timeout=60)
+
+
+def test_wave_prep_error_keeps_fallback_dialogue_result(bundle, tmp_path):
+    """Session A's spec has duplicate obj_ids (runs serially inside the
+    wave, durable DB writes); session B's spec is malformed and fails in
+    host prep.  A's completed result must be delivered (not re-run
+    against its mutated DB) and B gets the error."""
+    srv = TheaterServer(bundle, str(tmp_path / "db"), num_steps=3,
+                        batch_window_s=0.5)
+    try:
+        srv.open_session("a")
+        srv.open_session("b")
+        spec_dup = {
+            "prompt": "a cat sits beside a sleeping cat",
+            "gen_boxes": [("a cat", (50, 100, 120, 120)),
+                          ("a sleeping cat", (300, 100, 120, 120))],
+            "bg_prompt": "a sunny room", "extra_neg_prompt": "",
+            "obj_ids": [7, 7],
+            "canvas_height": 512, "canvas_width": 512,
+        }
+        bad = {k: v for k, v in SPEC_B.items() if k != "gen_boxes"}
+        fa = srv.submit("a", spec_dup, seed=0)
+        fb = srv.submit("b", bad, seed=0)
+        res_a = fa.result(timeout=900)
+        assert np.isfinite(res_a.image).all()
+        with pytest.raises(Exception):
+            fb.result(timeout=900)
+        # A ran exactly once (the in-wave serial fallback), no rerun
+        assert srv.stats()["turns"] == 1
+    finally:
+        srv.close()
+
+
 def test_session_resume_after_restart(bundle, tmp_path):
     """session.json + the character DB make a dialogue resumable across
     server restarts: the resumed turn 2 must equal an uninterrupted

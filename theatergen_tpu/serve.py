@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import queue
+import re
 import threading
 import time
 from concurrent.futures import Future
@@ -45,6 +46,27 @@ from .theater import Theater, TurnResult, run_turn_wave
 
 class ServerBusy(RuntimeError):
     """Raised by submit() when the pending-turn queue is full."""
+
+
+# session ids become directory names under db_root/out_dir — restrict to a
+# safe charset (no separators, no leading dot) so an HTTP client can't
+# write outside the configured roots
+_SESSION_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+
+def _set_result(fut: Future, res) -> None:
+    """Resolve a future, tolerating client-side cancellation races."""
+    try:
+        fut.set_result(res)
+    except Exception:       # noqa: BLE001 — cancelled/raced future
+        pass
+
+
+def _set_exception(fut: Future, err: BaseException) -> None:
+    try:
+        fut.set_exception(err)
+    except Exception:       # noqa: BLE001 — cancelled/raced future
+        pass
 
 
 @dataclass
@@ -119,9 +141,20 @@ class TheaterServer:
         it stopped — auto-derived seeds keep advancing instead of
         restarting at turn 0 (which would replay turn-0 noise), and the
         DB keeps chaining character identity across the restart."""
+        if not _SESSION_ID_RE.match(session_id):
+            # ids become directory names; reject path separators /
+            # traversal / empty (HTTP clients reach this directly)
+            raise ValueError(f"invalid session id: {session_id!r} "
+                             "(letters, digits, . _ -; no leading dot)")
         with self._lock:
+            if self._stop:
+                raise RuntimeError("server closed")
             if session_id in self.sessions:
                 raise ValueError(f"session exists: {session_id}")
+            self.sessions[session_id] = None   # reserve the id
+        # disk IO + Theater/pipeline construction happen OUTSIDE the lock
+        # so concurrent submits of other sessions don't stall on them
+        try:
             db = CharacterDB(os.path.join(self.db_root, session_id))
             th = Theater(self.bundle, db, mesh=self.mesh,
                          **self.theater_kwargs)
@@ -138,8 +171,13 @@ class TheaterServer:
                 # null fields): start the counters fresh rather than
                 # bricking the session id
                 s.turn_index = s.submitted = 0
+        except BaseException:
+            with self._lock:
+                self.sessions.pop(session_id, None)
+            raise
+        with self._lock:
             self.sessions[session_id] = s
-            return s
+        return s
 
     def _persist_session(self, s: Session) -> None:
         # persist submitted == turn_index (not the live counter): turns
@@ -178,6 +216,13 @@ class TheaterServer:
 
     def _submit(self, session_id: str, spec: dict,
                 seed: Optional[int]) -> _Request:
+        if seed is not None:
+            # validate BEFORE any counter mutation: a bad client seed must
+            # not leak a pending slot or shift the session's seed stream
+            try:
+                seed = int(seed)
+            except (TypeError, ValueError):
+                raise ValueError(f"seed must be an integer, got {seed!r}")
         with self._lock:
             if self._stop:
                 raise RuntimeError("server closed")
@@ -190,15 +235,17 @@ class TheaterServer:
             if seed is None:
                 # the reference derives per-turn seeds from the dialogue
                 # index + turn index (generate.py:236-243); sessions do
-                # the same from a stable CRC on ever-accepted turn count
-                # (turn_index alone would collide for a turn submitted
-                # while its predecessor is still in flight)
+                # the same from the full 32-bit id CRC (x100k stride) on
+                # ever-accepted turn count — turn_index alone would
+                # collide for a turn submitted while its predecessor is
+                # in flight, and a 16-bit bucket collides across a few
+                # hundred concurrent session names
                 import zlib
 
-                seed = ((zlib.crc32(session_id.encode()) & 0xFFFF) * 100
+                seed = (zlib.crc32(session_id.encode()) * 100_000
                         + s.submitted)
             s.submitted += 1
-            req = _Request(session_id, spec, int(seed))
+            req = _Request(session_id, spec, seed)
             if s.active:
                 s.pending.append(req)       # strict per-dialogue FIFO
             else:
@@ -229,6 +276,24 @@ class TheaterServer:
             self._stop = True
         self._queue.put(None)
         self._worker.join(timeout)
+        # fail accepted-but-unexecuted turns: their futures would
+        # otherwise hang callers forever (the worker exits on the stop
+        # sentinel before promoted session-pending requests run)
+        err = RuntimeError("server closed")
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                _set_exception(r.future, err)
+        with self._lock:
+            for s in self.sessions.values():
+                if s is None:
+                    continue
+                for r in s.pending:
+                    _set_exception(r.future, err)
+                s.pending.clear()
 
     def stats(self) -> dict:
         return dict(sessions=len(self.sessions), pending=self._pending,
@@ -263,21 +328,28 @@ class TheaterServer:
             wave = self._take_wave()
             if not wave:
                 return
-            theaters, specs, seeds, live = [], [], [], []
+            # slots: every session with a taken request (live, cancelled,
+            # or closed-session) — its queue slot must be released in the
+            # finally even when the request never executes
+            theaters, specs, seeds, live, slots = [], [], [], [], []
             for r in wave:
                 with self._lock:
                     s = self.sessions.get(r.session_id)
                 if s is None:
-                    r.future.set_exception(
-                        KeyError(f"session closed: {r.session_id}"))
+                    _set_exception(r.future,
+                                   KeyError(f"session closed: "
+                                            f"{r.session_id}"))
                     continue
+                slots.append(s)
+                if not r.future.set_running_or_notify_cancel():
+                    continue    # client cancelled while queued
                 theaters.append(s.theater)
                 specs.append(r.spec)
                 seeds.append(r.seed)
                 live.append((r, s))
-            if not live:
-                continue
             try:
+                if not live:
+                    continue
                 if len(live) == 1:
                     results = [theaters[0].run_turn(specs[0], seeds[0])]
                 else:
@@ -288,11 +360,11 @@ class TheaterServer:
                     r.turn_no = s.turn_index
                     self.turns_done += 1
                     self._persist_session(s)
-                    r.future.set_result(res)
+                    _set_result(r.future, res)
             except Exception as wave_exc:   # noqa: BLE001
                 if len(live) == 1:
                     r, _ = live[0]
-                    r.future.set_exception(wave_exc)
+                    _set_exception(r.future, wave_exc)
                 else:
                     # per-request isolation: one bad spec must not fail its
                     # wave-mates.  Mirror the CLI quarantine
@@ -312,21 +384,33 @@ class TheaterServer:
                             res = (partial[w_idx] if w_idx in partial
                                    else s.theater.run_turn(spec, seed))
                         except Exception as e:  # noqa: BLE001 — to caller
-                            r.future.set_exception(e)
+                            _set_exception(r.future, e)
                         else:
                             s.turn_index += 1
                             r.turn_no = s.turn_index
                             self.turns_done += 1
                             self._persist_session(s)
-                            r.future.set_result(res)
+                            _set_result(r.future, res)
             finally:
                 with self._lock:
-                    self._pending -= len(live)
-                    for _, s in live:
+                    # every taken request was counted at submit time —
+                    # including cancelled and closed-session ones
+                    self._pending -= len(wave)
+                    for s in slots:
                         # release the session's queue slot; promote its
-                        # next pending turn (strict FIFO)
-                        if s.pending:
+                        # next pending turn (strict FIFO) — unless the
+                        # server is stopping, in which case promotion
+                        # would race close()'s queue drain and strand
+                        # the future
+                        if s.pending and not self._stop:
                             self._queue.put(s.pending.pop(0))
+                        elif s.pending:
+                            for r in s.pending:
+                                _set_exception(
+                                    r.future,
+                                    RuntimeError("server closed"))
+                            s.pending.clear()
+                            s.active = False
                         else:
                             s.active = False
 
@@ -367,11 +451,13 @@ def make_http_handler(server: TheaterServer, out_dir: str):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            n = int(self.headers.get("Content-Length", 0))
             try:
+                n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-            except json.JSONDecodeError:
-                self._json(400, {"error": "bad json"})
+                if not isinstance(payload, dict):
+                    raise ValueError("body must be a JSON object")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request body: {e}"})
                 return
             parts = [p for p in self.path.split("/") if p]
             try:
@@ -383,7 +469,6 @@ def make_http_handler(server: TheaterServer, out_dir: str):
                     sid = parts[1]
                     seed = payload.pop("seed", None)
                     turn, res = server.run_turn_numbered(sid, payload, seed)
-                    os.makedirs(os.path.join(out_dir, sid), exist_ok=True)
                     path = os.path.join(out_dir, sid, f"turn_{turn}.png")
                     save_image(path, res.image)
                     self._json(200, {"image": path,
@@ -402,7 +487,8 @@ def make_http_handler(server: TheaterServer, out_dir: str):
 
 
 def serve_http(server: TheaterServer, out_dir: str, port: int = 8787):
-    """Blocking HTTP loop (returns the HTTPServer for test shutdown)."""
+    """Build a bound ThreadingHTTPServer over the facade and return it —
+    the caller runs ``httpd.serve_forever()`` (see :func:`main`)."""
     import http.server
 
     httpd = http.server.ThreadingHTTPServer(

@@ -915,35 +915,37 @@ def run_turn_wave(theaters: List["Theater"], specs: List[dict],
     assert len(theaters) == len(specs) == len(seeds)
     lead = theaters[0]
     results: Dict[int, TurnResult] = {}
-
-    # -- host prep + character jobs per dialogue
     states, jobs = [], []
-    for d, (th, spec, seed) in enumerate(zip(theaters, specs, seeds)):
-        t0 = time.time()
-        plan = parse.convert_spec(spec, th.cfg.pipeline.height,
-                                  th.cfg.pipeline.width)
-        extra_neg = spec.get("extra_neg_prompt") or ""
-        rng = jax.random.key(seed)
-        order, uplans, uidx = _dedup_plans(plan)
-        distinct = len({p.obj_id for p in uplans}) == len(uplans)
-        if not uplans or not distinct:
-            # background-only turn, or same-id characters whose DB-hit
-            # chain forces sequential generation
-            results[d] = th.run_turn(spec, seed, frozen_step_ratio)
-            continue
-        djobs = [dict(th=th, oplan=p, extra_neg=extra_neg,
-                      prep=th._character_prep(p, extra_neg),
-                      crng=jax.random.fold_in(rng, idx))
-                 for p, idx in zip(uplans, uidx)]
-        states.append(dict(d=d, th=th, plan=plan, extra_neg=extra_neg,
-                           rng=rng, order=order, uplans=uplans,
-                           jobs=djobs, t0=t0))
-        jobs.extend(djobs)
-
-    if not states:
-        return [results[d] for d in range(len(theaters))]
 
     try:
+        # -- host prep + character jobs per dialogue (inside the try:
+        # a later dialogue's prep error must still surface as WaveFailure
+        # so completed serial-fallback results aren't discarded)
+        for d, (th, spec, seed) in enumerate(zip(theaters, specs, seeds)):
+            t0 = time.time()
+            plan = parse.convert_spec(spec, th.cfg.pipeline.height,
+                                      th.cfg.pipeline.width)
+            extra_neg = spec.get("extra_neg_prompt") or ""
+            rng = jax.random.key(seed)
+            order, uplans, uidx = _dedup_plans(plan)
+            distinct = len({p.obj_id for p in uplans}) == len(uplans)
+            if not uplans or not distinct:
+                # background-only turn, or same-id characters whose DB-hit
+                # chain forces sequential generation
+                results[d] = th.run_turn(spec, seed, frozen_step_ratio)
+                continue
+            djobs = [dict(th=th, oplan=p, extra_neg=extra_neg,
+                          prep=th._character_prep(p, extra_neg),
+                          crng=jax.random.fold_in(rng, idx))
+                     for p, idx in zip(uplans, uidx)]
+            states.append(dict(d=d, th=th, plan=plan, extra_neg=extra_neg,
+                               rng=rng, order=order, uplans=uplans,
+                               jobs=djobs, t0=t0))
+            jobs.extend(djobs)
+
+        if not states:
+            return [results[d] for d in range(len(theaters))]
+
         return _run_wave_body(lead, theaters, states, jobs, results,
                               frozen_step_ratio)
     except BaseException as e:
