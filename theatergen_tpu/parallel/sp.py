@@ -23,7 +23,20 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:                                     # jax >= 0.8 top-level API
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs):
+        # replication checking renamed check_rep -> check_vma in 0.8; the
+        # all-gather-KV body is intentionally unreplicated, so it stays off
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+except ImportError:                      # older jax
+    from functools import partial as _partial
+
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    shard_map = _partial(_shard_map_old, check_rep=False)
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -59,7 +72,6 @@ def sp_attention(
     return shard_map(
         local_attention, mesh=mesh,
         in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False,
     )(q, k, v)
 
 
