@@ -206,3 +206,117 @@ def test_lcm_sampler_end_to_end_tiny():
     out = lcm_denoise(unet_apply, sampler, lat, ctx, jax.random.key(3))
     assert out.shape == lat.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# prediction_type: v_prediction / sample / zero-terminal-SNR
+# ---------------------------------------------------------------------------
+
+
+def _perfect_outputs(sched, x0, eps, i):
+    """Exact (epsilon, v, sample) model outputs at loop position i for the
+    sample x_t = sqrt(a)·x0 + sqrt(1-a)·eps."""
+    a = np.asarray(sched.alpha_prod[i], np.float64)
+    v = np.sqrt(a) * np.asarray(eps) - np.sqrt(1.0 - a) * np.asarray(x0)
+    return {
+        "epsilon": eps,
+        "v_prediction": jnp.asarray(v, jnp.float32),
+        "sample": x0,
+    }
+
+
+@pytest.mark.parametrize("pred", ["v_prediction", "sample"])
+def test_ddim_step_prediction_types_match_epsilon(pred):
+    """A perfect model under any parameterization must produce the exact
+    same DDIM update as the perfect-epsilon step."""
+    rng = np.random.RandomState(7)
+    x0 = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    eps = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    base = S.make_schedule(CFG, 12)
+    alt = S.make_schedule(
+        SchedulerConfig(prediction_type=pred), 12)
+    x_e = S.add_noise(base, x0, eps, base.timesteps[0])
+    x_p = x_e
+    for i in range(base.num_steps):
+        outs = _perfect_outputs(base, x0, eps, i)
+        x_e = S.ddim_step(base, outs["epsilon"], jnp.int32(i), x_e)
+        x_p = S.ddim_step(alt, outs[pred], jnp.int32(i), x_p)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_e), atol=3e-3)
+
+
+def test_zero_terminal_snr_rescale():
+    """arXiv 2305.08891 alg. 1: terminal alpha_cumprod exactly 0, first
+    sqrt(alpha_cumprod) preserved, table monotone decreasing."""
+    cfg = SchedulerConfig(rescale_zero_terminal_snr=True,
+                          prediction_type="v_prediction")
+    acp = S.alphas_cumprod_for(cfg)
+    base = S.alphas_cumprod_for(SchedulerConfig())
+    assert acp[-1] == pytest.approx(0.0, abs=1e-12)
+    np.testing.assert_allclose(np.sqrt(acp[0]), np.sqrt(base[0]), rtol=1e-12)
+    assert np.all(np.diff(acp) < 0)
+
+
+def test_zero_snr_v_prediction_denoises():
+    """Perfect-v trajectory on the zero-SNR schedule still lands on the
+    analytic endpoint (epsilon would divide by sqrt(0) at a terminal step)."""
+    cfg = SchedulerConfig(rescale_zero_terminal_snr=True,
+                          prediction_type="v_prediction")
+    rng = np.random.RandomState(11)
+    x0 = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    eps = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    sched = S.make_schedule(cfg, 10)
+    x = S.add_noise(sched, x0, eps, sched.timesteps[0])
+    for i in range(sched.num_steps):
+        x = S.ddim_step(sched, _perfect_outputs(sched, x0, eps, i)[
+            "v_prediction"], jnp.int32(i), x)
+    np.testing.assert_allclose(
+        np.asarray(x), _final_target(sched, x0, eps), atol=2e-3)
+
+
+def test_inverse_step_v_prediction_round_trip():
+    """A v-model algebraically equivalent to a constant-eps model (v derived
+    from the actual sample at the consumed alpha) must invert-then-denoise
+    back to x0, exactly like the epsilon round trip."""
+    cfg = SchedulerConfig(prediction_type="v_prediction")
+    rng = np.random.RandomState(13)
+    x0 = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    eps = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    inv = S.make_inversion_schedule(cfg, 16)
+    fwd = S.make_schedule(cfg, 16)
+
+    def v_from_eps(x, a):
+        a = np.asarray(a, np.float64)
+        x0c = (np.asarray(x) - np.sqrt(1.0 - a) * np.asarray(eps)) / np.sqrt(a)
+        v = np.sqrt(a) * np.asarray(eps) - np.sqrt(1.0 - a) * x0c
+        return jnp.asarray(v, jnp.float32)
+
+    x = x0
+    for i in range(inv.num_steps):
+        x = S.ddim_inverse_step(inv, v_from_eps(x, inv.alpha_prod_prev[i]),
+                                jnp.int32(i), x)
+    for i in range(fwd.num_steps):
+        x = S.ddim_step(fwd, v_from_eps(x, fwd.alpha_prod[i]),
+                        jnp.int32(i), x)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-3)
+
+
+def test_ea_step_v_prediction_matches_epsilon():
+    """EA sigma-form v_prediction x0 must agree with the epsilon form on
+    the same raw sample (x = x0 + sigma·eps, v in scaled space)."""
+    rng = np.random.RandomState(17)
+    x0 = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    eps = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    noise = jnp.asarray(rng.randn(1, 4, 8, 8), jnp.float32)
+    base = S.make_euler_ancestral_schedule(CFG, 8)
+    vsch = S.make_euler_ancestral_schedule(
+        SchedulerConfig(prediction_type="v_prediction"), 8)
+    for i in range(3):
+        sigma = np.asarray(base.sigmas[i], np.float64)
+        x = x0 + jnp.float32(sigma) * eps
+        v = (np.asarray(eps) - sigma * np.asarray(x0)) / np.sqrt(
+            sigma**2 + 1.0)
+        out_e = S.ea_step(base, eps, jnp.int32(i), x, noise)
+        out_v = S.ea_step(vsch, jnp.asarray(v, jnp.float32),
+                          jnp.int32(i), x, noise)
+        np.testing.assert_allclose(np.asarray(out_v), np.asarray(out_e),
+                                   atol=1e-4)

@@ -111,6 +111,14 @@ def make_parser() -> argparse.ArgumentParser:
                     help="override the sampler; 'lcm' is the guidance-free "
                          "few-step loop for LCM(-LoRA)-merged checkpoints "
                          "(pair with --num_steps 4-8)")
+    ap.add_argument("--prediction_type", default=None,
+                    choices=["epsilon", "v_prediction", "sample"],
+                    help="model output parameterization; epsilon is the "
+                         "reference SD1.5 config, v_prediction covers "
+                         "SD2.x-class and zero-SNR fine-tunes")
+    ap.add_argument("--zero_snr", action="store_true", default=None,
+                    help="rescale betas to zero terminal SNR "
+                         "(arXiv 2305.08891; pair with v_prediction)")
     ap.add_argument("--mesh", default=None, metavar="dp=N[,tp=M]",
                     help="('dp','tp') device mesh: a turn's independent "
                          "character passes run as one vmapped program with "
@@ -139,11 +147,13 @@ def load_dataset(dataset_path: str, task: str) -> dict:
 
 
 def apply_pipeline_overrides(cfg, *, cfg_cutoff=None, deepcache=None,
-                             scheduler=None, cn_interval=None):
+                             scheduler=None, cn_interval=None,
+                             prediction_type=None, zero_snr=None):
     """One place for the CLI/bench pipeline-knob overrides so every
     entry point accepts the same set."""
     if (cfg_cutoff is None and deepcache is None and scheduler is None
-            and cn_interval is None):
+            and cn_interval is None and prediction_type is None
+            and zero_snr is None):
         return cfg
     import dataclasses
 
@@ -156,7 +166,15 @@ def apply_pipeline_overrides(cfg, *, cfg_cutoff=None, deepcache=None,
         pl = dataclasses.replace(pl, scheduler_type=scheduler)
     if cn_interval is not None:
         pl = dataclasses.replace(pl, controlnet_interval=cn_interval)
-    return dataclasses.replace(cfg, pipeline=pl)
+    cfg = dataclasses.replace(cfg, pipeline=pl)
+    if prediction_type is not None or zero_snr is not None:
+        sc = cfg.scheduler
+        if prediction_type is not None:
+            sc = dataclasses.replace(sc, prediction_type=prediction_type)
+        if zero_snr is not None:
+            sc = dataclasses.replace(sc, rescale_zero_terminal_snr=zero_snr)
+        cfg = dataclasses.replace(cfg, scheduler=sc)
+    return cfg
 
 
 def build_theater(args):
@@ -180,7 +198,9 @@ def build_theater(args):
         cfg = sd15_config()
     cfg = apply_pipeline_overrides(
         cfg, cfg_cutoff=args.cfg_cutoff, deepcache=args.deepcache,
-        scheduler=args.scheduler, cn_interval=args.cn_interval)
+        scheduler=args.scheduler, cn_interval=args.cn_interval,
+        prediction_type=getattr(args, "prediction_type", None),
+        zero_snr=getattr(args, "zero_snr", None))
     is_xl = args.sd_version == "xl"
     snap = getattr(args, "snapshot", None)
     if snap and os.path.exists(os.path.join(snap, "bundle_meta.json")):

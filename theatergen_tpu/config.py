@@ -177,7 +177,12 @@ class SchedulerConfig:
     beta_schedule: str = "scaled_linear"
     steps_offset: int = 1
     set_alpha_to_one: bool = False
+    # "epsilon" (SD1.5/SDXL, reference config) | "v_prediction" (SD2.x-class
+    # and zero-SNR fine-tunes) | "sample"
     prediction_type: str = "epsilon"
+    # Rescale betas so the terminal step has zero SNR (arXiv 2305.08891) —
+    # pair with v_prediction (x0-from-eps divides by sqrt(alpha)=0 at t=T).
+    rescale_zero_terminal_snr: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -51,10 +51,40 @@ class DDIMSchedule:
     alpha_prod_prev: jnp.ndarray
     num_train_timesteps: int
     init_noise_sigma: float = 1.0
+    prediction_type: str = "epsilon"
 
     @property
     def num_steps(self) -> int:
         return int(self.timesteps.shape[0])
+
+
+def x0_eps_from_pred(
+    prediction_type: str,
+    a_t: jnp.ndarray,
+    model_output: jnp.ndarray,
+    sample: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(x0, eps) from the model output under a given parameterization.
+
+    ``epsilon`` is the reference configuration (``generate.py:68-76``);
+    ``v_prediction`` (v = sqrt(a)·eps − sqrt(1−a)·x0) covers SD2.x-class
+    and zero-SNR checkpoints; ``sample`` predicts x0 directly.  Static
+    string dispatch — resolved at trace time.
+    """
+    sq_a = jnp.sqrt(a_t)
+    sq_1a = jnp.sqrt(1.0 - a_t)
+    if prediction_type == "epsilon":
+        eps = model_output
+        x0 = (sample - sq_1a * eps) / sq_a
+    elif prediction_type == "v_prediction":
+        x0 = sq_a * sample - sq_1a * model_output
+        eps = sq_a * model_output + sq_1a * sample
+    elif prediction_type == "sample":
+        x0 = model_output
+        eps = (sample - sq_a * x0) / sq_1a
+    else:
+        raise ValueError(f"unknown prediction_type {prediction_type!r}")
+    return x0, eps
 
 
 def betas_for_schedule(cfg: SchedulerConfig) -> np.ndarray:
@@ -74,7 +104,15 @@ def betas_for_schedule(cfg: SchedulerConfig) -> np.ndarray:
 
 
 def alphas_cumprod_for(cfg: SchedulerConfig) -> np.ndarray:
-    return np.cumprod(1.0 - betas_for_schedule(cfg), axis=0)
+    acp = np.cumprod(1.0 - betas_for_schedule(cfg), axis=0)
+    if cfg.rescale_zero_terminal_snr:
+        # arXiv 2305.08891 alg. 1: shift+scale sqrt(acp) so the terminal
+        # step is exactly zero SNR while the first step's value is kept.
+        s = np.sqrt(acp)
+        s0, sT = s[0], s[-1]
+        s = (s - sT) * s0 / (s0 - sT)
+        acp = s**2
+    return acp
 
 
 def uniform_timesteps(cfg: SchedulerConfig, num_steps: int) -> np.ndarray:
@@ -122,6 +160,7 @@ def make_schedule(
         alpha_prod=jnp.asarray(alpha_prod),
         alpha_prod_prev=jnp.asarray(alpha_prod_prev),
         num_train_timesteps=cfg.num_train_timesteps,
+        prediction_type=cfg.prediction_type,
     )
 
 
@@ -146,15 +185,16 @@ def make_inversion_schedule(cfg: SchedulerConfig, num_steps: int) -> DDIMSchedul
         alpha_prod=jnp.asarray(acp[ts]),
         alpha_prod_prev=jnp.asarray(alpha_src.astype(np.float32)),
         num_train_timesteps=cfg.num_train_timesteps,
+        prediction_type=cfg.prediction_type,
     )
 
 
 def pred_original(
     sched: DDIMSchedule, model_output: jnp.ndarray, i: jnp.ndarray, sample: jnp.ndarray
 ) -> jnp.ndarray:
-    """x0 prediction from epsilon at loop position ``i``."""
+    """x0 prediction from the model output at loop position ``i``."""
     a_t = sched.alpha_prod[i].astype(sample.dtype)
-    return (sample - jnp.sqrt(1.0 - a_t) * model_output) / jnp.sqrt(a_t)
+    return x0_eps_from_pred(sched.prediction_type, a_t, model_output, sample)[0]
 
 
 def ddim_step(
@@ -168,21 +208,21 @@ def ddim_step(
 ) -> jnp.ndarray:
     """One deterministic DDIM update x_t → x_{t_prev} at loop position ``i``.
 
-    Matches diffusers ``DDIMScheduler.step`` with ``clip_sample=False``,
-    epsilon prediction (the reference's configuration, ``generate.py:68-76``),
-    generalized to arbitrary schedules via the precomputed
-    ``alpha_prod_prev`` table.
+    Matches diffusers ``DDIMScheduler.step`` with ``clip_sample=False``
+    (the reference's configuration, ``generate.py:68-76``), generalized to
+    arbitrary schedules via the precomputed ``alpha_prod_prev`` table and
+    to epsilon / v_prediction / sample parameterizations.
     """
     dtype = sample.dtype
     a_t = sched.alpha_prod[i].astype(dtype)
     a_prev = sched.alpha_prod_prev[i].astype(dtype)
-    x0 = (sample - jnp.sqrt(1.0 - a_t) * model_output) / jnp.sqrt(a_t)
+    x0, eps = x0_eps_from_pred(sched.prediction_type, a_t, model_output, sample)
     if eta > 0.0:
         var = (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev)
         sigma = eta * jnp.sqrt(var)
     else:
         sigma = jnp.zeros((), dtype)
-    dir_xt = jnp.sqrt(1.0 - a_prev - sigma**2) * model_output
+    dir_xt = jnp.sqrt(1.0 - a_prev - sigma**2) * eps
     prev = jnp.sqrt(a_prev) * x0 + dir_xt
     if eta > 0.0:
         if noise is None:
@@ -198,8 +238,8 @@ def ddim_inverse_step(
     dtype = sample.dtype
     a_t = sched.alpha_prod[i].astype(dtype)        # target (larger t)
     a_src = sched.alpha_prod_prev[i].astype(dtype)  # source
-    x0 = (sample - jnp.sqrt(1.0 - a_src) * model_output) / jnp.sqrt(a_src)
-    return jnp.sqrt(a_t) * x0 + jnp.sqrt(1.0 - a_t) * model_output
+    x0, eps = x0_eps_from_pred(sched.prediction_type, a_src, model_output, sample)
+    return jnp.sqrt(a_t) * x0 + jnp.sqrt(1.0 - a_t) * eps
 
 
 def add_noise(
@@ -242,6 +282,7 @@ class EulerAncestralSchedule:
     timesteps: jnp.ndarray        # [S] int32 descending
     sigmas: jnp.ndarray           # [S+1] float32
     num_train_timesteps: int
+    prediction_type: str = "epsilon"
 
     @property
     def num_steps(self) -> int:
@@ -255,13 +296,16 @@ class EulerAncestralSchedule:
 def make_euler_ancestral_schedule(cfg: SchedulerConfig,
                                   num_steps: int) -> EulerAncestralSchedule:
     acp = alphas_cumprod_for(cfg).astype(np.float64)
-    all_sigmas = np.sqrt((1.0 - acp) / acp)
+    # zero-SNR rescale drives acp[-1] to exactly 0; leading-spaced timesteps
+    # never index it, but keep the table finite.
+    all_sigmas = np.sqrt((1.0 - acp) / np.maximum(acp, 1e-24))
     ts = uniform_timesteps(cfg, num_steps)
     sigmas = np.concatenate([all_sigmas[ts], [0.0]]).astype(np.float32)
     return EulerAncestralSchedule(
         timesteps=jnp.asarray(ts),
         sigmas=jnp.asarray(sigmas),
         num_train_timesteps=cfg.num_train_timesteps,
+        prediction_type=cfg.prediction_type,
     )
 
 
@@ -278,11 +322,25 @@ def ea_step(
     sample: jnp.ndarray,
     noise: jnp.ndarray,
 ) -> jnp.ndarray:
-    """One ancestral Euler update (epsilon prediction)."""
+    """One ancestral Euler update.
+
+    ``sample`` is the raw (unscaled) latent, as in diffusers
+    ``EulerAncestralDiscreteScheduler.step``; the sigma-form x0 for
+    v_prediction is ``x/(σ²+1) − v·σ/sqrt(σ²+1)``.
+    """
     dtype = sample.dtype
     s_from = sched.sigmas[i].astype(dtype)
     s_to = sched.sigmas[i + 1].astype(dtype)
-    x0 = sample - s_from * model_output
+    if sched.prediction_type == "epsilon":
+        x0 = sample - s_from * model_output
+    elif sched.prediction_type == "v_prediction":
+        x0 = (sample / (s_from**2 + 1.0)
+              - model_output * s_from / jnp.sqrt(s_from**2 + 1.0))
+    elif sched.prediction_type == "sample":
+        x0 = model_output
+    else:
+        raise ValueError(
+            f"unknown prediction_type {sched.prediction_type!r}")
     var = jnp.maximum(s_from**2 - s_to**2, 0.0)
     s_up = jnp.sqrt(s_to**2 * var / jnp.maximum(s_from**2, 1e-12))
     s_down = jnp.sqrt(jnp.maximum(s_to**2 - s_up**2, 0.0))
