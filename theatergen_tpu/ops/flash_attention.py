@@ -69,10 +69,11 @@ BSHD_NATIVE = os.environ.get("THEATERGEN_FLASH_BSHD", "0") == "1"
 # q-block below keeps it under budget for every SD1.5/SDXL self-attn
 # shape with Sk ≤ 4096; longer sequences fall back to the copy-based
 # online kernel.
-# default OFF until chip-validated (the raised vmem limit compiled only
-# in the interpreter so far — flip to "1" after probe3 runs on hardware);
-# the interpreter tests always cover the flat path explicitly
-FLAT = os.environ.get("THEATERGEN_FLASH_FLAT", "0") == "1"
+# default ON: chip-validated 2026-08-18 (probe3: max abs err 0.0000 vs
+# the online kernel at every supported shape; headline bench 1.41 img/s
+# flat vs 1.31 copy-based).  Unsupported shapes (Sk > 4096, e.g. SDXL
+# 16k) fall back to the online copy-based kernel automatically.
+FLAT = os.environ.get("THEATERGEN_FLASH_FLAT", "1") == "1"
 # The compiler's default scoped-vmem reservation is 16M, far below the
 # 128M physical VMEM; the flat kernel raises its own limit and budgets
 # against that (whole-K blocks are what buy the copy-free layout).
@@ -193,7 +194,10 @@ def _flat_q_block(sq: int, sk: int, f: int, itemsize: int = 2) -> int:
     (s and p), the bf16 p copy fed to the MXU, and double-buffered
     q/out blocks, plus ~2M fixed."""
     kv = 2 * sk * f * itemsize
-    for bq in (512, 256, 128):
+    # 256 first: the probe3 chip sweep measured bq256 fastest at every
+    # supported shape (L0 4.42 vs 5.11@512, L1 1.43, sdxl-4k 2.25 ms) —
+    # bq512's larger logits buffer starves the double-buffered pipeline
+    for bq in (256, 512, 128):
         if bq > sq or sq % bq != 0:
             continue
         est = (kv + 2 * bq * sk * 4 + bq * sk * itemsize
