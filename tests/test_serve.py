@@ -233,9 +233,50 @@ def test_bad_seed_does_not_leak_pending_slot(server):
 
 
 def test_invalid_session_ids_rejected(server):
-    for bad in ("../evil", "/tmp/evil", "a/b", "", ".hidden", "x" * 200):
+    # "abc\n" is a legal JSON string and `$` alone would accept it —
+    # fullmatch must reject ids with a trailing newline
+    for bad in ("../evil", "/tmp/evil", "a/b", "", ".hidden", "x" * 200,
+                "abc\n", "a\nb"):
         with pytest.raises(ValueError, match="invalid session id"):
             server.open_session(bad)
+
+
+def test_close_session_rejects_mid_open_reservation(server):
+    """close_session on an id whose open_session is still constructing
+    (None reservation) must refuse — popping the reservation would let a
+    concurrent open build a second Theater on the same DB directory."""
+    server.sessions["mid"] = None        # simulate in-flight open_session
+    try:
+        with pytest.raises(RuntimeError, match="still being opened"):
+            server.close_session("mid")
+    finally:
+        server.sessions.pop("mid", None)
+
+
+def test_close_rearms_stop_for_busy_worker(bundle, tmp_path):
+    """close(timeout) expiring while the worker is mid-turn must not eat
+    the stop sentinel: the worker has to exit after its wave instead of
+    blocking in _queue.get() forever (a leaked thread per server)."""
+    import time as _time
+
+    srv = TheaterServer(bundle, str(tmp_path / "db"), num_steps=3,
+                        batch_window_s=0.0)
+    srv.open_session("s")
+    started = threading.Event()
+    orig = srv.sessions["s"].theater.run_turn
+
+    def slow(spec, seed, *a, **k):
+        started.set()
+        _time.sleep(1.0)
+        return orig(spec, seed, *a, **k)
+
+    srv.sessions["s"].theater.run_turn = slow
+    f = srv.submit("s", SPEC_A, seed=0)
+    assert started.wait(600)          # worker is now inside the turn
+    srv.close(timeout=0.05)           # join times out mid-wave
+    f.result(timeout=900)             # the in-flight turn still completes
+    srv._worker.join(timeout=600)
+    assert not srv._worker.is_alive()
 
 
 def test_close_fails_queued_futures(bundle, tmp_path):

@@ -555,6 +555,45 @@ def test_wave_failure_carries_serial_fallback_results(theater, tmp_path,
     assert ths[0].db.has(7)
 
 
+def test_wave_serial_fallback_failure_rolls_back_db(theater, tmp_path):
+    """If the in-wave serial fallback itself fails (duplicate-id dialogue)
+    AFTER run_turn's finally flushed its character DB writes, the wave
+    cleanup must delete those first-appearance ids — they never enter
+    `jobs`, so the job-based rollback alone would miss them and the
+    quarantine rerun would see a first appearance as a DB hit."""
+    from theatergen_tpu.theater import WaveFailure, run_turn_wave
+
+    bundle = theater.bundle
+    spec_dup = {
+        "prompt": "a cat sits beside a sleeping cat",
+        "gen_boxes": [("a cat", (50, 100, 120, 120)),
+                      ("a sleeping cat", (300, 100, 120, 120))],
+        "bg_prompt": "a sunny room", "extra_neg_prompt": "",
+        "obj_ids": [7, 7],
+        "canvas_height": 512, "canvas_width": 512,
+    }
+    ths = [Theater(bundle, CharacterDB(str(tmp_path / f"g{i}")),
+                   num_steps=3) for i in range(2)]
+
+    def boom(*a, **k):
+        # fires after character generation (deferred saves pending, then
+        # flushed by run_turn's finally) but before the final pass
+        assert ths[0]._pending_saves
+        raise RuntimeError("injected fallback failure")
+
+    ths[0]._final_stage = boom       # instance attr shadows the method
+    with pytest.raises(WaveFailure) as ei:
+        run_turn_wave(ths, [spec_dup, SPEC_T1], [0, 1])
+    assert not ei.value.results      # the fallback dialogue did NOT finish
+    assert not ths[0].db.has(7)      # its flushed write was rolled back
+    del ths[0].__dict__["_final_stage"]
+
+    rerun = ths[0].run_turn(spec_dup, seed=0)
+    clean = Theater(bundle, CharacterDB(str(tmp_path / "gclean")),
+                    num_steps=3).run_turn(spec_dup, seed=0)
+    np.testing.assert_allclose(rerun.image, clean.image, atol=2e-4)
+
+
 def test_wave_failure_after_db_flush_rolls_back(theater, tmp_path,
                                                 monkeypatch):
     """On a real device an async final-pass error surfaces only at the

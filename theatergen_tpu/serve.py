@@ -141,9 +141,11 @@ class TheaterServer:
         it stopped — auto-derived seeds keep advancing instead of
         restarting at turn 0 (which would replay turn-0 noise), and the
         DB keeps chaining character identity across the restart."""
-        if not _SESSION_ID_RE.match(session_id):
+        if not _SESSION_ID_RE.fullmatch(session_id):
             # ids become directory names; reject path separators /
-            # traversal / empty (HTTP clients reach this directly)
+            # traversal / empty (HTTP clients reach this directly).
+            # fullmatch, not match: `$` alone still accepts a trailing
+            # newline ("abc\n" is a legal JSON string value)
             raise ValueError(f"invalid session id: {session_id!r} "
                              "(letters, digits, . _ -; no leading dot)")
         with self._lock:
@@ -202,6 +204,12 @@ class TheaterServer:
 
     def close_session(self, session_id: str) -> None:
         with self._lock:
+            if (session_id in self.sessions
+                    and self.sessions[session_id] is None):
+                # mid-open reservation: popping it would let a concurrent
+                # open_session build a second Theater on the same DB dir
+                raise RuntimeError(
+                    f"session {session_id} is still being opened")
             s = self.sessions.get(session_id)
             if s is not None and (s.active or s.pending):
                 raise RuntimeError(
@@ -294,6 +302,11 @@ class TheaterServer:
                 for r in s.pending:
                     _set_exception(r.future, err)
                 s.pending.clear()
+        if self._worker.is_alive():
+            # the join timed out mid-wave and the drain above may have
+            # consumed the stop sentinel — re-arm it so the worker exits
+            # after its wave instead of blocking in _queue.get() forever
+            self._queue.put(None)
 
     def stats(self) -> dict:
         return dict(sessions=len(self.sessions), pending=self._pending,

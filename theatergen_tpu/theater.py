@@ -532,11 +532,8 @@ class Theater:
         their passes are independent, so batch them).  Per-character seeds
         reproduce the serial path's fold-in discipline; detection failures
         fall back to the serial detect-and-regenerate loop."""
-        jobs = [dict(th=self, oplan=p, extra_neg=extra_neg,
-                     prep=self._character_prep(p, extra_neg),
-                     crng=jax.random.fold_in(rng, idx))
-                for p, idx in zip(oplans, indices)]
-        return self._batched_char_exec(jobs)
+        return self._batched_char_exec(
+            _make_char_jobs(self, oplans, extra_neg, rng, indices))
 
     def _batched_char_exec(self, jobs: List[dict]) -> List[dict]:
         """Run a list of character jobs — ``{th, oplan, prep, extra_neg,
@@ -871,6 +868,17 @@ def _dedup_plans(plan):
     return order, unique_plans, unique_idx
 
 
+def _make_char_jobs(th: "Theater", oplans, extra_neg: str, rng: jax.Array,
+                    indices) -> List[dict]:
+    """Character-job dicts for :meth:`Theater._batched_char_exec` — the
+    one place the job shape and per-character seed fold-in discipline are
+    defined (shared by the per-turn batched path and run_turn_wave)."""
+    return [dict(th=th, oplan=p, extra_neg=extra_neg,
+                 prep=th._character_prep(p, extra_neg),
+                 crng=jax.random.fold_in(rng, idx))
+            for p, idx in zip(oplans, indices)]
+
+
 def _wave_final_runner(th: "Theater"):
     """Bundle-memoized batched final runner for run_turn_wave."""
     from .parallel import driver as dp_driver
@@ -931,13 +939,22 @@ def run_turn_wave(theaters: List["Theater"], specs: List[dict],
             distinct = len({p.obj_id for p in uplans}) == len(uplans)
             if not uplans or not distinct:
                 # background-only turn, or same-id characters whose DB-hit
-                # chain forces sequential generation
-                results[d] = th.run_turn(spec, seed, frozen_step_ratio)
+                # chain forces sequential generation.  If this serial
+                # fallback itself fails, run_turn's finally has already
+                # flushed its character DB writes — roll back the ids it
+                # introduced (they are NOT in `jobs`, so the outer cleanup
+                # won't see them) so the quarantine rerun starts clean
+                pre_missing = [p.obj_id for p in plan.object_plans
+                               if not th.db.has(p.obj_id)]
+                try:
+                    results[d] = th.run_turn(spec, seed, frozen_step_ratio)
+                except BaseException:
+                    for oid in pre_missing:
+                        if th.db.has(oid):
+                            th.db.delete(oid)
+                    raise
                 continue
-            djobs = [dict(th=th, oplan=p, extra_neg=extra_neg,
-                          prep=th._character_prep(p, extra_neg),
-                          crng=jax.random.fold_in(rng, idx))
-                     for p, idx in zip(uplans, uidx)]
+            djobs = _make_char_jobs(th, uplans, extra_neg, rng, uidx)
             states.append(dict(d=d, th=th, plan=plan, extra_neg=extra_neg,
                                rng=rng, order=order, uplans=uplans,
                                jobs=djobs, t0=t0))
