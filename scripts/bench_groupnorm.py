@@ -17,11 +17,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, iters=20):
-    fn(*args).block_until_ready()
+    """One jitted scan-carry program + forced fetch (per BENCH_NOTES the
+    tunnel's ~1.6 ms dispatch overhead swamps sub-ms per-dispatch timing)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def many(x):
+        def body(carry, _):
+            out = fn(carry, *args[1:])
+            return carry + out * jnp.asarray(1e-3, carry.dtype), None
+        carry, _ = jax.lax.scan(body, x, None, length=iters)
+        return carry
+
+    np.asarray(many(args[0]).ravel()[0])   # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    out.block_until_ready()
+    np.asarray(many(args[0]).ravel()[0])
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
@@ -80,19 +92,32 @@ def main():
             out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
             return nn.silu(out).reshape(shape).astype(x.dtype)
 
+        from theatergen_tpu.ops import groupnorm as gn_ops
+
+        @jax.jit
+        def fused(x, scale=scale, bias=bias):
+            return gn_ops.fused_group_norm(x, scale, bias,
+                                           num_groups=groups, act="silu")
+
         t_flax = timeit(flax_gn, x)
         t_mm = timeit(matmul_gn, x)
+        t_fused = timeit(fused, x) if gn_ops.supported(
+            shape, x.dtype, groups) else float("nan")
         gb = np.prod(shape) * 2 * 2 / 1e9   # read + write bf16
         print(f"{shape}: flax {t_flax:7.3f} ms | matmul-stats {t_mm:7.3f} ms"
+              f" | fused-pallas {t_fused:7.3f} ms"
               f" | bw-bound ~{gb / 0.819:6.3f} ms"
-              f" | speedup {t_flax / t_mm:5.2f}x")
+              f" | speedup {t_flax / t_fused:5.2f}x")
 
         # numerics check
         a = flax_gn(x)
         bb = matmul_gn(x)
+        cc = fused(x)
         err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
                                     - bb.astype(jnp.float32))))
-        print(f"    max |diff| = {err:.5f}")
+        err_f = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                      - cc.astype(jnp.float32))))
+        print(f"    max |diff| matmul = {err:.5f}  fused = {err_f:.5f}")
 
 
 if __name__ == "__main__":

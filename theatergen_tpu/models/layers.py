@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import attention as attn_ops
+from ..ops import groupnorm as gn_ops
 from ..ops.quant import QuantDense
 
 
@@ -69,28 +70,57 @@ class TimestepEmbedding(nn.Module):
                           name="linear_2")(emb)
 
 
+class _NormParams(nn.Module):
+    """Owns ``scale``/``bias`` under the same child path ("norm") as
+    ``nn.GroupNorm`` so the fused-kernel branch is checkpoint-identical."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
 class GroupNorm(nn.Module):
     """GroupNorm. ``dtype=None`` computes statistics in fp32 (safe default
     for tests); passing bf16 keeps the whole norm in compute dtype — the
     reference runs its UNet normalizations in fp16
     (``generate.py:77-78`` loads everything fp16), and skipping the
-    fp32 round-trip saves two full activation passes per norm."""
+    fp32 round-trip saves two full activation passes per norm.
+
+    ``act="silu"`` folds the activation into the norm; with
+    ``THEATERGEN_FUSED_GN=1`` supported shapes run the one-pass Pallas
+    kernel (ops/groupnorm.py) — stats are fp32 in-register either way."""
 
     num_groups: int = 32
     eps: float = 1e-5
     dtype: Optional[jnp.dtype] = None
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if (gn_ops.FUSED and self.dtype is not None
+                and x.dtype == self.dtype and x.ndim >= 3
+                and gn_ops.supported(x.shape, x.dtype, self.num_groups)):
+            scale, bias = _NormParams(x.shape[-1], name="norm")()
+            return gn_ops.fused_group_norm(
+                x, scale, bias, num_groups=self.num_groups, eps=self.eps,
+                act=self.act)
         if self.dtype is not None and x.dtype == self.dtype:
-            return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
-                                dtype=self.dtype, name="norm")(x)
-        orig_dtype = x.dtype
-        out = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.eps, dtype=jnp.float32,
-            name="norm",
-        )(x.astype(jnp.float32))
-        return out.astype(orig_dtype)
+            out = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+                               dtype=self.dtype, name="norm")(x)
+        else:
+            out = nn.GroupNorm(
+                num_groups=self.num_groups, epsilon=self.eps,
+                dtype=jnp.float32, name="norm",
+            )(x.astype(jnp.float32)).astype(x.dtype)
+        if self.act == "silu":
+            out = nn.silu(out)
+        return out
 
 
 class ResnetBlock2D(nn.Module):
@@ -110,8 +140,8 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         residual = x
-        h = GroupNorm(self.groups, dtype=self._norm_dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(self.groups, dtype=self._norm_dtype, act="silu",
+                      name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         if temb is not None:
@@ -119,8 +149,8 @@ class ResnetBlock2D(nn.Module):
                            dtype=self.dtype,
                            name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = GroupNorm(self.groups, dtype=self._norm_dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(self.groups, dtype=self._norm_dtype, act="silu",
+                      name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if residual.shape[-1] != self.out_channels:

@@ -288,8 +288,7 @@ class UNet2DCondition(nn.Module):
 
         h = GroupNorm(cfg.norm_num_groups,
                       dtype=dtype if cfg.fast_norm else None,
-                      name="conv_norm_out")(h)
-        h = nn.silu(h)
+                      act="silu", name="conv_norm_out")(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dtype,
                     name="conv_out")(h)
         if return_deep_cache:
