@@ -168,7 +168,7 @@ def main() -> None:
     run(params, lat0, ctx).block_until_ready()  # compile
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t_start = time.perf_counter()
         run(params, lat0, ctx).block_until_ready()
         times.append(time.perf_counter() - t_start)
@@ -184,12 +184,25 @@ def main() -> None:
         tag += f" deepcache-{DEEPCACHE}"
     kind = "LCM (guidance-free)" if SAMPLER == "lcm" else "DDIM (CFG)"
     label = ("SDXL 1024px" if MODEL == "sdxl" else "SD1.5 512px")
+    # Per-trial times + active kernel config so a regression (e.g. r02's
+    # 1.19 vs the same-day 1.41 A/B) is diagnosable from the JSON alone:
+    # a wide spread means tunnel/pool contention, a uniform slowdown with
+    # a different kernel config means a default flipped.
+    from theatergen_tpu.ops import flash_attention as fa
+    from theatergen_tpu.ops import groupnorm as gn
     print(json.dumps({
         "metric": f"{label} {STEPS}-step {kind} denoise throughput,"
                   f" batch {BATCH}{tag}",
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / TARGET, 4),
+        "trial_s": [round(t, 4) for t in times],
+        "spread_pct": round(100 * (max(times) - min(times)) / min(times), 1),
+        "kernels": {
+            "flash": USE_FLASH, "flat": fa.FLAT, "bq": fa.DEFAULT_Q_BLOCK,
+            "bk": fa.DEFAULT_K_BLOCK, "fused_gn": gn.FUSED,
+            "device": str(jax.devices()[0]),
+        },
     }))
 
 

@@ -99,25 +99,31 @@ def main():
             return gn_ops.fused_group_norm(x, scale, bias,
                                            num_groups=groups, act="silu")
 
+        fused_ok = gn_ops.supported(shape, x.dtype, groups)
         t_flax = timeit(flax_gn, x)
         t_mm = timeit(matmul_gn, x)
-        t_fused = timeit(fused, x) if gn_ops.supported(
-            shape, x.dtype, groups) else float("nan")
+        t_fused = timeit(fused, x) if fused_ok else float("nan")
         gb = np.prod(shape) * 2 * 2 / 1e9   # read + write bf16
+        fused_col = (f"{t_fused:7.3f} ms | speedup {t_flax / t_fused:5.2f}x"
+                     if fused_ok else
+                     f"   n/a (unsupported) | mm speedup "
+                     f"{t_flax / t_mm:5.2f}x")
         print(f"{shape}: flax {t_flax:7.3f} ms | matmul-stats {t_mm:7.3f} ms"
-              f" | fused-pallas {t_fused:7.3f} ms"
               f" | bw-bound ~{gb / 0.819:6.3f} ms"
-              f" | speedup {t_flax / t_fused:5.2f}x")
+              f" | fused-pallas {fused_col}")
 
         # numerics check
         a = flax_gn(x)
         bb = matmul_gn(x)
-        cc = fused(x)
         err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
                                     - bb.astype(jnp.float32))))
-        err_f = float(jnp.max(jnp.abs(a.astype(jnp.float32)
-                                      - cc.astype(jnp.float32))))
-        print(f"    max |diff| matmul = {err:.5f}  fused = {err_f:.5f}")
+        line = f"    max |diff| matmul = {err:.5f}"
+        if fused_ok:
+            cc = fused(x)
+            err_f = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                          - cc.astype(jnp.float32))))
+            line += f"  fused = {err_f:.5f}"
+        print(line)
 
 
 if __name__ == "__main__":

@@ -58,14 +58,49 @@ def test_fused_bf16_fp32_stats():
 
 
 def test_unsupported_falls_back():
-    # C not divisible by groups -> reference path, still correct
-    shape = (1, 4, 4, 48)
+    # spatial size not divisible by the 8-sublane tile -> reference path,
+    # still correct (supported() checked for the SAME groups we call with)
+    shape = (1, 3, 3, 64)
     x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
-    scale, bias = jnp.ones((48,)), jnp.zeros((48,))
+    scale, bias = jnp.ones((64,)), jnp.zeros((64,))
     assert not gn.supported(shape, x.dtype, 32)
-    out = gn.fused_group_norm(x, scale, bias, num_groups=16)
-    ref = _flax_ref(x, scale, bias, 16, None)
+    out = gn.fused_group_norm(x, scale, bias, num_groups=32)
+    ref = _flax_ref(x, scale, bias, 32, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_large_offset_numerics():
+    """Variance must be computed centered: with |mean| >> std the
+    E[x^2]-mean^2 form loses most float32 bits to cancellation.
+
+    The trustworthy oracle is a float64 numpy groupnorm — flax's own
+    nn.GroupNorm uses the uncentered form and itself diverges at this
+    mean/std ratio, so it cannot be the reference here."""
+    shape = (1, 8, 8, 64)
+    groups = 32
+    x = jax.random.normal(jax.random.key(0), shape, jnp.float32) * 0.01
+    x = x + 300.0   # mean/std ratio 3e4: squares cancel to ~1e-4 relative
+    scale, bias = jnp.ones((64,)), jnp.zeros((64,))
+    out = gn.fused_group_norm(x, scale, bias, num_groups=groups, act="silu")
+
+    x64 = np.asarray(x, np.float64).reshape(1, -1, groups, 64 // groups)
+    mean = x64.mean(axis=(1, 3), keepdims=True)
+    var = x64.var(axis=(1, 3), keepdims=True)
+    ref = ((x64 - mean) / np.sqrt(var + 1e-5)).reshape(shape)
+    ref = ref / (1.0 + np.exp(-ref))
+    # residual ~3e-3 is fp32 summation of 300-magnitude values (the jnp
+    # centered reference shows the same); the uncentered form erred by ~8
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-3, rtol=5e-3)
+
+
+def test_bad_act_raises():
+    x = jnp.ones((1, 8, 8, 64), jnp.float32)
+    ones = jnp.ones((64,))
+    with pytest.raises(ValueError, match="swish"):
+        gn.fused_group_norm(x, ones, ones, num_groups=32, act="swish")
+    from theatergen_tpu.models import layers
+    with pytest.raises(ValueError, match="swish"):
+        layers.GroupNorm(32, act="swish").init(jax.random.key(0), x)
 
 
 def test_fused_gradient_matches_reference():

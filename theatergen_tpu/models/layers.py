@@ -103,6 +103,9 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.act not in (None, "silu"):
+            raise ValueError(
+                f"unsupported act {self.act!r}; expected None or 'silu'")
         if (gn_ops.FUSED and self.dtype is not None
                 and x.dtype == self.dtype and x.ndim >= 3
                 and gn_ops.supported(x.shape, x.dtype, self.num_groups)):

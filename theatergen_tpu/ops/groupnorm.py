@@ -42,10 +42,24 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# default ON only after chip validation (mirrors the flash-kernel flow)
-FUSED = os.environ.get("THEATERGEN_FUSED_GN", "0") == "1"
+# "0" off | "1" every supported shape | "auto" only shapes where the
+# chip A/B showed a win (scripts/bench_groupnorm.py, BENCH_NOTES.md):
+# 64²×320 1.33×, 16²×1280 1.23×, but 32²×640 LOSES 0.77× — XLA's fused
+# elementwise chains beat the kernel at mid sizes, so "1" regresses
+# end-to-end (1.29 vs 1.41 img/s) while gating keeps only the wins.
+FUSED_MODE = os.environ.get("THEATERGEN_FUSED_GN", "0")
+FUSED = FUSED_MODE in ("1", "auto")
 # set True (tests) to run through the Pallas interpreter on CPU
 INTERPRET = False
+
+
+def profitable(shape, num_groups: int = 32) -> bool:
+    """Chip-measured win predicate (auto mode): large-spatial low-channel
+    (the L0 64² blocks) and small-spatial high-channel (16²/8² at 1280)
+    win; the 32² mid shapes lose to XLA's fusions."""
+    c = shape[-1]
+    n = int(np.prod(shape[1:-1]))
+    return n >= 4096 or (c >= 1280 and n <= 256)
 
 _VMEM_LIMIT = 96 * 1024 * 1024
 # leave headroom for double buffering + fp32 temporaries
@@ -68,20 +82,29 @@ def supported(shape, dtype, num_groups: int = 32) -> bool:
 
 def _kernel(x_ref, ind_ref, ind_t_ref, sb_ref, o_ref, *, inv_count, eps,
             act):
-    xf = x_ref[0].astype(jnp.float32)                      # [N, C]
+    # All dots pin fp32 accumulation (preferred_element_type): the fp32
+    # stats guarantee must not depend on how Mosaic lowers a bare dot.
+    f32 = jnp.float32
+    xf = x_ref[0].astype(f32)                              # [N, C]
     ind = ind_ref[...]                                     # [C, G]
-    s1 = jnp.dot(jnp.sum(xf, axis=0, keepdims=True), ind)  # [1, G]
-    s2 = jnp.dot(jnp.sum(xf * xf, axis=0, keepdims=True), ind)
+    s1 = jnp.dot(jnp.sum(xf, axis=0, keepdims=True), ind,
+                 preferred_element_type=f32)               # [1, G]
     mean = s1 * inv_count
-    var = s2 * inv_count - mean * mean
-    inv = jax.lax.rsqrt(var + eps)
     # broadcast group stats back to channels on the MXU (the transposed
     # indicator is a second input — in-kernel transposes are not free)
-    mean_c = jnp.dot(mean, ind_t_ref[...])                 # [1, C]
-    inv_c = jnp.dot(inv, ind_t_ref[...])
+    mean_c = jnp.dot(mean, ind_t_ref[...],
+                     preferred_element_type=f32)           # [1, C]
+    # centered variance E[(x-mean)^2] — the E[x^2]-mean^2 form cancels
+    # catastrophically when |mean| >> std; the activation is already in
+    # VMEM so the second elementwise pass is register-rate, not HBM
+    xc = xf - mean_c
+    s2 = jnp.dot(jnp.sum(xc * xc, axis=0, keepdims=True), ind,
+                 preferred_element_type=f32)               # [1, G]
+    inv = jax.lax.rsqrt(s2 * inv_count + eps)
+    inv_c = jnp.dot(inv, ind_t_ref[...], preferred_element_type=f32)
     scale = sb_ref[0:1]                                    # [1, C]
     bias = sb_ref[1:2]
-    out = (xf - mean_c) * (inv_c * scale) + bias
+    out = xc * (inv_c * scale) + bias
     if act == "silu":
         out = out * jax.nn.sigmoid(out)
     o_ref[0] = out.astype(o_ref.dtype)
@@ -160,7 +183,11 @@ def fused_group_norm(x, scale, bias, *, num_groups: int = 32,
     """
     from .attention import _on_tpu
 
+    if act not in (None, "silu"):
+        raise ValueError(f"unsupported act {act!r}; expected None or 'silu'")
+
     if ((INTERPRET or _on_tpu()) and x.ndim >= 3
-            and supported(x.shape, x.dtype, num_groups)):
+            and supported(x.shape, x.dtype, num_groups)
+            and (FUSED_MODE != "auto" or profitable(x.shape, num_groups))):
         return _gn_fused(x, scale, bias, num_groups, eps, act)
     return _reference(x, scale, bias, num_groups, eps, act)
