@@ -188,8 +188,11 @@ def test_evaluate_tree_end_to_end(tmp_path):
     embedder = ClipEmbedder.eval_default(jax.random.key(0), tiny=True)
     out = evaluate_tree(str(tmp_path), dataset, embedder,
                         csv_path=str(tmp_path / "scores.csv"))
-    assert set(out) == {"ACCS", "ATIS", "AFID", "CLIP_FD", "spatial",
-                        "attribute", "negative", "numeracy"}
+    # the default detector is the CLIP sliding scorer, so every
+    # detector-derived accuracy carries its provenance suffix
+    assert set(out) == {"ACCS", "ATIS", "AFID", "CLIP_FD", "spatial_clipdet",
+                        "attribute_clipdet", "negative_clipdet",
+                        "numeracy_clipdet"}
     assert np.isfinite(out["ATIS"])
     # no InceptionV3 weights given → the reference AFID statistic is
     # explicitly absent, not silently replaced by the CLIP Fréchet

@@ -159,7 +159,14 @@ class ClipEmbedder:
 
 class ClipSlidingDetector:
     """Open-vocab detection by scoring a grid of candidate boxes with CLIP
-    (the DINO stand-in; same interface as ``utils/detector.py:5-21``)."""
+    (the DINO stand-in; same interface as ``utils/detector.py:5-21``).
+
+    ``provenance`` marks every detector-derived accuracy with a
+    ``_clipdet`` suffix: sliding-CLIP boxes are NOT comparable to the
+    reference's GroundingDINO boxes (``eval_extra.py:14-48``), so the
+    numbers must never sit unlabelled next to DINO-based accuracies."""
+
+    provenance = "clipdet"
 
     def __init__(self, embedder: ClipEmbedder, threshold: float = 0.5):
         self.embedder = embedder
@@ -346,6 +353,14 @@ def evaluate_tree(
         "negative": float(np.mean(extra_hits[3])) if extra_hits[3] else float("nan"),
         "numeracy": float(np.mean(extra_hits[4])) if extra_hits[4] else float("nan"),
     }
+    det_tag = getattr(detector, "provenance", None)
+    if det_tag:
+        # detector-derived accuracies carry their provenance (e.g.
+        # "_clipdet") the same way "_UNVALIDATED" marks random weights —
+        # they are not comparable to the reference's DINO-based numbers
+        out = {(f"{k}_{det_tag}"
+                if k in ("spatial", "attribute", "negative", "numeracy")
+                else k): v for k, v in out.items()}
     if not validated:
         # random-weight towers produce structurally-valid but meaningless
         # numbers — say so in every key (VERDICT r1 weak §5)
