@@ -13,6 +13,7 @@ Produces, in --out:
   sam.safetensors             facebook/sam-vit-base (segmenter)
   lineart.safetensors         lllyasviel/Annotators sk_model.pth (annotator)
   gdino.safetensors           IDEA-Research/grounding-dino-tiny (detector)
+  owl.safetensors             google/owlvit-base-patch32 (MXU-friendly detector)
   fid_inception.safetensors   pytorch_fid pt_inception-2015-12-05 (AFID)
   gdino_vocab.txt             BERT wordpiece vocab for the detector
   ip-adapter_sd15.bin         h94/IP-Adapter
@@ -112,6 +113,12 @@ def export(out: str, xl: bool = False) -> None:
     vocab_path = gd_tok.save_vocabulary(out)[0]   # writes vocab.txt
     os.replace(vocab_path, os.path.join(out, "gdino_vocab.txt"))
     print("wrote gdino_vocab.txt")
+
+    from transformers import OwlViTForObjectDetection
+
+    owl = OwlViTForObjectDetection.from_pretrained(
+        "google/owlvit-base-patch32")
+    save(owl.state_dict(), "owl.safetensors")
 
     from huggingface_hub import hf_hub_download
     import shutil

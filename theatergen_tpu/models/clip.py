@@ -131,7 +131,7 @@ class CLIPVisionEncoder(nn.Module):
     cfg: CLIPVisionConfig
 
     @nn.compact
-    def __call__(self, pixels: jnp.ndarray):
+    def __call__(self, pixels: jnp.ndarray, return_tokens: bool = False):
         cfg = self.cfg
         dtype = get_dtype(cfg.dtype)
         b = pixels.shape[0]
@@ -160,10 +160,17 @@ class CLIPVisionEncoder(nn.Module):
                 cfg.num_heads, cfg.intermediate_size, cfg.layer_norm_eps,
                 dtype=dtype, name=f"layers_{i}",
             )(x)
-        pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
-                              name="post_layernorm")(x[:, 0])
+        # LayerNorm is per-token, so norming the full sequence leaves the
+        # CLS pooled output identical while exposing the post-LN tokens
+        # OWL-ViT's detection heads consume (HF image_embedder applies
+        # post_layernorm to the whole last_hidden_state)
+        normed = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
+                              name="post_layernorm")(x)
+        pooled = normed[:, 0]
         embeds = nn.Dense(cfg.projection_dim, use_bias=False, dtype=dtype,
                           name="visual_projection")(pooled)
+        if return_tokens:
+            return embeds, pooled, penultimate, normed
         return embeds, pooled, penultimate
 
 

@@ -755,6 +755,55 @@ def port_lineart(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def port_owl(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """HF ``OwlViTForObjectDetection`` state dict →
+    ``perception.owl.OwlDetector`` param tree.
+
+    The towers are plain CLIP and route through :func:`port_clip_text` /
+    :func:`port_clip_vision` (OwlViT spells the vision pre-norm
+    ``pre_layernorm``; CLIP's HF tree has the ``pre_layrnorm`` typo our
+    module names mirror).  The detection heads (box MLP, class head with
+    logit shift/scale, merged-token ``layer_norm``) map here.  The
+    contrastive ``owlvit.logit_scale`` scalar is not part of the
+    detection path and is skipped.
+    """
+    text_sd: Dict[str, np.ndarray] = {}
+    vision_sd: Dict[str, np.ndarray] = {}
+    for name, w in sd.items():
+        if name.startswith("owlvit.text_model."):
+            text_sd[name[len("owlvit."):]] = w
+        elif name == "owlvit.text_projection.weight":
+            text_sd["text_projection.weight"] = w
+        elif name.startswith("owlvit.vision_model."):
+            vision_sd[name[len("owlvit."):].replace(
+                "pre_layernorm.", "pre_layrnorm.")] = w
+        elif name == "owlvit.visual_projection.weight":
+            vision_sd[name[len("owlvit."):]] = w
+    params: Dict[str, Any] = {
+        "text": port_clip_text(text_sd),
+        "vision": port_clip_vision(vision_sd),
+    }
+    for name, w in sd.items():
+        out = None
+        m = re.fullmatch(
+            r"(box_head\.dense\d|class_head\.(?:dense0|logit_shift|"
+            r"logit_scale))\.(weight|bias)", name)
+        if m:
+            mod, wb = m.group(1), m.group(2)
+            out = (f"{mod.replace('.', '/')}/"
+                   f"{'kernel' if wb == 'weight' else 'bias'}",
+                   "dense" if wb == "weight" else "raw")
+        elif name.startswith("layer_norm."):
+            leaf = name.split(".")[-1]
+            out = (f"layer_norm/{'scale' if leaf == 'weight' else 'bias'}",
+                   "raw")
+        if out is None:
+            continue
+        path, kind = out
+        set_path(params, path, _convert_leaf(name, w, kind))
+    return params
+
+
 def port_grounding_dino(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """HF ``GroundingDinoForObjectDetection`` state dict →
     ``perception.gdino.GroundingDinoForDetection`` param tree.
@@ -1083,6 +1132,29 @@ def load_bundle(cfg, weights_dir: str):
             GroundingDinoConfig(), port_grounding_dino(sd),
             WordPieceTokenizer(vocab_path))
         loaded.append("gdino")
+    sd = maybe("owl.safetensors")
+    if sd and (bundle.detector is None
+               or os.environ.get("THEATERGEN_DETECTOR") == "owl"):
+        # google/owlvit-base-patch32 — the MXU-friendly detector; used
+        # when GroundingDINO weights are absent, or forced with
+        # THEATERGEN_DETECTOR=owl (tokenizer is the CLIP BPE from the
+        # bundle's merges.txt/vocab.json assets)
+        from ..config import CLIPTextConfig, CLIPVisionConfig
+        from ..perception.owl import OwlBackend, OwlDetector
+        from ..utils.tokenizer import load_tokenizer
+
+        tcfg = CLIPTextConfig(
+            hidden_size=512, intermediate_size=2048, num_layers=12,
+            num_heads=8, max_length=16, projection_dim=512,
+            use_text_projection=True)
+        vcfg = CLIPVisionConfig(
+            image_size=768, patch_size=32, hidden_size=768,
+            intermediate_size=3072, num_layers=12, num_heads=12,
+            projection_dim=512)
+        bundle.detector = OwlBackend(
+            OwlDetector(vcfg, tcfg), port_owl(sd),
+            load_tokenizer(weights_dir), max_length=tcfg.max_length)
+        loaded.append("owl")
     ip = maybe("ip-adapter_sd15.bin") or maybe("ip-adapter_sd15.safetensors")
     if ip:
         bundle.image_proj_params = port_image_proj(
