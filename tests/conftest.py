@@ -43,6 +43,7 @@ _SLOW_FILES = {
     "test_gdino.py",
     "test_sam_hf.py",
     "test_torch_parity.py",
+    "test_fullsize_golden.py",
     "test_inception.py",
     "test_txt2img.py",
     "test_serve.py",
