@@ -49,6 +49,19 @@ def _arm_timeout() -> None:
     import threading
 
     def fallback():
+        default_cfg = (MODEL == "sd15" and STEPS == 50 and BATCH == 4
+                       and SAMPLER == "ddim" and not CFG_CUTOFF
+                       and not DEEPCACHE and DP == 1)
+        if not default_cfg:
+            # no stale stand-in exists for a non-default config; an
+            # honest timeout beats mislabeling the sd15 number
+            print(json.dumps({
+                "metric": "bench timed out before completing (compile or "
+                          "tunnel); no value for this non-default config",
+                "value": None, "unit": "images/sec/chip",
+                "vs_baseline": None, "stale": True,
+            }), flush=True)
+            os._exit(3)
         print(json.dumps({
             "metric": "SD1.5 512px 50-step DDIM (CFG) denoise throughput — "
                       "TPU tunnel unavailable at bench time; value is the "

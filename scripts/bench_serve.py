@@ -37,28 +37,49 @@ SPECS = [
 ]
 
 
-def run_load(server, sessions: int, turns: int, tag: str = "") -> float:
-    """Drive S sessions × T turns with per-session pipelining (each
-    session submits its next turn as soon as the previous resolves —
-    the server interleaves sessions into waves).  Returns seconds."""
+def run_load(server, sessions: int, turns: int, tag: str = "",
+             arrival_rate: float = 0.0, seed: int = 0):
+    """Drive S sessions × T turns.  ``arrival_rate`` 0 = closed loop
+    (each session submits its next turn the moment the previous resolves
+    — the server interleaves sessions into waves); > 0 = open loop with
+    per-session Poisson think time (Exp(rate) seconds between a turn's
+    completion and the next arrival), the serving-SLO model.  Returns
+    (wall seconds, per-turn submit→done latencies)."""
+    import random
+
+    rnd = random.Random(seed)
     for s in range(sessions):
         server.open_session(f"s{tag}{s}")
+
+    def think() -> float:
+        return rnd.expovariate(arrival_rate) if arrival_rate > 0 else 0.0
+
     t0 = time.time()
-    futures = {s: server.submit(f"s{tag}{s}", SPECS[0])
+    # next_at: when a session's next turn arrives; in-flight futures
+    next_at = {s: t0 + (think() if arrival_rate > 0 else 0.0)
                for s in range(sessions)}
+    futures, submitted_at = {}, {}
     done_turns = {s: 0 for s in range(sessions)}
-    while futures:
+    latencies = []
+    while len(latencies) < sessions * turns:
+        now = time.time()
+        for s, at in list(next_at.items()):
+            if now >= at:
+                futures[s] = server.submit(
+                    f"s{tag}{s}", SPECS[done_turns[s] % len(SPECS)])
+                submitted_at[s] = now
+                del next_at[s]
         for s, f in list(futures.items()):
             if not f.done():
                 continue
             f.result()          # raise on failure
+            latencies.append(time.time() - submitted_at[s])
             done_turns[s] += 1
             del futures[s]
             if done_turns[s] < turns:
-                futures[s] = server.submit(
-                    f"s{tag}{s}", SPECS[done_turns[s] % len(SPECS)])
+                next_at[s] = time.time() + think()
         time.sleep(0.005)
-    return time.time() - t0
+    return time.time() - t0, latencies
 
 
 def main() -> None:
@@ -68,12 +89,24 @@ def main() -> None:
     ap.add_argument("--turns", type=int, default=2)
     ap.add_argument("--num_steps", type=int, default=None)
     ap.add_argument("--max_wave", type=int, default=8)
+    ap.add_argument("--arrival_rate", type=float, default=0.0,
+                    help="per-session Poisson arrival rate (turns/s after"
+                         " each completion); 0 = closed-loop pipelining")
+    ap.add_argument("--scheduler", default=None, choices=["ddim", "lcm"],
+                    help="override the sampler (lcm: pair with"
+                         " --num_steps 4)")
     args = ap.parse_args()
+
+    import dataclasses
 
     from theatergen_tpu.config import sd15_config, tiny_config
     from theatergen_tpu.serve import TheaterServer
 
     cfg = tiny_config() if args.tiny else sd15_config()
+    if args.scheduler:
+        cfg = dataclasses.replace(
+            cfg, pipeline=dataclasses.replace(
+                cfg.pipeline, scheduler_type=args.scheduler))
     print("materializing params...", flush=True)
     if args.tiny:
         from theatergen_tpu.pipelines.bundle import init_bundle
@@ -84,6 +117,8 @@ def main() -> None:
         from theatergen_tpu.utils.fastinit import fast_bundle
 
         bundle = fast_bundle(cfg)
+
+    import numpy as np
 
     results = {}
     for mode, window in [("wave", 0.25), ("serial", 0.0)]:
@@ -97,7 +132,8 @@ def main() -> None:
                 # the timed pass measures steady state
                 run_load(srv, args.sessions, args.turns, tag="warm")
                 waves0 = srv.stats()["waves"]
-                dt = run_load(srv, args.sessions, args.turns)
+                dt, lats = run_load(srv, args.sessions, args.turns,
+                                    arrival_rate=args.arrival_rate)
                 stats = srv.stats()
                 stats["waves"] -= waves0
             finally:
@@ -105,14 +141,20 @@ def main() -> None:
         total = args.sessions * args.turns
         results[mode] = dict(seconds=round(dt, 2),
                              turns_per_min=round(60 * total / dt, 2),
+                             p50_s=round(float(np.percentile(lats, 50)), 3),
+                             p95_s=round(float(np.percentile(lats, 95)), 3),
                              waves=stats["waves"])
         print(f"{mode}: {total} turns in {dt:.1f}s "
               f"({results[mode]['turns_per_min']} turns/min, "
-              f"{stats['waves']} waves)", flush=True)
+              f"p50 {results[mode]['p50_s']}s p95 {results[mode]['p95_s']}s,"
+              f" {stats['waves']} waves)", flush=True)
 
     print(json.dumps({
         "metric": f"serving throughput, {args.sessions} sessions x "
-                  f"{args.turns} turns",
+                  f"{args.turns} turns"
+                  + (f", Poisson rate {args.arrival_rate}/s"
+                     if args.arrival_rate else "")
+                  + (f", {args.scheduler}" if args.scheduler else ""),
         "wave": results["wave"], "serial": results["serial"],
         "speedup": round(results["serial"]["seconds"]
                          / max(results["wave"]["seconds"], 1e-9), 3),

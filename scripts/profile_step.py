@@ -35,27 +35,40 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from theatergen_tpu.config import sd15_config
+    from theatergen_tpu.config import sd15_config, sdxl_config
     from theatergen_tpu.models.unet import UNet2DCondition
 
-    cfg = sd15_config()
+    model = os.environ.get("THEATERGEN_BENCH_MODEL", "sd15")
+    cfg = sdxl_config() if model == "sdxl" else sd15_config()
     ucfg = dataclasses.replace(cfg.unet, flash_attention=True)
     unet = UNet2DCondition(ucfg)
+    hw = ucfg.sample_size
     lat = jax.device_put(jax.random.normal(
-        jax.random.key(0), (2 * BATCH, 64, 64, 4)))
+        jax.random.key(0), (2 * BATCH, hw, hw, 4)))
     t = jnp.full((2 * BATCH,), 500, jnp.int32)
     ctx = jax.random.normal(
         jax.random.key(1),
         (2 * BATCH, cfg.text.max_length, cfg.unet.cross_attention_dim),
         jnp.bfloat16)
+    xl_kwargs = {}
+    if ucfg.addition_embed_type == "text_time":
+        pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                      - 6 * ucfg.addition_time_embed_dim)
+        xl_kwargs = dict(
+            pooled_text=jnp.zeros((2 * BATCH, pooled_dim), jnp.bfloat16),
+            time_ids=jnp.tile(
+                jnp.array([[1024, 1024, 0, 0, 1024, 1024]], jnp.bfloat16),
+                (2 * BATCH, 1)))
     params = materialize_params(
-        lambda: unet.init(jax.random.key(2), jnp.zeros((1, 64, 64, 4)),
-                          t[:1], ctx[:1])["params"],
+        lambda: unet.init(jax.random.key(2), jnp.zeros((1, hw, hw, 4)),
+                          t[:1], ctx[:1],
+                          **{k: v[:1] for k, v in xl_kwargs.items()}
+                          )["params"],
         dtype=jnp.bfloat16)
 
     @jax.jit
     def step(p, x, tt, c):
-        return unet.apply({"params": p}, x, tt, c)
+        return unet.apply({"params": p}, x, tt, c, **xl_kwargs)
 
     step(params, lat, t, ctx).block_until_ready()
 
