@@ -212,7 +212,8 @@ def main() -> None:
         "trial_s": [round(t, 4) for t in times],
         "spread_pct": round(100 * (max(times) - min(times)) / min(times), 1),
         "kernels": {
-            "flash": USE_FLASH, "flat": fa.FLAT, "bq": fa.DEFAULT_Q_BLOCK,
+            "flash": USE_FLASH, "flat": fa.FLAT, "packed": fa.PACKED,
+            "bq": fa.DEFAULT_Q_BLOCK,
             "bk": fa.DEFAULT_K_BLOCK, "fused_gn": gn.FUSED,
             "device": str(jax.devices()[0]),
         },

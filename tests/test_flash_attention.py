@@ -175,3 +175,81 @@ def test_flash_bshd_multiblock_k_online_softmax():
     out = fa._flash_attention_bshd(q, k, v, 256, 512)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(_ref(q, k, v)), atol=2e-3)
+
+
+def _pack_bshd(x, dp):
+    b, s, h, d = x.shape
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(
+        b, s, h * dp)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 1024, 2, 40),
+    (2, 1024, 2, 64),
+])
+def test_packed_kernel_matches_reference(shape):
+    """flash_attention_packed over pre-scaled packed tensors == reference
+    attention over the unpacked BSHD tensors; pad lanes exactly zero."""
+    b, s, h, d = shape
+    dp = fa._pad_head_dim(d)
+    q = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    k = jax.random.normal(jax.random.key(1), shape, jnp.float32)
+    v = jax.random.normal(jax.random.key(2), shape, jnp.float32)
+    assert fa.packed_supported(s, h, d, 4)
+    qf = _pack_bshd(q * (d ** -0.5 * fa.LOG2E), dp)
+    out = fa.flash_attention_packed(qf, _pack_bshd(k, dp), _pack_bshd(v, dp),
+                                    h, d)
+    out = np.asarray(out).reshape(b, s, h, dp)
+    np.testing.assert_allclose(out[..., :d], np.asarray(_ref(q, k, v)),
+                               atol=2e-3)
+    assert np.all(out[..., d:] == 0.0)
+
+
+def test_packed_grad_matches_reference():
+    """custom_vjp backward through the packed kernel == grad of the plain
+    XLA reference on the unpacked tensors."""
+    b, s, h, d = 1, 1024, 2, 40
+    dp = fa._pad_head_dim(d)
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (b, s, h, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (b, s, h, d), jnp.float32)
+
+    def loss_packed(q, k, v):
+        qf = _pack_bshd(q * (d ** -0.5 * fa.LOG2E), dp)
+        out = fa.flash_attention_packed(
+            qf, _pack_bshd(k, dp), _pack_bshd(v, dp), h, d)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v) ** 2)
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
+
+
+def test_packed_crossattention_matches_standard(monkeypatch):
+    """CrossAttention with the packed-projection branch == the standard
+    branch on the SAME params; the param tree is identical either way."""
+    from theatergen_tpu.models.layers import CrossAttention
+
+    b, s, heads, d = 1, 1024, 2, 40
+    c = heads * d
+    x = jax.random.normal(jax.random.key(0), (b, s, c), jnp.float32)
+    mod = CrossAttention(heads, d, use_flash=True, dtype=jnp.float32)
+
+    monkeypatch.setattr(fa, "PACKED", False)
+    params_std = mod.init(jax.random.key(1), x)
+    out_std, _ = mod.apply(params_std, x)
+
+    monkeypatch.setattr(fa, "PACKED", True)
+    params_packed = mod.init(jax.random.key(1), x)
+    assert jax.tree_util.tree_structure(params_std) == \
+        jax.tree_util.tree_structure(params_packed)
+    for a, b_ in zip(jax.tree_util.tree_leaves(params_std),
+                     jax.tree_util.tree_leaves(params_packed)):
+        assert a.shape == b_.shape and a.dtype == b_.dtype
+    out_packed, _ = mod.apply(params_std, x)
+    np.testing.assert_allclose(np.asarray(out_packed), np.asarray(out_std),
+                               atol=2e-3)

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import attention as attn_ops
+from ..ops import flash_attention as fa_ops
 from ..ops import groupnorm as gn_ops
 from ..ops.quant import QuantDense
 
@@ -212,6 +213,25 @@ class FeedForward(nn.Module):
                           name="net_2")(h)
 
 
+class _DenseParams(nn.Module):
+    """Owns ``kernel``/``bias`` under the same child path as ``nn.Dense``
+    (same init distributions), so the packed-projection attention branch
+    is checkpoint- and param-tree-identical to the standard branch."""
+
+    din: int
+    dout: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.din, self.dout), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.dout,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class CrossAttention(nn.Module):
     """Projection wrapper around the attention kernels.
 
@@ -220,6 +240,14 @@ class CrossAttention(nn.Module):
     projections — the decoupled IP-Adapter attention of the reference
     (``ip_adapter/attention_processor.py:396-553``), here fused at the op
     level (:func:`theatergen_tpu.ops.attention.decoupled_attention`).
+
+    Self-attention (``context is None``) at flash-kernel shapes can run the
+    **packed-projection** path (``THEATERGEN_FLASH_PACKED=1``): the lane
+    pad to ``Dp``, the ``1/sqrt(d)`` softmax scale, the base-2 conversion
+    and the output slice-back are all folded into the projection weights,
+    so the QKV/out matmuls read and write the flat ``[B, S, H*Dp]`` kernel
+    layout directly — zero elementwise/layout passes around the kernel.
+    Exact math (zero pad columns/rows); params identical either way.
     """
 
     num_heads: int
@@ -242,6 +270,14 @@ class CrossAttention(nn.Module):
         inner = self.num_heads * self.head_dim
         ctx = x if context is None else context
         is_ip = self.ip_tokens > 0 and context is not None
+
+        if (fa_ops.PACKED and context is None and self.use_flash
+                and not self.quantized and not return_probs
+                and (fa_ops.INTERPRET or attn_ops._on_tpu())
+                and fa_ops.packed_supported(
+                    lq, self.num_heads, self.head_dim,
+                    jnp.dtype(self.dtype).itemsize)):
+            return self._packed_self_attention(x, c, inner), None
 
         dense = lambda feats, name: make_dense(
             self.quantized, feats, use_bias=False, dtype=self.dtype, name=name)
@@ -277,6 +313,35 @@ class CrossAttention(nn.Module):
         out = make_dense(self.quantized, c, dtype=self.dtype,
                          name="to_out_0")(out)
         return out, probs
+
+    def _packed_self_attention(self, x: jnp.ndarray, c: int,
+                               inner: int) -> jnp.ndarray:
+        """Self-attention through packed-flat projections (see class doc)."""
+        h, d = self.num_heads, self.head_dim
+        dp = fa_ops._pad_head_dim(d)
+
+        wq, _ = _DenseParams(c, inner, name="to_q")()
+        wk, _ = _DenseParams(c, inner, name="to_k")()
+        wv, _ = _DenseParams(c, inner, name="to_v")()
+        wo, bo = _DenseParams(inner, c, use_bias=True, name="to_out_0")()
+
+        def pack_cols(w):
+            # [c, h*d] -> [c, h*Dp]: each head's d output columns land at
+            # its Dp-aligned lane slice, pad columns exactly zero
+            w = w.reshape(c, h, d)
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, dp - d)))
+            return w.reshape(c, h * dp).astype(self.dtype)
+
+        scale = d ** -0.5 * fa_ops.LOG2E   # folded into Wq (fp32)
+        qf = x @ pack_cols(wq * scale)
+        kf = x @ pack_cols(wk)
+        vf = x @ pack_cols(wv)
+        of = fa_ops.flash_attention_packed(qf, kf, vf, h, d)
+        # [h*d, c] -> [h*Dp, c]: zero rows consume the kernel's zero pad
+        # lanes, so no slice-back pass is needed
+        wo_p = jnp.pad(wo.reshape(h, d, c),
+                       ((0, 0), (0, dp - d), (0, 0))).reshape(h * dp, c)
+        return of @ wo_p.astype(self.dtype) + bo.astype(self.dtype)
 
 
 class GatedSelfAttention(nn.Module):

@@ -74,6 +74,15 @@ BSHD_NATIVE = os.environ.get("THEATERGEN_FLASH_BSHD", "0") == "1"
 # flat vs 1.31 copy-based).  Unsupported shapes (Sk > 4096, e.g. SDXL
 # 16k) fall back to the online copy-based kernel automatically.
 FLAT = os.environ.get("THEATERGEN_FLASH_FLAT", "1") == "1"
+# Packed-projection path: the attention projections themselves emit the
+# flat [B, S, H*Dp] layout (pad + softmax scale + base-2 conversion all
+# folded into the projection *weights* — layers.CrossAttention), so the
+# six per-layer HBM passes the flat kernel still pays (three jnp.pad
+# copies in, one slice-back out, plus reshapes) disappear entirely.
+# Exact math: pad lanes of q/k/v are zero columns of the packed weights,
+# and the out-projection reads the kernel's (exactly zero) pad lanes
+# through zero rows.  Opt-in until chip-measured (same protocol as FLAT).
+PACKED = os.environ.get("THEATERGEN_FLASH_PACKED", "0") == "1"
 # The compiler's default scoped-vmem reservation is 16M, far below the
 # 128M physical VMEM; the flat kernel raises its own limit and budgets
 # against that (whole-K blocks are what buy the copy-free layout).
@@ -237,27 +246,17 @@ def _attn_kernel_flat(q_ref, k_ref, v_ref, o_ref, *, h: int, dp: int):
         o_ref[0, :, sl] = (acc * inv).astype(o_ref.dtype)
 
 
-def _flash_attention_flat(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+def _flat_call(
+    qf: jnp.ndarray, kf: jnp.ndarray, vf: jnp.ndarray, h: int, dp: int,
 ) -> jnp.ndarray:
-    """Copy-free path: one fused lane-pad per input (no transposes), flat
-    [B, S, H*Dp] blocks through the kernel, slice back."""
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
-    dp = _pad_head_dim(d)
-    f = h * dp
-    bq = _flat_q_block(sq, sk, f, q.dtype.itemsize)
-
-    q = q * jnp.asarray(d ** -0.5 * LOG2E, q.dtype)
-
-    def flat(x):
-        return jnp.pad(
-            x, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(
-            x.shape[0], x.shape[1], f)
-
-    out = pl.pallas_call(
+    """Run the flat kernel over pre-packed [B, S, H*Dp] tensors (q already
+    scaled by d^-0.5·log2e, pad lanes zero)."""
+    b, sq, f = qf.shape
+    sk = kf.shape[1]
+    bq = _flat_q_block(sq, sk, f, qf.dtype.itemsize)
+    return pl.pallas_call(
         functools.partial(_attn_kernel_flat, h=h, dp=dp),
-        out_shape=jax.ShapeDtypeStruct((b, sq, f), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, sq, f), qf.dtype),
         grid=(b, sq // bq),
         in_specs=[
             pl.BlockSpec((1, bq, f), lambda i, j: (i, j, 0),
@@ -275,12 +274,100 @@ def _flash_attention_flat(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * (b * h) * sq * sk * dp,
+            flops=2 * 2 * b * h * sq * sk * dp,
             bytes_accessed=b * sq * f * 2 * 2 + 2 * b * sk * f * 2,
-            transcendentals=(b * h) * sq * sk,
+            transcendentals=b * h * sq * sk,
         ),
-    )(flat(q), flat(k), flat(v))
+    )(qf, kf, vf)
+
+
+def _flash_attention_flat(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Copy-free path: one fused lane-pad per input (no transposes), flat
+    [B, S, H*Dp] blocks through the kernel, slice back."""
+    b, sq, h, d = q.shape
+    dp = _pad_head_dim(d)
+    f = h * dp
+
+    q = q * jnp.asarray(d ** -0.5 * LOG2E, q.dtype)
+
+    def flat(x):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(
+            x.shape[0], x.shape[1], f)
+
+    out = _flat_call(flat(q), flat(k), flat(v), h, dp)
     return out.reshape(b, sq, h, dp)[..., :d]
+
+
+def packed_supported(sq: int, heads: int, head_dim: int,
+                     itemsize: int = 2) -> bool:
+    """Whether the packed-projection self-attention path applies (same
+    shape rules as the flat kernel, stated on metadata — the packed path
+    builds the [B, S, H*Dp] tensors directly, so there are no BSHD arrays
+    to inspect)."""
+    if sq < MIN_KV_FOR_FLASH or sq > 4096 or sq % 512 != 0:
+        return False
+    return _flat_q_block(sq, sq, heads * _pad_head_dim(head_dim),
+                         itemsize) > 0
+
+
+def _packed_reference(qf, kf, vf, heads: int):
+    """XLA reference over packed tensors (backward path).  q is pre-scaled
+    by d^-0.5·log2e, so base-e softmax needs logits·ln2 (= /log2e); pad
+    lanes of k are zero so they never influence logits, pad lanes of v are
+    zero so output pad lanes stay exactly zero — gradients w.r.t. pad
+    lanes vanish identically, matching the zero pad columns of the packed
+    projection weights."""
+    b, s, f = qf.shape
+    dp = f // heads
+    shape = (b, s, heads, dp)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk",
+        qf.reshape(shape).astype(jnp.float32) * (1.0 / LOG2E),
+        kf.reshape(shape).astype(jnp.float32))
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(vf.dtype),
+                     vf.reshape(shape))
+    return out.reshape(b, s, f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_packed(
+    qf: jnp.ndarray, kf: jnp.ndarray, vf: jnp.ndarray,
+    heads: int, head_dim: int,
+) -> jnp.ndarray:
+    """Self-attention over pre-packed flat [B, S, H*Dp] tensors → same.
+
+    Contract (enforced by the packed projections in
+    ``models.layers.CrossAttention``): heads are lane slices of width
+    ``Dp = _pad_head_dim(head_dim)``; pad lanes of all three inputs are
+    zero; q is pre-scaled by ``head_dim**-0.5 * log2(e)``.  Output pad
+    lanes are exactly zero.  Requires ``packed_supported``.
+
+    Differentiable via ``custom_vjp`` (backward recomputes through the
+    XLA path) — latent guidance takes ``jax.grad`` through UNets whose
+    self-attention runs this kernel.
+    """
+    dp = _pad_head_dim(head_dim)
+    assert qf.shape[-1] == heads * dp, (qf.shape, heads, dp)
+    return _flat_call(qf, kf, vf, heads, dp)
+
+
+def _packed_fwd(qf, kf, vf, heads, head_dim):
+    out = _flat_call(qf, kf, vf, heads, _pad_head_dim(head_dim))
+    return out, (qf, kf, vf)
+
+
+def _packed_bwd(heads, head_dim, residuals, g):
+    qf, kf, vf = residuals
+    _, vjp = jax.vjp(
+        lambda a, b, c: _packed_reference(a, b, c, heads), qf, kf, vf)
+    return vjp(g)
+
+
+flash_attention_packed.defvjp(_packed_fwd, _packed_bwd)
 
 
 def _flash_attention_bshd(
