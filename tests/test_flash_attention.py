@@ -229,6 +229,47 @@ def test_packed_grad_matches_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
 
 
+@pytest.mark.parametrize("shape,bq,bk", [
+    ((1, 1024, 2, 40), 256, 512),    # 2 K blocks: exercises corrections
+    ((2, 1024, 1, 64), 256, 256),    # 4 K blocks
+])
+def test_flash_flat_online_matches_reference(shape, bq, bk):
+    """The online flat kernel (the Sk>4096 / SDXL-16k route) must equal
+    the reference and the whole-K flat kernel when forced onto multiple
+    K blocks at interpreter-sized shapes."""
+    b, s, h, d = shape
+    dp = fa._pad_head_dim(d)
+    q = jax.random.normal(jax.random.key(0), shape, jnp.float32) * 3
+    k = jax.random.normal(jax.random.key(1), shape, jnp.float32) * 3
+    v = jax.random.normal(jax.random.key(2), shape, jnp.float32)
+    qf = _pack_bshd(q * (d ** -0.5 * fa.LOG2E), dp)
+    out = fa._flat_online_call(qf, _pack_bshd(k, dp), _pack_bshd(v, dp),
+                               h, dp, bq=bq, bk=bk)
+    out = np.asarray(out).reshape(b, s, h, dp)
+    np.testing.assert_allclose(out[..., :d], np.asarray(_ref(q, k, v)),
+                               atol=2e-3)
+    assert np.all(out[..., d:] == 0.0)
+    whole = fa._flash_attention_flat(q, k, v)
+    np.testing.assert_allclose(out[..., :d], np.asarray(whole), atol=2e-3)
+
+
+def test_flash_flat_online_gate():
+    """Online flat applies exactly where whole-K flat gives up: self-attn
+    with 4096 < Sk ≤ MAX_KV_SEQ inside the blocked VMEM budget."""
+    z = lambda s, h, d: jnp.zeros((1, s, h, d), jnp.bfloat16)
+    # the SDXL 16k shape: rejected by flat, accepted by flat-online
+    assert not fa.flat_supported(z(16384, 10, 64), z(16384, 10, 64))
+    assert fa.flat_online_supported(z(16384, 10, 64), z(16384, 10, 64))
+    # ≤4096 belongs to the whole-K kernel
+    assert not fa.flat_online_supported(z(4096, 8, 40), z(4096, 8, 40))
+    # cross-shaped stays on the copy-based online kernel
+    assert not fa.flat_online_supported(z(8192, 1, 64), z(16384, 1, 64))
+    # beyond MAX_KV_SEQ is out
+    assert not fa.flat_online_supported(z(65536, 1, 64), z(65536, 1, 64))
+    bq, bk = fa._flat_online_blocks(16384, 16384, 10, 64)
+    assert bq > 0 and bk > 0 and 16384 % bq == 0 and 16384 % bk == 0
+
+
 def test_packed_crossattention_matches_standard(monkeypatch):
     """CrossAttention with the packed-projection branch == the standard
     branch on the SAME params; the param tree is identical either way."""

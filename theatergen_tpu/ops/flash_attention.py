@@ -83,6 +83,13 @@ FLAT = os.environ.get("THEATERGEN_FLASH_FLAT", "1") == "1"
 # and the out-projection reads the kernel's (exactly zero) pad lanes
 # through zero rows.  Opt-in until chip-measured (same protocol as FLAT).
 PACKED = os.environ.get("THEATERGEN_FLASH_PACKED", "0") == "1"
+# Online-softmax variant of the flat kernel for Sk beyond the whole-K
+# VMEM budget (SDXL's 16384-token blocks, SURVEY §5): same copy-free
+# [B, S, H*Dp] layout, K axis blocked with per-head running max/sum/acc
+# scratch — the copy-based kernel's six HBM transpose/pad passes
+# disappear at 16k exactly as the flat kernel removed them at ≤4096.
+# Opt-in until chip-measured (VERDICT r2 next-#6 decision protocol).
+FLAT_ONLINE = os.environ.get("THEATERGEN_FLASH_FLAT16K", "0") == "1"
 # The compiler's default scoped-vmem reservation is 16M, far below the
 # 128M physical VMEM; the flat kernel raises its own limit and budgets
 # against that (whole-K blocks are what buy the copy-free layout).
@@ -301,6 +308,149 @@ def _flash_attention_flat(
     return out.reshape(b, sq, h, dp)[..., :d]
 
 
+def _flat_online_blocks(
+    sq: int, sk: int, h: int, dp: int, itemsize: int = 2
+) -> tuple:
+    """(bq, bk) for the online flat kernel, or (0, 0) when no block pair
+    fits scoped VMEM.  Budget: double-buffered K/V and q/out blocks, the
+    f32 logits held twice across the pipelined head loop plus the bf16
+    copy fed to the MXU, per-head running max/sum lanes and the f32
+    accumulator, ~2M fixed (same calibration as :func:`_flat_q_block`)."""
+    f = h * dp
+    for bk in (4096, 2048, 1024, 512):
+        if bk > sk or sk % bk != 0:
+            continue
+        for bq in (256, 512, 128):
+            if bq > sq or sq % bq != 0:
+                continue
+            est = (2 * 2 * bk * f * itemsize      # K, V (double-buffered)
+                   + 2 * 2 * bq * f * itemsize    # q, out (double-buffered)
+                   + 2 * bq * bk * 4 + bq * bk * itemsize   # s, p, p→bf16
+                   + 2 * h * bq * LANE * 4        # running max/sum
+                   + bq * f * 4                   # accumulator
+                   + 2 * 1024 * 1024)
+            if est <= _VMEM_BUDGET:
+                return bq, bk
+    return 0, 0
+
+
+def flat_online_supported(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    """Self-attention shapes past the whole-K flat budget (Sk > 4096)
+    that the online flat kernel can still tile copy-free."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if sq != sk or sk <= 4096 or sk > MAX_KV_SEQ:
+        return False
+    return _flat_online_blocks(sq, sk, h, _pad_head_dim(d),
+                               q.dtype.itemsize) != (0, 0)
+
+
+def _attn_kernel_flat_online(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+                             acc_ref, *, h: int, dp: int):
+    """Online-softmax cell over flat [B, S, H*Dp] blocks: grid
+    (batch, q_blocks, k_blocks) with the K axis innermost; heads are lane
+    slices with their own running max/sum/accumulator scratch rows."""
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for hh in range(h):
+        sl = slice(hh * dp, (hh + 1) * dp)
+        q = q_ref[0, :, sl]                       # [bq, dp] (pre-scaled)
+        k = k_ref[0, :, sl]                       # [bk, dp]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # [bq, bk] base-2 logits
+        m_prev = m_ref[hh]                        # [bq, LANE]
+        l_prev = l_ref[hh]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev[:, :1], m_curr)
+        alpha = jnp.exp2(m_prev[:, :1] - m_next)
+        p = jnp.exp2(s - m_next)
+        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[hh] = jnp.broadcast_to(m_next, m_prev.shape)
+        l_ref[hh] = jnp.broadcast_to(l_next, l_prev.shape)
+        acc_ref[hh] = acc_ref[hh] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == nk - 1)
+    def _store():
+        for hh in range(h):
+            sl = slice(hh * dp, (hh + 1) * dp)
+            l_fin = l_ref[hh][:, :1]
+            inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+            o_ref[0, :, sl] = (acc_ref[hh] * inv).astype(o_ref.dtype)
+
+
+def _flat_online_call(
+    qf: jnp.ndarray, kf: jnp.ndarray, vf: jnp.ndarray, h: int, dp: int,
+    bq: int = 0, bk: int = 0,
+) -> jnp.ndarray:
+    """Run the online flat kernel over pre-packed [B, S, H*Dp] tensors
+    (same contract as :func:`_flat_call`; explicit bq/bk for tests)."""
+    b, sq, f = qf.shape
+    sk = kf.shape[1]
+    if not (bq and bk):
+        bq, bk = _flat_online_blocks(sq, sk, h, dp, qf.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_flat_online, h=h, dp=dp),
+        out_shape=jax.ShapeDtypeStruct((b, sq, f), qf.dtype),
+        grid=(b, sq // bq, sk // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, f), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, f), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, f), lambda i, j, kk: (i, kk, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, f), lambda i, j, kk: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h, bq, LANE), jnp.float32),   # running max
+            pltpu.VMEM((h, bq, LANE), jnp.float32),   # running sum
+            pltpu.VMEM((h, bq, dp), jnp.float32),     # output accumulator
+        ],
+        interpret=INTERPRET,
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * sq * sk * dp,
+            bytes_accessed=b * sq * f * 2 * 2 + 2 * b * sk * f * 2,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qf, kf, vf)
+
+
+def _flash_attention_flat_online(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Copy-free path for Sk > 4096: fused lane-pad in, online flat
+    kernel, slice back (the 16k counterpart of
+    :func:`_flash_attention_flat`)."""
+    b, sq, h, d = q.shape
+    dp = _pad_head_dim(d)
+    f = h * dp
+
+    q = q * jnp.asarray(d ** -0.5 * LOG2E, q.dtype)
+
+    def flat(x):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(
+            x.shape[0], x.shape[1], f)
+
+    out = _flat_online_call(flat(q), flat(k), flat(v), h, dp)
+    return out.reshape(b, sq, h, dp)[..., :d]
+
+
 def packed_supported(sq: int, heads: int, head_dim: int,
                      itemsize: int = 2) -> bool:
     """Whether the packed-projection self-attention path applies (same
@@ -432,6 +582,8 @@ def _flash_attention_impl(
         return _flash_attention_bshd(q, k, v, q_block, k_block)
     if FLAT and flat_supported(q, k):
         return _flash_attention_flat(q, k, v)
+    if FLAT_ONLINE and flat_online_supported(q, k):
+        return _flash_attention_flat_online(q, k, v)
     b, sq, h, d = q.shape
     sk = k.shape[1]
     dp = _pad_head_dim(d)
