@@ -213,7 +213,7 @@ def main() -> None:
         "spread_pct": round(100 * (max(times) - min(times)) / min(times), 1),
         "kernels": {
             "flash": USE_FLASH, "flat": fa.FLAT, "packed": fa.PACKED,
-            "bq": fa.DEFAULT_Q_BLOCK,
+            "flat16k": fa.FLAT_ONLINE, "bq": fa.DEFAULT_Q_BLOCK,
             "bk": fa.DEFAULT_K_BLOCK, "fused_gn": gn.FUSED,
             "device": str(jax.devices()[0]),
         },
