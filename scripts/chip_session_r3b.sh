@@ -16,6 +16,18 @@ THEATERGEN_FLASH_PACKED=1 THEATERGEN_BENCH_TIMEOUT=3000 \
 stamp "bench: packed-projection OFF (same-session control)"
 THEATERGEN_BENCH_TIMEOUT=3000 timeout 3600 python bench.py 2>&1 | tail -2
 
+stamp "bench_dialogue: batched characters steady state (compiles cached by r3 session)"
+timeout 1800 python scripts/bench_dialogue.py --batch_chars --dialogues 2 \
+  2>&1 | tail -18
+
+stamp "bench_dialogue: LCM-4 steady state (cached)"
+timeout 1800 python scripts/bench_dialogue.py --scheduler lcm --num_steps 4 \
+  --dialogues 2 2>&1 | tail -18
+
+stamp "bench_dialogue: cn_interval 3 steady state (cached)"
+timeout 1800 python scripts/bench_dialogue.py --cn_interval 3 --dialogues 2 \
+  2>&1 | tail -18
+
 stamp "flat16k probe: online flat kernel vs copy-based at 8k/16k"
 timeout 3600 python scripts/bench_flash_flat16k.py 2>&1 | tail -40
 
