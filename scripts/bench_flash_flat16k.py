@@ -30,6 +30,13 @@ def main():
 
     from theatergen_tpu.ops import flash_attention as fa
 
+    # the copy-based baseline below must NOT be redirected by env flags —
+    # _flash_attention_impl is gate-dispatched, so pin every gate off and
+    # call the flat-online path explicitly where it is the subject
+    fa.FLAT = False
+    fa.FLAT_ONLINE = False
+    fa.BSHD_NATIVE = False
+
     reps = 20
 
     def bench(name, fn, *args):

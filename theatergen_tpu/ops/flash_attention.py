@@ -288,11 +288,12 @@ def _flat_call(
     )(qf, kf, vf)
 
 
-def _flash_attention_flat(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-) -> jnp.ndarray:
-    """Copy-free path: one fused lane-pad per input (no transposes), flat
-    [B, S, H*Dp] blocks through the kernel, slice back."""
+def _flat_wrap(call_fn, q, k, v):
+    """Shared pack/scale/unpack contract around the flat kernels: one
+    fused lane-pad per input (no transposes), flat [B, S, H*Dp] blocks
+    through ``call_fn``, slice back.  The packed-projection path folds
+    this same contract into the projection weights — keep all three in
+    sync."""
     b, sq, h, d = q.shape
     dp = _pad_head_dim(d)
     f = h * dp
@@ -304,8 +305,15 @@ def _flash_attention_flat(
             x, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(
             x.shape[0], x.shape[1], f)
 
-    out = _flat_call(flat(q), flat(k), flat(v), h, dp)
+    out = call_fn(flat(q), flat(k), flat(v), h, dp)
     return out.reshape(b, sq, h, dp)[..., :d]
+
+
+def _flash_attention_flat(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Copy-free whole-K path (Sk ≤ 4096)."""
+    return _flat_wrap(_flat_call, q, k, v)
 
 
 def _flat_online_blocks(
@@ -390,14 +398,21 @@ def _attn_kernel_flat_online(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
 
 def _flat_online_call(
     qf: jnp.ndarray, kf: jnp.ndarray, vf: jnp.ndarray, h: int, dp: int,
-    bq: int = 0, bk: int = 0,
+    bq: int | None = None, bk: int | None = None,
 ) -> jnp.ndarray:
     """Run the online flat kernel over pre-packed [B, S, H*Dp] tensors
-    (same contract as :func:`_flat_call`; explicit bq/bk for tests)."""
+    (same contract as :func:`_flat_call`; explicit bq/bk for sweeps —
+    either may be given alone, the other comes from the auto budget)."""
     b, sq, f = qf.shape
     sk = kf.shape[1]
+    auto_bq, auto_bk = _flat_online_blocks(sq, sk, h, dp, qf.dtype.itemsize)
+    bq = auto_bq if bq is None else bq
+    bk = auto_bk if bk is None else bk
     if not (bq and bk):
-        bq, bk = _flat_online_blocks(sq, sk, h, dp, qf.dtype.itemsize)
+        raise ValueError(
+            f"no (bq, bk) fits the VMEM budget for flat-online at "
+            f"sq={sq} sk={sk} h={h} dp={dp} — gate with "
+            f"flat_online_supported() first")
     return pl.pallas_call(
         functools.partial(_attn_kernel_flat_online, h=h, dp=dp),
         out_shape=jax.ShapeDtypeStruct((b, sq, f), qf.dtype),
@@ -433,22 +448,9 @@ def _flat_online_call(
 def _flash_attention_flat_online(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Copy-free path for Sk > 4096: fused lane-pad in, online flat
-    kernel, slice back (the 16k counterpart of
+    """Copy-free path for Sk > 4096 (the 16k counterpart of
     :func:`_flash_attention_flat`)."""
-    b, sq, h, d = q.shape
-    dp = _pad_head_dim(d)
-    f = h * dp
-
-    q = q * jnp.asarray(d ** -0.5 * LOG2E, q.dtype)
-
-    def flat(x):
-        return jnp.pad(
-            x, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(
-            x.shape[0], x.shape[1], f)
-
-    out = _flat_online_call(flat(q), flat(k), flat(v), h, dp)
-    return out.reshape(b, sq, h, dp)[..., :d]
+    return _flat_wrap(_flat_online_call, q, k, v)
 
 
 def packed_supported(sq: int, heads: int, head_dim: int,
@@ -506,7 +508,9 @@ def flash_attention_packed(
 
 
 def _packed_fwd(qf, kf, vf, heads, head_dim):
-    out = _flat_call(qf, kf, vf, heads, _pad_head_dim(head_dim))
+    dp = _pad_head_dim(head_dim)
+    assert qf.shape[-1] == heads * dp, (qf.shape, heads, dp)
+    out = _flat_call(qf, kf, vf, heads, dp)
     return out, (qf, kf, vf)
 
 
