@@ -42,6 +42,10 @@ def main():
                     help="final pass: ControlNet forward every N-th step")
     ap.add_argument("--batch_chars", action="store_true",
                     help="run a turn's characters as one batched program")
+    ap.add_argument("--passes", type=int, default=1,
+                    help="iterate the dialogue set N times (fresh character "
+                         "DB per pass, bundle jit caches retained) — later "
+                         "passes are fully compile-free steady state")
     args = ap.parse_args()
 
     from theatergen_tpu.cli.generate import build_spec
@@ -66,23 +70,27 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "data", "sample", "story.json")))
 
-    db = CharacterDB(tempfile.mkdtemp())
-    theater = Theater(bundle, db, num_steps=args.num_steps,
-                      guided=args.guided,
-                      batch_characters=args.batch_chars)
-
     times = []
-    for d_idx, dialogue in enumerate(list(dataset)[: args.dialogues]):
-        t_start = time.time()
-        for t_idx in range(4):
-            turn = f"turn {t_idx + 1}"
-            spec = build_spec(dataset[dialogue][turn])
-            tt = time.time()
-            res = theater.run_turn(spec, seed=d_idx * 100 + t_idx)
-            print(f"  {dialogue}/{turn}: {time.time()-tt:.1f}s "
-                  f"({len(res.so_images)} chars)", flush=True)
-        times.append(time.time() - t_start)
-        print(f"{dialogue}: {times[-1]:.1f}s", flush=True)
+    for p_idx in range(args.passes):
+        # fresh DB per pass: DB hits change the work per character (skip
+        # embed, IP scale flip), so reusing one DB would make later passes
+        # dishonestly fast; bundle jit caches persist across Theaters
+        db = CharacterDB(tempfile.mkdtemp())
+        theater = Theater(bundle, db, num_steps=args.num_steps,
+                          guided=args.guided,
+                          batch_characters=args.batch_chars)
+        for d_idx, dialogue in enumerate(list(dataset)[: args.dialogues]):
+            t_start = time.time()
+            for t_idx in range(4):
+                turn = f"turn {t_idx + 1}"
+                spec = build_spec(dataset[dialogue][turn])
+                tt = time.time()
+                res = theater.run_turn(spec, seed=d_idx * 100 + t_idx)
+                print(f"  [pass {p_idx}] {dialogue}/{turn}: "
+                      f"{time.time()-tt:.1f}s "
+                      f"({len(res.so_images)} chars)", flush=True)
+            times.append(time.time() - t_start)
+            print(f"[pass {p_idx}] {dialogue}: {times[-1]:.1f}s", flush=True)
     import numpy as np
 
     # per-phase wall-clock breakdown (character/final/perception/compose...)
@@ -98,6 +106,7 @@ def main():
                   f" guided={args.guided}, cfg_cutoff={args.cfg_cutoff},"
                   f" deepcache={args.deepcache},"
                   f" scheduler={args.scheduler or 'ddim'},"
+                  f" passes={args.passes},"
                   f" incl. first-turn compile)",
         "value": round(float(np.median(times)), 2),
         "unit": "seconds",

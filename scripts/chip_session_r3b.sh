@@ -16,6 +16,10 @@ THEATERGEN_FLASH_PACKED=1 THEATERGEN_BENCH_TIMEOUT=3000 \
 stamp "bench: packed-projection OFF (same-session control)"
 THEATERGEN_BENCH_TIMEOUT=3000 timeout 3600 python bench.py 2>&1 | tail -2
 
+stamp "bench_dialogue: serial DDIM-50, 2 passes (r3 item 1 showed 20.9s steady vs r1's 14.9s — pass 1 is compile-free)"
+timeout 2400 python scripts/bench_dialogue.py --dialogues 2 --passes 2 \
+  2>&1 | tail -30
+
 stamp "bench_dialogue: batched characters steady state (compiles cached by r3 session)"
 timeout 1800 python scripts/bench_dialogue.py --batch_chars --dialogues 2 \
   2>&1 | tail -18
