@@ -128,9 +128,13 @@ def main() -> None:
                                 else 1,
                                 batch_window_s=window)
             try:
-                # warm pass compiles the single + wave-width programs;
-                # the timed pass measures steady state
-                run_load(srv, args.sessions, args.turns, tag="warm")
+                # warm every wave width Poisson arrivals can form — each
+                # distinct batch size is a separate compiled program, and
+                # a width the warm pass misses would bill its compile to
+                # a timed request's latency (seen: p50 26s vs 0.8s on the
+                # CPU smoke because the singleton path compiled mid-run)
+                for w in range(1, args.sessions + 1):
+                    run_load(srv, w, 1, tag=f"warm{w}_")
                 waves0 = srv.stats()["waves"]
                 dt, lats = run_load(srv, args.sessions, args.turns,
                                     arrival_rate=args.arrival_rate)

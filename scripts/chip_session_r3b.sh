@@ -32,6 +32,10 @@ stamp "bench_dialogue: cn_interval 3 steady state (cached)"
 timeout 1800 python scripts/bench_dialogue.py --cn_interval 3 --dialogues 2 \
   2>&1 | tail -18
 
+stamp "bench_serve: Poisson SLO rerun (width-complete warm fix; caches hot)"
+timeout 2400 python scripts/bench_serve.py --sessions 4 --turns 2 \
+  --arrival_rate 0.05 2>&1 | tail -4
+
 stamp "flat16k probe: online flat kernel vs copy-based at 8k/16k"
 timeout 3600 python scripts/bench_flash_flat16k.py 2>&1 | tail -40
 
