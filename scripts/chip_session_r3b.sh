@@ -21,16 +21,16 @@ timeout 2400 python scripts/bench_dialogue.py --dialogues 2 --passes 2 \
   2>&1 | tail -30
 
 stamp "bench_dialogue: batched characters steady state (compiles cached by r3 session)"
-timeout 1800 python scripts/bench_dialogue.py --batch_chars --dialogues 2 \
-  2>&1 | tail -18
+timeout 2400 python scripts/bench_dialogue.py --batch_chars --dialogues 2 \
+  --passes 2 2>&1 | tail -30
 
-stamp "bench_dialogue: LCM-4 steady state (cached)"
-timeout 1800 python scripts/bench_dialogue.py --scheduler lcm --num_steps 4 \
-  --dialogues 2 2>&1 | tail -18
+stamp "bench_dialogue: LCM-4 (r3 item timed out mid-compile; fresh compile here)"
+timeout 3000 python scripts/bench_dialogue.py --scheduler lcm --num_steps 4 \
+  --dialogues 2 --passes 2 2>&1 | tail -30
 
 stamp "bench_dialogue: cn_interval 3 steady state (cached)"
-timeout 1800 python scripts/bench_dialogue.py --cn_interval 3 --dialogues 2 \
-  2>&1 | tail -18
+timeout 2400 python scripts/bench_dialogue.py --cn_interval 3 --dialogues 2 \
+  --passes 2 2>&1 | tail -30
 
 stamp "bench_serve: Poisson SLO rerun (width-complete warm fix; caches hot)"
 timeout 2400 python scripts/bench_serve.py --sessions 4 --turns 2 \
