@@ -253,3 +253,24 @@ def test_denoising_end_truncates(bundle):
     assert full.sched.num_steps == 4
     assert half.sched.num_steps == 2
     assert half.sched.sigmas.shape[0] == 3
+
+
+def test_sdxl_1024_runs_no_16k_attention():
+    """The VERDICT r2 #6 decision rests on this: SDXL carries no
+    attention at the 128² level (down block 0 is a plain DownBlock2D in
+    the real model), so the longest self-attention at 1024px is 64² =
+    4096 tokens — inside the whole-K flat kernel's budget. 16k sequences
+    only arise at ≥2048px, where the online flat kernel
+    (THEATERGEN_FLASH_FLAT16K) applies (BENCH_NOTES round 3)."""
+    from theatergen_tpu.config import sdxl_config
+    from theatergen_tpu.ops import flash_attention as fa
+
+    cfg = sdxl_config().unet
+    assert cfg.attention_levels[0] is False
+    seqs = [(cfg.sample_size // 2 ** i) ** 2
+            for i, has in enumerate(cfg.attention_levels) if has]
+    assert max(seqs) == 4096
+    q = jnp.zeros((2, 4096, 10, 64), jnp.bfloat16)
+    assert fa.flat_supported(q, q)          # whole-K kernel covers 1024px
+    q16 = jnp.zeros((2, 16384, 10, 64), jnp.bfloat16)
+    assert fa.flat_online_supported(q16, q16)   # ≥2048px route exists
