@@ -112,3 +112,40 @@ def test_cli_xl_backbone(tmp_path):
               "--database_path_base", str(tmp_path / "db")])
     assert (tmp_path / "o" / "story" / "run0" / "d0" / "turn 1"
             / "img_0.png").exists()
+
+
+@pytest.mark.slow
+def test_cli_editing_task(tmp_path):
+    """--task editing: reads editing.json, writes the editing/ tree, uses
+    the single-object prompt template (reference pipelines.py:216-221),
+    and survives an objects-free removal turn."""
+    dataset = {
+        "d0": {
+            "turn 1": {"caption": "a vase", "background": "a kitchen",
+                       "negative": "",
+                       "objects": [["a blue vase", [150, 150, 150, 200], 0]]},
+            "turn 2": {"caption": "the vase is gone", "background":
+                       "a kitchen", "negative": "a blue vase",
+                       "objects": []},
+        }
+    }
+    ds_dir = tmp_path / "ds"
+    ds_dir.mkdir()
+    (ds_dir / "editing.json").write_text(json.dumps(dataset))
+    save = tmp_path / "out"
+    cli.main(["--tiny", "--task", "editing", "--dataset_path", str(ds_dir),
+              "--num_steps", "2", "--base_save_dir", str(save),
+              "--database_path_base", str(tmp_path / "db")])
+    assert (save / "editing" / "run0" / "d0" / "turn 1" / "img_0.png").exists()
+    assert (save / "editing" / "run0" / "d0" / "turn 2" / "img_0.png").exists()
+
+
+def test_theater_task_prompt_templates():
+    """story → 'full-body picture of {phrase}'; editing → 'single object,
+    {phrase}' (reference models/pipelines.py:216-221)."""
+    from theatergen_tpu.theater import Theater
+
+    for task, prefix in [("story", "full-body picture of"),
+                         ("editing", "single object,")]:
+        so = Theater.so_prompt_for(task, "a blue vase")
+        assert so == f"{prefix} a blue vase"

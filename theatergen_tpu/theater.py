@@ -189,6 +189,14 @@ class Theater:
         # times whole dialogues; timer.summary() gives p50/p90 per phase)
         self.timer = PhaseTimer()
 
+    @staticmethod
+    def so_prompt_for(task: str, phrase: str) -> str:
+        """Single-object prompt template per task (reference
+        ``models/pipelines.py:216-221``)."""
+        if task == "story":
+            return f"full-body picture of {phrase}"
+        return f"single object, {phrase}"
+
     def _placeholder_ip_features(self) -> jnp.ndarray:
         """Zero/black conditioning features with the shape the active IP
         variant expects (base: [1, D_clip]; plus: [1, N, vision_hidden])."""
@@ -365,10 +373,7 @@ class Theater:
         centered = np.asarray(
             G.centered_box(jnp.asarray(plan.box, jnp.float32)))
 
-        if self.task == "story":
-            so_prompt = f"full-body picture of {plan.phrase}"
-        else:
-            so_prompt = f"single object, {plan.phrase}"
+        so_prompt = self.so_prompt_for(self.task, plan.phrase)
         neg = parse.DEFAULT_SO_NEGATIVE_PROMPT
         if extra_neg:
             neg = f"{extra_neg}, {neg}"
