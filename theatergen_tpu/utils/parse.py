@@ -157,8 +157,9 @@ def convert_spec(spec: dict, height: int = 512, width: int = 512,
     )
 
 
-# Default negative prompts (reference prompt.py:1-2 defines the released
-# wording; ours are equivalent quality-suppression lists)
+# Default negative prompts: character-identical to reference prompt.py:1-2.
+# These strings are behavioral constants — they define the released model's
+# output behavior, so parity requires the exact wording, not a paraphrase.
 DEFAULT_SO_NEGATIVE_PROMPT = (
     "artifacts, blurry, smooth texture, bad quality, distortions, "
     "unrealistic, distorted image, bad proportions, duplicate, two, many, "
