@@ -39,7 +39,7 @@ MODEL = os.environ.get("THEATERGEN_BENCH_MODEL", "sd15")
 TARGET = 4.0  # images/sec/chip, BASELINE.json
 
 
-LAST_MEASURED = 1.406  # img/s, 2026-08-18 flat-kernel-ON (see BENCH_NOTES.md)
+LAST_MEASURED = 1.4283  # img/s, 2026-08-19 packed-ON (see BENCH_NOTES.md)
 INIT_TIMEOUT_S = int(os.environ.get("THEATERGEN_BENCH_TIMEOUT", "2400"))
 
 

@@ -107,3 +107,41 @@ def test_phase_timer():
     s = t.summary()
     assert s["a"]["count"] == 2 and s["b"]["count"] == 1
     json.loads(t.report())
+
+
+def test_materialize_params_dtypes_and_determinism():
+    """materialize_params ships host-cast buffers grouped by target dtype
+    (the on-device fp32->bf16 cast OOMed SDXL's 2.6B params on a 16 GB
+    chip); values must stay seeded-deterministic and the bf16 override
+    must equal the fp32 stream rounded, with integer leaves zeroed."""
+    import jax
+    import jax.numpy as jnp
+
+    from theatergen_tpu.utils.fastinit import materialize_params
+
+    def init():
+        k = jax.random.key(0)
+        return {
+            "w": jax.random.normal(k, (4, 6), jnp.float32),
+            "emb": jax.random.normal(k, (3, 2), jnp.bfloat16),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    p1 = materialize_params(init, seed=11)
+    p2 = materialize_params(init, seed=11)
+    p3 = materialize_params(init, seed=12)
+    assert p1["w"].dtype == jnp.float32 and p1["emb"].dtype == jnp.bfloat16
+    assert p1["step"].dtype == jnp.int32 and int(p1["step"]) == 0
+    assert np.array_equal(np.asarray(p1["w"]), np.asarray(p2["w"]))
+    assert not np.array_equal(np.asarray(p1["w"]), np.asarray(p3["w"]))
+
+    # dtype override: every float leaf becomes bf16, bit-identical to the
+    # single-group fp32 stream rounded on host
+    pb = materialize_params(init, seed=11, dtype=jnp.bfloat16)
+    pf = materialize_params(init, seed=11, dtype=jnp.float32)
+    assert {l.dtype for l in jax.tree_util.tree_leaves(pb)} <= {
+        jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.int32)}
+    assert np.array_equal(
+        np.asarray(pb["w"]), np.asarray(pf["w"].astype(jnp.bfloat16)))
+    assert np.array_equal(
+        np.asarray(pb["emb"]), np.asarray(pf["emb"].astype(jnp.bfloat16)))

@@ -81,8 +81,10 @@ FLAT = os.environ.get("THEATERGEN_FLASH_FLAT", "1") == "1"
 # copies in, one slice-back out, plus reshapes) disappear entirely.
 # Exact math: pad lanes of q/k/v are zero columns of the packed weights,
 # and the out-projection reads the kernel's (exactly zero) pad lanes
-# through zero rows.  Opt-in until chip-measured (same protocol as FLAT).
-PACKED = os.environ.get("THEATERGEN_FLASH_PACKED", "0") == "1"
+# through zero rows.  Default ON: chip-validated 2026-08-19 (same-session
+# A/B through the driver path, 0.1% spread: packed 1.4283 img/s vs
+# 1.4084 flat-only — BENCH_NOTES.md round 3c).
+PACKED = os.environ.get("THEATERGEN_FLASH_PACKED", "1") == "1"
 # Online-softmax variant of the flat kernel for Sk beyond the whole-K
 # VMEM budget (SDXL's 16384-token blocks, SURVEY §5): same copy-free
 # [B, S, H*Dp] layout, K axis blocked with per-head running max/sum/acc

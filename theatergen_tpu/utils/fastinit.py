@@ -108,41 +108,46 @@ def materialize_params(init_fn, *example_args, seed: int = 0,
     """eval_shape ``init_fn(*example_args)`` and fill leaves with seeded
     host RNG.  ``dtype`` overrides every float leaf dtype (e.g. bf16).
 
-    All float leaves ship as ONE packed transfer and are sliced apart in a
-    single jitted program — thousands of per-leaf ``device_put`` round
-    trips over the remote tunnel cost minutes for SD-scale trees.
+    Float leaves ship as one packed transfer *per target dtype* and are
+    sliced apart in a single jitted program — thousands of per-leaf
+    ``device_put`` round trips over the remote tunnel cost minutes for
+    SD-scale trees.  The buffers are cast to the target dtype on the
+    HOST: shipping fp32 and casting on device doubles both the tunnel
+    bytes and the peak HBM — for SDXL's 2.6B-param UNet that is a
+    10.3 GB fp32 buffer coexisting with 5.1 GB of bf16 pieces, which
+    exhausts a 16 GB v5e chip before the first denoise step.  Values are
+    bit-identical either way (fp32→bf16 rounds the same on host and
+    device); with a single target dtype the RNG stream is unchanged too.
     """
-    import jax.numpy as jnp
-
     shapes = jax.eval_shape(init_fn, *example_args)
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
     rng = np.random.RandomState(seed)
 
-    float_meta = []          # (index, shape, target_dtype, offset, size)
-    offset = 0
+    # target dtype -> list of (leaf_index, shape, offset, size)
+    groups: dict = {}
     out: list = [None] * len(leaves)
     for i, leaf in enumerate(leaves):
         if np.issubdtype(np.dtype(leaf.dtype), np.integer):
             out[i] = jax.device_put(np.zeros(leaf.shape, leaf.dtype))
             continue
         target = np.dtype(dtype) if dtype is not None else np.dtype(leaf.dtype)
+        meta = groups.setdefault(target, [])
+        off = meta[-1][2] + meta[-1][3] if meta else 0
         size = int(np.prod(leaf.shape)) if leaf.shape else 1
-        float_meta.append((i, leaf.shape, target, offset, size))
-        offset += size
+        meta.append((i, leaf.shape, off, size))
 
-    if float_meta:
-        flat = (rng.standard_normal(offset).astype(np.float32) * scale)
-        packed = jax.device_put(flat)
+    for target, meta in groups.items():
+        total = meta[-1][2] + meta[-1][3]
+        flat = rng.standard_normal(total).astype(np.float32) * scale
+        packed = jax.device_put(np.asarray(flat, dtype=target))
 
-        def unpack(buf):
-            pieces = []
-            for _i, shape, target, off, size in float_meta:
-                piece = jax.lax.dynamic_slice(buf, (off,), (size,))
-                pieces.append(piece.reshape(shape).astype(jnp.dtype(target)))
-            return tuple(pieces)
+        def unpack(buf, meta=meta):
+            return tuple(
+                jax.lax.dynamic_slice(buf, (off,), (size,)).reshape(shape)
+                for _i, shape, off, size in meta)
 
         pieces = jax.jit(unpack)(packed)
-        for (i, *_), piece in zip(float_meta, pieces):
+        for (i, *_), piece in zip(meta, pieces):
             out[i] = piece
 
     return jax.tree_util.tree_unflatten(treedef, out)
