@@ -90,8 +90,12 @@ PACKED = os.environ.get("THEATERGEN_FLASH_PACKED", "1") == "1"
 # [B, S, H*Dp] layout, K axis blocked with per-head running max/sum/acc
 # scratch — the copy-based kernel's six HBM transpose/pad passes
 # disappear at 16k exactly as the flat kernel removed them at ≤4096.
-# Opt-in until chip-measured (VERDICT r2 next-#6 decision protocol).
-FLAT_ONLINE = os.environ.get("THEATERGEN_FLASH_FLAT16K", "0") == "1"
+# Default ON: chip-validated 2026-08-19 (bench_flash_flat16k on v5e,
+# pads included, exact match vs the copy-based kernel: 17.70 vs
+# 19.23 ms at 16k/h8/d40, 34.65 vs 37.51 at SDXL-16k, 8.19 vs 8.92 at
+# 8k — ~8% at every shape; the auto (bq=256, bk=4096) picker matched
+# the measured-best block pair everywhere).  BENCH_NOTES round 3c.
+FLAT_ONLINE = os.environ.get("THEATERGEN_FLASH_FLAT16K", "1") == "1"
 # The compiler's default scoped-vmem reservation is 16M, far below the
 # 128M physical VMEM; the flat kernel raises its own limit and budgets
 # against that (whole-K blocks are what buy the copy-free layout).
