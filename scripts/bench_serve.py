@@ -95,7 +95,13 @@ def main() -> None:
     ap.add_argument("--scheduler", default=None, choices=["ddim", "lcm"],
                     help="override the sampler (lcm: pair with"
                          " --num_steps 4)")
+    ap.add_argument("--modes", default="wave,serial",
+                    help="comma list of modes to run (wave, serial); lets"
+                         " a chip session rerun one control without"
+                         " repaying the other mode's warm+timed cost")
     args = ap.parse_args()
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    assert all(m in ("wave", "serial") for m in modes), modes
 
     import dataclasses
 
@@ -122,6 +128,8 @@ def main() -> None:
 
     results = {}
     for mode, window in [("wave", 0.25), ("serial", 0.0)]:
+        if mode not in modes:
+            continue
         with tempfile.TemporaryDirectory() as db:
             srv = TheaterServer(bundle, db, num_steps=args.num_steps,
                                 max_wave=args.max_wave if mode == "wave"
@@ -132,9 +140,15 @@ def main() -> None:
                 # distinct batch size is a separate compiled program, and
                 # a width the warm pass misses would bill its compile to
                 # a timed request's latency (seen: p50 26s vs 0.8s on the
-                # CPU smoke because the singleton path compiled mid-run)
-                for w in range(1, args.sessions + 1):
-                    run_load(srv, w, 1, tag=f"warm{w}_")
+                # CPU smoke because the singleton path compiled mid-run).
+                # Serial mode only ever runs the width-1 program: warm
+                # width 1 for 2 turns (covers the DB-hit second-turn
+                # variant) instead of paying 1..S widths of warm turns.
+                warm_widths = (range(1, args.sessions + 1)
+                               if mode == "wave" else (1,))
+                for w in warm_widths:
+                    run_load(srv, w, 2 if mode == "serial" else 1,
+                             tag=f"warm{w}_")
                 waves0 = srv.stats()["waves"]
                 dt, lats = run_load(srv, args.sessions, args.turns,
                                     arrival_rate=args.arrival_rate)
@@ -153,16 +167,18 @@ def main() -> None:
               f"p50 {results[mode]['p50_s']}s p95 {results[mode]['p95_s']}s,"
               f" {stats['waves']} waves)", flush=True)
 
-    print(json.dumps({
+    out = {
         "metric": f"serving throughput, {args.sessions} sessions x "
                   f"{args.turns} turns"
                   + (f", Poisson rate {args.arrival_rate}/s"
                      if args.arrival_rate else "")
                   + (f", {args.scheduler}" if args.scheduler else ""),
-        "wave": results["wave"], "serial": results["serial"],
-        "speedup": round(results["serial"]["seconds"]
-                         / max(results["wave"]["seconds"], 1e-9), 3),
-    }))
+        **{m: results[m] for m in results},
+    }
+    if "wave" in results and "serial" in results:
+        out["speedup"] = round(results["serial"]["seconds"]
+                               / max(results["wave"]["seconds"], 1e-9), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
