@@ -16,7 +16,8 @@ The IP-Adapter checkpoint splits into an ``image_proj`` group (the
 per-cross-attention ``to_k_ip/to_v_ip`` weights indexed over the UNet's
 attention-processor order (reference ``ip_adapter/ip_adapter.py:127-140``);
 :func:`port_ip_adapter` walks our UNet's cross-attention layers in the same
-(down, mid, up) order.
+(down, up, mid-last) order — diffusers registers ``up_blocks`` before
+``mid_block``, see :func:`cross_attention_paths`.
 
 File loading supports ``.safetensors`` (via the ``safetensors`` package if
 present, else a minimal built-in reader) and torch ``.bin`` pickles.
@@ -308,6 +309,18 @@ def port_vae(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             (r"to_v\.bias", "to_v/bias", "raw"),
             (r"to_out\.0\.weight", "to_out_0/kernel", "dense"),
             (r"to_out\.0\.bias", "to_out_0/bias", "raw"),
+            # 2022-era exports (runwayml sd-v1-5 vae, sd-vae-ft-mse) carry
+            # the deprecated AttentionBlock names; diffusers renames them
+            # at load time (_convert_deprecated_attention_block), so the
+            # on-hub files still use query/key/value/proj_attn
+            (r"query\.weight", "to_q/kernel", "dense"),
+            (r"query\.bias", "to_q/bias", "raw"),
+            (r"key\.weight", "to_k/kernel", "dense"),
+            (r"key\.bias", "to_k/bias", "raw"),
+            (r"value\.weight", "to_v/kernel", "dense"),
+            (r"value\.bias", "to_v/bias", "raw"),
+            (r"proj_attn\.weight", "to_out_0/kernel", "dense"),
+            (r"proj_attn\.bias", "to_out_0/bias", "raw"),
         ]
         for rx, out, kind in table:
             if re.fullmatch(rx, suffix):
@@ -514,8 +527,18 @@ def port_image_proj(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 def cross_attention_paths(unet_params: Dict[str, Any]) -> list:
     """Our UNet's cross-attention (attn2) module paths in the diffusers
-    attention-processor enumeration order (down blocks, mid, up blocks) —
-    the order the ``ip_adapter`` weight group is indexed by."""
+    attention-processor enumeration order — the order the ``ip_adapter``
+    weight group is indexed by.
+
+    That order is **down blocks, up blocks, mid block LAST**: diffusers'
+    ``UNet2DConditionModel.attn_processors`` walks ``named_children()``
+    in attribute-assignment order, and ``self.up_blocks = nn.ModuleList``
+    is assigned (empty) *before* ``self.mid_block`` is built (reference
+    fork ``ip_adapter/unet_2d_condition.py:460-461`` vs ``:532``; the
+    group is then loaded positionally via
+    ``ModuleList(attn_processors.values())``, ``ip_adapter.py:139``).
+    ``tests/test_checkpoint_manifest.py`` pins this with position-stamped
+    values over the real h94 index→hidden-size table."""
     paths = []
 
     def collect(scope_tree, prefix):
@@ -531,14 +554,14 @@ def cross_attention_paths(unet_params: Dict[str, Any]) -> list:
                     paths.append(prefix + [key, tb, "attn2"])
 
     enc = unet_params.get("encoder", {})
-    collect(enc, ["encoder"])
-    mid = unet_params.get("mid", {})
+    collect(enc, ["encoder"])         # down blocks
+    collect(unet_params, [])          # up blocks
+    mid = unet_params.get("mid", {})  # mid block last
     if "mid_block_attentions_0" in mid:
         node = mid["mid_block_attentions_0"]
         for tb in sorted(k for k in node if k.startswith("transformer_blocks_")):
             if "attn2" in node[tb]:
                 paths.append(["mid", "mid_block_attentions_0", tb, "attn2"])
-    collect(unet_params, [])
     return paths
 
 
