@@ -76,29 +76,32 @@ def _resnet(m, prefix, cin, cout, time_emb=True):
         m.add(prefix + "conv_shortcut.bias", (cout,))
 
 
-def _transformer(m, prefix, c):
-    """Transformer2DModel keys at SD1.5 config: 1×1-conv proj_in/out
-    (use_linear_projection=False), one BasicTransformerBlock with
-    attn1 (self) / attn2 (cross, kv dim 768) / GEGLU ff (inner 4c)."""
+def _transformer(m, prefix, c, cross=CROSS, depth=1, linear_proj=False):
+    """Transformer2DModel keys.  SD1.5: 1×1-conv proj_in/out
+    (use_linear_projection=False), depth 1, kv dim 768.  SDXL: Linear
+    projections, depth 2/10, kv dim 2048.  Each BasicTransformerBlock:
+    attn1 (self) / attn2 (cross) / GEGLU ff (inner 4c)."""
     m.add(prefix + "norm.weight", (c,))
     m.add(prefix + "norm.bias", (c,))
-    m.add(prefix + "proj_in.weight", (c, c, 1, 1))
+    proj_shape = (c, c) if linear_proj else (c, c, 1, 1)
+    m.add(prefix + "proj_in.weight", proj_shape)
     m.add(prefix + "proj_in.bias", (c,))
-    tb = prefix + "transformer_blocks.0."
-    for a, kdim in (("attn1", c), ("attn2", CROSS)):
-        m.add(tb + f"{a}.to_q.weight", (c, c))
-        m.add(tb + f"{a}.to_k.weight", (c, kdim))
-        m.add(tb + f"{a}.to_v.weight", (c, kdim))
-        m.add(tb + f"{a}.to_out.0.weight", (c, c))
-        m.add(tb + f"{a}.to_out.0.bias", (c,))
-    for n in ("norm1", "norm2", "norm3"):
-        m.add(tb + n + ".weight", (c,))
-        m.add(tb + n + ".bias", (c,))
-    m.add(tb + "ff.net.0.proj.weight", (8 * c, c))
-    m.add(tb + "ff.net.0.proj.bias", (8 * c,))
-    m.add(tb + "ff.net.2.weight", (c, 4 * c))
-    m.add(tb + "ff.net.2.bias", (c,))
-    m.add(prefix + "proj_out.weight", (c, c, 1, 1))
+    for d in range(depth):
+        tb = prefix + f"transformer_blocks.{d}."
+        for a, kdim in (("attn1", c), ("attn2", cross)):
+            m.add(tb + f"{a}.to_q.weight", (c, c))
+            m.add(tb + f"{a}.to_k.weight", (c, kdim))
+            m.add(tb + f"{a}.to_v.weight", (c, kdim))
+            m.add(tb + f"{a}.to_out.0.weight", (c, c))
+            m.add(tb + f"{a}.to_out.0.bias", (c,))
+        for n in ("norm1", "norm2", "norm3"):
+            m.add(tb + n + ".weight", (c,))
+            m.add(tb + n + ".bias", (c,))
+        m.add(tb + "ff.net.0.proj.weight", (8 * c, c))
+        m.add(tb + "ff.net.0.proj.bias", (8 * c,))
+        m.add(tb + "ff.net.2.weight", (c, 4 * c))
+        m.add(tb + "ff.net.2.bias", (c,))
+    m.add(prefix + "proj_out.weight", proj_shape)
     m.add(prefix + "proj_out.bias", (c,))
 
 
@@ -144,6 +147,64 @@ def sd15_unet_manifest():
             if i > 0:  # up_block_types: UpBlock2D + 3×CrossAttnUpBlock2D
                 _transformer(m, f"up_blocks.{i}.attentions.{j}.", out)
         if i < 3:
+            m.add(f"up_blocks.{i}.upsamplers.0.conv.weight",
+                  (out, out, 3, 3))
+            m.add(f"up_blocks.{i}.upsamplers.0.conv.bias", (out,))
+    m.add("conv_norm_out.weight", (C[0],))
+    m.add("conv_norm_out.bias", (C[0],))
+    m.add("conv_out.weight", (4, C[0], 3, 3))
+    m.add("conv_out.bias", (4,))
+    return m
+
+
+def sdxl_unet_manifest():
+    """stabilityai/stable-diffusion-xl-base-1.0 unet keys: 3 levels
+    (320, 640, 1280), down types (DownBlock2D, CrossAttn d2, CrossAttn
+    d10), Linear transformer projections, kv dim 2048, text_time
+    add_embedding (2816 → 1280)."""
+    C = (320, 640, 1280)
+    DEPTH = (0, 2, 10)
+    XL_CROSS = 2048
+    m = Manifest()
+    m.add("conv_in.weight", (C[0], 4, 3, 3))
+    m.add("conv_in.bias", (C[0],))
+    for which, din in (("time", C[0]), ("add", 2816)):
+        m.add(f"{which}_embedding.linear_1.weight", (TEMB, din))
+        m.add(f"{which}_embedding.linear_1.bias", (TEMB,))
+        m.add(f"{which}_embedding.linear_2.weight", (TEMB, TEMB))
+        m.add(f"{which}_embedding.linear_2.bias", (TEMB,))
+    for i in range(3):
+        cprev = C[i - 1] if i > 0 else C[0]
+        for j in range(2):
+            cin = cprev if j == 0 else C[i]
+            _resnet(m, f"down_blocks.{i}.resnets.{j}.", cin, C[i])
+            if DEPTH[i]:
+                _transformer(m, f"down_blocks.{i}.attentions.{j}.", C[i],
+                             cross=XL_CROSS, depth=DEPTH[i],
+                             linear_proj=True)
+        if i < 2:
+            m.add(f"down_blocks.{i}.downsamplers.0.conv.weight",
+                  (C[i], C[i], 3, 3))
+            m.add(f"down_blocks.{i}.downsamplers.0.conv.bias", (C[i],))
+    _resnet(m, "mid_block.resnets.0.", C[2], C[2])
+    _resnet(m, "mid_block.resnets.1.", C[2], C[2])
+    _transformer(m, "mid_block.attentions.0.", C[2], cross=XL_CROSS,
+                 depth=DEPTH[2], linear_proj=True)
+    rev = C[::-1]
+    rdepth = DEPTH[::-1]
+    for i in range(3):
+        out = rev[i]
+        prev = C[2] if i == 0 else rev[i - 1]
+        skip_in = rev[min(i + 1, 2)]
+        for j in range(3):
+            res_skip = skip_in if j == 2 else out
+            res_in = prev if j == 0 else out
+            _resnet(m, f"up_blocks.{i}.resnets.{j}.", res_in + res_skip, out)
+            if rdepth[i]:
+                _transformer(m, f"up_blocks.{i}.attentions.{j}.", out,
+                             cross=XL_CROSS, depth=rdepth[i],
+                             linear_proj=True)
+        if i < 2:
             m.add(f"up_blocks.{i}.upsamplers.0.conv.weight",
                   (out, out, 3, 3))
             m.add(f"up_blocks.{i}.upsamplers.0.conv.bias", (out,))
@@ -300,6 +361,30 @@ def test_unet_manifest_full_coverage():
     got = flat_shapes(ported)
     assert len(got) == len(man), (len(got), len(man))  # nothing dropped
     want = flat_shapes(_unet_tree())
+    assert set(got) == set(want), (
+        sorted(set(want) - set(got))[:8], sorted(set(got) - set(want))[:8])
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_sdxl_unet_manifest_full_coverage():
+    from theatergen_tpu.config import sdxl_config
+
+    xcfg = sdxl_config()
+    man = sdxl_unet_manifest()
+    sd = {k: np.zeros(s, np.float16) for k, s in man.items()}
+    ported = W.port_unet(sd)
+    got = flat_shapes(ported)
+    assert len(got) == len(man), (len(got), len(man))
+    unet = UNet2DCondition(xcfg.unet)
+    pooled = (xcfg.unet.projection_class_embeddings_input_dim
+              - 6 * xcfg.unet.addition_time_embed_dim)
+    want = flat_shapes(jax.eval_shape(lambda: unet.init(
+        jax.random.key(0), jnp.zeros((1, 128, 128, 4)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, xcfg.text.max_length, xcfg.unet.cross_attention_dim)),
+        pooled_text=jnp.zeros((1, pooled)),
+        time_ids=jnp.zeros((1, 6))))["params"])
     assert set(got) == set(want), (
         sorted(set(want) - set(got))[:8], sorted(set(got) - set(want))[:8])
     for k in want:

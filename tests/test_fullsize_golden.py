@@ -8,6 +8,7 @@ so the first machine with egress loads real safetensors without shape or
 name drift (VERDICT r2 missing #1):
 
 - SD1.5 CLIP ViT-L text encoder   (``generate.py:78``: runwayml UNet pipe)
+- SDXL OpenCLIP bigG text enc 2   (``generate.py:103-133`` xl branch)
 - IP-Adapter CLIP ViT-H image enc (``generate.py:61``, ip_adapter.py:78-80)
 - eval CLIP ViT-B/32 both towers  (``CMIGBench/eval/eval.py:286``)
 - SAM ViT-base                    (``models/sam.py:15-22``)
@@ -123,6 +124,38 @@ def test_eval_clip_b32_text_fullsize():
         t = hf(input_ids=torch.from_numpy(ids))
     np.testing.assert_allclose(np.asarray(p), t.text_embeds.numpy(),
                                atol=2e-4)
+
+
+def test_sdxl_clip_bigg_text_fullsize():
+    """SDXL text_encoder_2 (laion OpenCLIP bigG in HF CLIP format,
+    ``sdxl_config().text2``): hidden 1280, 32 layers, gelu, WITH
+    projection — SDXL conditions on both the penultimate hidden state
+    and the projected pooled embed."""
+    from transformers import CLIPTextConfig as HFText
+    from transformers import CLIPTextModelWithProjection
+
+    hf = _randomize(CLIPTextModelWithProjection(HFText(
+        vocab_size=49408, hidden_size=1280, intermediate_size=5120,
+        num_hidden_layers=32, num_attention_heads=20,
+        max_position_embeddings=77, projection_dim=1280,
+        hidden_act="gelu", attn_implementation="eager")))
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = W.port_clip_text(sd)
+
+    from theatergen_tpu.config import sdxl_config
+
+    cfg = sdxl_config().text2
+    ids = np.zeros((2, 77), np.int64)
+    ids[0, :6] = [49406, 320, 2368, 530, 533, 49407]
+    ids[1, :3] = [49406, 1125, 49407]
+    h, p = CLIPTextEncoder(cfg).apply({"params": params},
+                                      jnp.asarray(ids, jnp.int32))
+    with torch.no_grad():
+        t = hf(input_ids=torch.from_numpy(ids), output_hidden_states=True)
+    np.testing.assert_allclose(np.asarray(p), t.text_embeds.numpy(),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(h), t.last_hidden_state.numpy(),
+                               atol=5e-4)
 
 
 def test_sam_vit_base_fullsize():
