@@ -341,6 +341,35 @@ def ip_adapter_sd15_manifest():
     return m
 
 
+def ip_adapter_plus_image_proj_manifest():
+    """h94 ip-adapter-plus_sd15.bin ``image_proj`` group: Resampler
+    (dim 768, depth 4, heads 12 × 64, 16 queries, CLIP-H 1280 tokens in,
+    768 out — ``ip_adapter/resampler.py:81-147`` defaults as built by
+    ``ip_adapter.py:284-299``)."""
+    D, INNER, EMB = 768, 768, 1280
+    m = Manifest()
+    m.add("image_proj.latents", (1, 16, D))
+    m.add("image_proj.proj_in.weight", (D, EMB))
+    m.add("image_proj.proj_in.bias", (D,))
+    m.add("image_proj.proj_out.weight", (CROSS, D))
+    m.add("image_proj.proj_out.bias", (CROSS,))
+    m.add("image_proj.norm_out.weight", (CROSS,))
+    m.add("image_proj.norm_out.bias", (CROSS,))
+    for i in range(4):
+        p = f"image_proj.layers.{i}."
+        for n in ("norm1", "norm2"):
+            m.add(p + f"0.{n}.weight", (D,))
+            m.add(p + f"0.{n}.bias", (D,))
+        m.add(p + "0.to_q.weight", (INNER, D))
+        m.add(p + "0.to_kv.weight", (2 * INNER, D))
+        m.add(p + "0.to_out.weight", (D, INNER))
+        m.add(p + "1.0.weight", (D,))       # FeedForward LayerNorm
+        m.add(p + "1.0.bias", (D,))
+        m.add(p + "1.1.weight", (4 * D, D))  # bias-free Linears
+        m.add(p + "1.3.weight", (D, 4 * D))
+    return m
+
+
 # ------------------------------------------------------------------ tests
 
 def _unet_tree(ip_num_tokens=0):
@@ -455,6 +484,26 @@ def test_ip_adapter_manifest_order_and_shapes():
             assert kern.shape == (CROSS, c), (scope, kv, kern.shape)
             assert float(kern[0, 0]) == float(idx), (scope, kv,
                                                      float(kern[0, 0]))
+
+
+def test_resampler_manifest_full_coverage():
+    from theatergen_tpu.models.ip_adapter import Resampler
+
+    man = ip_adapter_plus_image_proj_manifest()
+    sd = {k: np.zeros(s, np.float32) for k, s in man.items()}
+    ported = W.port_resampler(sd)
+    got = flat_shapes(ported)
+    assert len(got) == len(man), (len(got), len(man))
+    res = Resampler(CFG.ip_adapter)
+    want = flat_shapes(jax.eval_shape(lambda: res.init(
+        jax.random.key(0), jnp.zeros((1, 257, 1280))))["params"])
+    assert set(got) == set(want), (
+        sorted(set(want) - set(got))[:8], sorted(set(got) - set(want))[:8])
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+    out = res.apply({"params": ported}, jnp.ones((1, 257, 1280)))
+    assert out.shape == (1, 16, CROSS)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_image_proj_manifest_applies():

@@ -566,3 +566,77 @@ def test_vae_decoder_parity():
     np.testing.assert_allclose(
         np.asarray(out_f), t2n(out_t.permute(0, 2, 3, 1)), atol=5e-5,
         err_msg="VAE decoder diverges from the torch reference")
+
+
+class TorchPerceiverResampler(tnn.Module):
+    """IP-Adapter-Plus Resampler, written from the published architecture
+    (open_flamingo-derived; dual-sqrt logit scaling, kv over [x ; latents],
+    bias-free attention/FF linears, pre-LN FF, final proj+LN).  State-dict
+    keys match the h94 ``image_proj`` group so port_resampler maps it."""
+
+    def __init__(self, dim, depth, heads, head_dim, queries, emb, out):
+        super().__init__()
+        inner = heads * head_dim
+        self.heads, self.head_dim = heads, head_dim
+        self.latents = tnn.Parameter(torch.randn(1, queries, dim))
+        self.proj_in = tnn.Linear(emb, dim)
+        self.proj_out = tnn.Linear(dim, out)
+        self.norm_out = tnn.LayerNorm(out)
+        self.layers = tnn.ModuleList()
+        for _ in range(depth):
+            attn = tnn.Module()
+            attn.norm1 = tnn.LayerNorm(dim)
+            attn.norm2 = tnn.LayerNorm(dim)
+            attn.to_q = tnn.Linear(dim, inner, bias=False)
+            attn.to_kv = tnn.Linear(dim, inner * 2, bias=False)
+            attn.to_out = tnn.Linear(inner, dim, bias=False)
+            ff = tnn.Sequential(
+                tnn.LayerNorm(dim),
+                tnn.Linear(dim, dim * 4, bias=False),
+                tnn.GELU(),
+                tnn.Linear(dim * 4, dim, bias=False),
+            )
+            self.layers.append(tnn.ModuleList([attn, ff]))
+
+    def forward(self, x):
+        b = x.shape[0]
+        lat = self.latents.expand(b, -1, -1)
+        x = self.proj_in(x)
+        for attn, ff in self.layers:
+            xn, ln = attn.norm1(x), attn.norm2(lat)
+            q = attn.to_q(ln)
+            kv = attn.to_kv(torch.cat([xn, ln], dim=1))
+            k, v = kv.chunk(2, dim=-1)
+
+            def split(t):
+                return t.view(b, -1, self.heads,
+                              self.head_dim).transpose(1, 2)
+
+            q, k, v = split(q), split(k), split(v)
+            scale = 1 / math.sqrt(math.sqrt(self.head_dim))
+            w = (q * scale) @ (k * scale).transpose(-2, -1)
+            w = torch.softmax(w.float(), dim=-1).to(v.dtype)
+            o = (w @ v).transpose(1, 2).reshape(b, lat.shape[1], -1)
+            lat = lat + attn.to_out(o)
+            lat = lat + ff(lat)
+        return self.norm_out(self.proj_out(lat))
+
+
+def test_resampler_parity():
+    from theatergen_tpu.config import IPAdapterConfig
+    from theatergen_tpu.models.ip_adapter import Resampler
+
+    cfg = IPAdapterConfig(cross_attention_dim=48, resampler_depth=2,
+                          resampler_dim=64, resampler_heads=4,
+                          resampler_queries=8)
+    tr = TorchPerceiverResampler(dim=64, depth=2, heads=4, head_dim=16,
+                                 queries=8, emb=96, out=48).eval()
+    sd = {f"image_proj.{k}": v.numpy() for k, v in tr.state_dict().items()}
+    params = W.port_resampler(sd)
+    res = Resampler(cfg, embedding_dim=96, output_dim=48)
+    x = np.random.RandomState(1).randn(2, 11, 96).astype(np.float32)
+    out_f = res.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        out_t = tr(torch.tensor(x))
+    np.testing.assert_allclose(np.asarray(out_f), t2n(out_t), atol=1e-4,
+                               err_msg="Resampler diverges from torch ref")

@@ -525,6 +525,54 @@ def port_image_proj(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def port_resampler(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """IP-Adapter-Plus ``image_proj`` group (the Perceiver Resampler,
+    ``ip_adapter/resampler.py:81-147``) → our ``Resampler`` tree.
+
+    torch module layout: ``latents`` [1, Q, D]; ``proj_in``/``proj_out``
+    Linear; ``norm_out`` LayerNorm; ``layers.{i}.0`` PerceiverAttention
+    (norm1/norm2 + bias-free to_q/to_kv/to_out) and ``layers.{i}.1``
+    FeedForward Sequential (0: LayerNorm, 1: Linear, 3: Linear)."""
+    params: Dict[str, Any] = {}
+    for name, w in sd.items():
+        name = name.replace("image_proj.", "")
+        if name == "latents":
+            params["latents"] = w[0]   # drop torch's broadcast axis
+            continue
+        out = None
+        for mod in ("proj_in", "proj_out"):
+            if name == f"{mod}.weight":
+                out = (f"{mod}/kernel", "dense")
+            elif name == f"{mod}.bias":
+                out = (f"{mod}/bias", "raw")
+        if name.startswith("norm_out."):
+            leaf = name.split(".")[-1]
+            out = (f"norm_out/{'scale' if leaf == 'weight' else 'bias'}",
+                   "raw")
+        m = re.fullmatch(r"layers\.(\d+)\.0\.(norm\d)\.(weight|bias)", name)
+        if m:
+            i, n, wb = m.groups()
+            out = (f"layers_{i}_attn/{n}/"
+                   f"{'scale' if wb == 'weight' else 'bias'}", "raw")
+        m = re.fullmatch(r"layers\.(\d+)\.0\.(to_q|to_kv|to_out)\.weight",
+                         name)
+        if m:
+            out = (f"layers_{m.group(1)}_attn/{m.group(2)}/kernel", "dense")
+        m = re.fullmatch(r"layers\.(\d+)\.1\.0\.(weight|bias)", name)
+        if m:
+            out = (f"layers_{m.group(1)}_ff_norm/"
+                   f"{'scale' if m.group(2) == 'weight' else 'bias'}", "raw")
+        m = re.fullmatch(r"layers\.(\d+)\.1\.([13])\.weight", name)
+        if m:
+            ff = "1" if m.group(2) == "1" else "2"
+            out = (f"layers_{m.group(1)}_ff_{ff}/kernel", "dense")
+        if out is None:
+            continue
+        path, kind = out
+        set_path(params, path, _convert_leaf(name, w, kind))
+    return params
+
+
 def cross_attention_paths(unet_params: Dict[str, Any]) -> list:
     """Our UNet's cross-attention (attn2) module paths in the diffusers
     attention-processor enumeration order — the order the ``ip_adapter``
@@ -1078,20 +1126,34 @@ def port_grounding_dino(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
-def load_bundle(cfg, weights_dir: str):
+def load_bundle(cfg, weights_dir: str, *, ip_variant: str | None = None):
     """Assemble a Bundle from a directory of ported checkpoints:
 
     ``unet.safetensors``, ``vae.safetensors``, ``text_encoder.safetensors``,
     ``controlnet.safetensors``, ``ip-adapter_sd15.bin``, tokenizer assets
     (``merges.txt``/``vocab.json``).  Missing pieces fall back to random
-    init with a warning."""
+    init with a warning.
+
+    ``ip_variant``: "base" (ImageProjModel, ip-adapter_sd15) or "plus"
+    (Resampler, ip-adapter-plus_sd15).  Defaults to "plus" when only the
+    plus checkpoint exists in ``weights_dir``, else "base"."""
     import jax
 
     from ..pipelines.bundle import init_bundle
 
+    if ip_variant is None:
+        has_plus = any(
+            os.path.exists(os.path.join(weights_dir, f))
+            for f in ("ip-adapter-plus_sd15.bin",
+                      "ip-adapter-plus_sd15.safetensors"))
+        has_base = any(
+            os.path.exists(os.path.join(weights_dir, f))
+            for f in ("ip-adapter_sd15.bin", "ip-adapter_sd15.safetensors"))
+        ip_variant = "plus" if (has_plus and not has_base) else "base"
     bundle = init_bundle(
         cfg, jax.random.key(0), with_ip=True, with_controlnet=True,
         with_vision=True, tokenizer_assets=weights_dir,
+        ip_variant=ip_variant,
     )
 
     def maybe(path):
@@ -1178,9 +1240,17 @@ def load_bundle(cfg, weights_dir: str):
             OwlDetector(vcfg, tcfg), port_owl(sd),
             load_tokenizer(weights_dir), max_length=tcfg.max_length)
         loaded.append("owl")
-    ip = maybe("ip-adapter_sd15.bin") or maybe("ip-adapter_sd15.safetensors")
+    if bundle.ip_variant == "plus":
+        # the Plus checkpoint's image_proj group is a Perceiver Resampler
+        ip = (maybe("ip-adapter-plus_sd15.bin")
+              or maybe("ip-adapter-plus_sd15.safetensors"))
+        port_proj = port_resampler
+    else:
+        ip = (maybe("ip-adapter_sd15.bin")
+              or maybe("ip-adapter_sd15.safetensors"))
+        port_proj = port_image_proj
     if ip:
-        bundle.image_proj_params = port_image_proj(
+        bundle.image_proj_params = port_proj(
             {k: v for k, v in ip.items() if k.startswith("image_proj")})
         if bundle.unet_ip_params is not None:
             bundle.unet_ip_params = port_ip_adapter(
