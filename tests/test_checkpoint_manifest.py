@@ -506,6 +506,34 @@ def test_resampler_manifest_full_coverage():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_mlp_proj_manifest_full_coverage():
+    """IPAdapterFull image_proj group: one torch Sequential → positional
+    keys proj.0 / proj.2 (Linears) and proj.3 (LayerNorm)."""
+    from theatergen_tpu.models.ip_adapter import MLPProjModel
+
+    EMB = 1024   # full-face variant projects CLIP-H penultimate embeds
+    man = Manifest()
+    man.add("image_proj.proj.0.weight", (EMB, EMB))
+    man.add("image_proj.proj.0.bias", (EMB,))
+    man.add("image_proj.proj.2.weight", (CROSS, EMB))
+    man.add("image_proj.proj.2.bias", (CROSS,))
+    man.add("image_proj.proj.3.weight", (CROSS,))
+    man.add("image_proj.proj.3.bias", (CROSS,))
+    sd = {k: np.zeros(s, np.float32) for k, s in man.items()}
+    ported = W.port_mlp_proj(sd)
+    got = flat_shapes(ported)
+    assert len(got) == len(man), (len(got), len(man))
+    mlp = MLPProjModel(CFG.ip_adapter)
+    want = flat_shapes(jax.eval_shape(lambda: mlp.init(
+        jax.random.key(0), jnp.zeros((1, EMB))))["params"])
+    assert set(got) == set(want), (
+        sorted(set(want) - set(got))[:8], sorted(set(got) - set(want))[:8])
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+    out = mlp.apply({"params": ported}, jnp.ones((1, EMB)))
+    assert out.shape == (1, 1, CROSS)
+
+
 def test_image_proj_manifest_applies():
     from theatergen_tpu.models.ip_adapter import ImageProjModel
 

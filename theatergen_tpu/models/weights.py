@@ -525,6 +525,27 @@ def port_image_proj(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def port_mlp_proj(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """IPAdapterFull ``image_proj`` group → MLPProjModel tree.  The torch
+    module is one Sequential (``ip_adapter/ip_adapter.py:50-64``), so the
+    keys are positional: proj.0 / proj.2 Linears, proj.3 LayerNorm."""
+    params: Dict[str, Any] = {}
+    table = {
+        "proj.0.weight": ("proj_0/kernel", "dense"),
+        "proj.0.bias": ("proj_0/bias", "raw"),
+        "proj.2.weight": ("proj_2/kernel", "dense"),
+        "proj.2.bias": ("proj_2/bias", "raw"),
+        "proj.3.weight": ("norm/scale", "raw"),
+        "proj.3.bias": ("norm/bias", "raw"),
+    }
+    for name, w in sd.items():
+        name = name.replace("image_proj.", "")
+        if name in table:
+            path, kind = table[name]
+            set_path(params, path, _convert_leaf(name, w, kind))
+    return params
+
+
 def port_resampler(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """IP-Adapter-Plus ``image_proj`` group (the Perceiver Resampler,
     ``ip_adapter/resampler.py:81-147``) → our ``Resampler`` tree.
@@ -1134,9 +1155,11 @@ def load_bundle(cfg, weights_dir: str, *, ip_variant: str | None = None):
     (``merges.txt``/``vocab.json``).  Missing pieces fall back to random
     init with a warning.
 
-    ``ip_variant``: "base" (ImageProjModel, ip-adapter_sd15) or "plus"
-    (Resampler, ip-adapter-plus_sd15).  Defaults to "plus" when only the
-    plus checkpoint exists in ``weights_dir``, else "base"."""
+    ``ip_variant``: "base" (ImageProjModel, ip-adapter_sd15), "plus"
+    (Resampler, ip-adapter-plus_sd15) or "full" (MLPProjModel,
+    ip-adapter-full-face_sd15).  Defaults to "plus" when only the plus
+    checkpoint exists in ``weights_dir``, else "base"; "full" must be
+    requested explicitly."""
     import jax
 
     from ..pipelines.bundle import init_bundle
@@ -1245,6 +1268,10 @@ def load_bundle(cfg, weights_dir: str, *, ip_variant: str | None = None):
         ip = (maybe("ip-adapter-plus_sd15.bin")
               or maybe("ip-adapter-plus_sd15.safetensors"))
         port_proj = port_resampler
+    elif bundle.ip_variant == "full":
+        ip = (maybe("ip-adapter-full-face_sd15.bin")
+              or maybe("ip-adapter-full-face_sd15.safetensors"))
+        port_proj = port_mlp_proj
     else:
         ip = (maybe("ip-adapter_sd15.bin")
               or maybe("ip-adapter_sd15.safetensors"))
