@@ -16,7 +16,7 @@ Produces, in --out:
   owl.safetensors             google/owlvit-base-patch32 (MXU-friendly detector)
   fid_inception.safetensors   pytorch_fid pt_inception-2015-12-05 (AFID)
   gdino_vocab.txt             BERT wordpiece vocab for the detector
-  ip-adapter_sd15.bin         h94/IP-Adapter
+  ip-adapter_sd15.bin         h94/IP-Adapter (+ plus / full-face variants)
   merges.txt, vocab.json      CLIP tokenizer assets
   (optionally, with --xl)     SDXL unet/text_encoder_2/t2i adapter
 
@@ -123,9 +123,12 @@ def export(out: str, xl: bool = False) -> None:
     from huggingface_hub import hf_hub_download
     import shutil
 
-    ip = hf_hub_download("h94/IP-Adapter", "models/ip-adapter_sd15.bin")
-    shutil.copy(ip, os.path.join(out, "ip-adapter_sd15.bin"))
-    print("wrote ip-adapter_sd15.bin")
+    # all three SD1.5 variants load_bundle supports (base / plus / full)
+    for fname in ("ip-adapter_sd15.bin", "ip-adapter-plus_sd15.bin",
+                  "ip-adapter-full-face_sd15.bin"):
+        ip = hf_hub_download("h94/IP-Adapter", f"models/{fname}")
+        shutil.copy(ip, os.path.join(out, fname))
+        print("wrote", fname)
 
     tok = CLIPTokenizer.from_pretrained(
         "runwayml/stable-diffusion-v1-5", subfolder="tokenizer")
