@@ -145,6 +145,10 @@ def export(out: str, xl: bool = False) -> None:
             "stabilityai/stable-diffusion-xl-base-1.0",
             subfolder="text_encoder_2")
         save(t2.state_dict(), "text_encoder_2.safetensors")
+        ip = hf_hub_download("h94/IP-Adapter",
+                             "sdxl_models/ip-adapter_sdxl.bin")
+        shutil.copy(ip, os.path.join(out, "ip-adapter_sdxl.bin"))
+        print("wrote ip-adapter_sdxl.bin")
 
 
 if __name__ == "__main__":

@@ -1147,6 +1147,15 @@ def port_grounding_dino(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+# IP-Adapter checkpoint filename stems per variant (SD1.5 and SDXL
+# checkpoints share the group format; the ports are dimension-agnostic)
+_IP_FILES = {
+    "base": ("ip-adapter_sd15", "ip-adapter_sdxl"),
+    "plus": ("ip-adapter-plus_sd15", "ip-adapter-plus_sdxl_vit-h"),
+    "full": ("ip-adapter-full-face_sd15",),
+}
+
+
 def load_bundle(cfg, weights_dir: str, *, ip_variant: str | None = None):
     """Assemble a Bundle from a directory of ported checkpoints:
 
@@ -1164,15 +1173,15 @@ def load_bundle(cfg, weights_dir: str, *, ip_variant: str | None = None):
 
     from ..pipelines.bundle import init_bundle
 
+    def _have(variant):
+        return any(
+            os.path.exists(os.path.join(weights_dir, stem + ext))
+            for stem in _IP_FILES[variant]
+            for ext in (".bin", ".safetensors"))
+
     if ip_variant is None:
-        has_plus = any(
-            os.path.exists(os.path.join(weights_dir, f))
-            for f in ("ip-adapter-plus_sd15.bin",
-                      "ip-adapter-plus_sd15.safetensors"))
-        has_base = any(
-            os.path.exists(os.path.join(weights_dir, f))
-            for f in ("ip-adapter_sd15.bin", "ip-adapter_sd15.safetensors"))
-        ip_variant = "plus" if (has_plus and not has_base) else "base"
+        ip_variant = "plus" if (_have("plus") and not _have("base")) \
+            else "base"
     bundle = init_bundle(
         cfg, jax.random.key(0), with_ip=True, with_controlnet=True,
         with_vision=True, tokenizer_assets=weights_dir,
@@ -1263,19 +1272,13 @@ def load_bundle(cfg, weights_dir: str, *, ip_variant: str | None = None):
             OwlDetector(vcfg, tcfg), port_owl(sd),
             load_tokenizer(weights_dir), max_length=tcfg.max_length)
         loaded.append("owl")
-    if bundle.ip_variant == "plus":
-        # the Plus checkpoint's image_proj group is a Perceiver Resampler
-        ip = (maybe("ip-adapter-plus_sd15.bin")
-              or maybe("ip-adapter-plus_sd15.safetensors"))
-        port_proj = port_resampler
-    elif bundle.ip_variant == "full":
-        ip = (maybe("ip-adapter-full-face_sd15.bin")
-              or maybe("ip-adapter-full-face_sd15.safetensors"))
-        port_proj = port_mlp_proj
-    else:
-        ip = (maybe("ip-adapter_sd15.bin")
-              or maybe("ip-adapter_sd15.safetensors"))
-        port_proj = port_image_proj
+    port_proj = {"base": port_image_proj, "plus": port_resampler,
+                 "full": port_mlp_proj}[bundle.ip_variant]
+    ip = None
+    for stem in _IP_FILES[bundle.ip_variant]:
+        ip = maybe(stem + ".bin") or maybe(stem + ".safetensors")
+        if ip:
+            break
     if ip:
         bundle.image_proj_params = port_proj(
             {k: v for k, v in ip.items() if k.startswith("image_proj")})
