@@ -534,6 +534,47 @@ def test_mlp_proj_manifest_full_coverage():
     assert out.shape == (1, 1, CROSS)
 
 
+def test_ip_adapter_order_sdxl():
+    """ip-adapter_sdxl.bin has 70 cross-attention entries (indices
+    1,3,…,139).  The processor enumeration at XL: down_blocks.1
+    (2 attentions × depth 2), down_blocks.2 (2 × 10), up_blocks.0
+    (3 × 10), up_blocks.1 (3 × 2), mid (1 × 10) — written out here from
+    the architecture, compared against cross_attention_paths."""
+    import dataclasses as dc
+
+    from theatergen_tpu.config import sdxl_config
+
+    xcfg = sdxl_config()
+    ucfg = dc.replace(xcfg.unet, ip_num_tokens=4)
+    unet = UNet2DCondition(ucfg)
+    pooled = (ucfg.projection_class_embeddings_input_dim
+              - 6 * ucfg.addition_time_embed_dim)
+    tree = jax.eval_shape(lambda: unet.init(
+        jax.random.key(0), jnp.zeros((1, 128, 128, 4)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, xcfg.text.max_length + 4, ucfg.cross_attention_dim)),
+        pooled_text=jnp.zeros((1, pooled)),
+        time_ids=jnp.zeros((1, 6))))["params"]
+    paths = W.cross_attention_paths(tree)
+
+    expected = []
+    for bi, depth in ((1, 2), (2, 10)):           # down levels with attn
+        for ai in range(2):
+            for d in range(depth):
+                expected.append(["encoder", f"down_blocks_{bi}_attentions_{ai}",
+                                 f"transformer_blocks_{d}", "attn2"])
+    for bi, depth in ((0, 10), (1, 2)):           # up levels with attn
+        for ai in range(3):
+            for d in range(depth):
+                expected.append([f"up_blocks_{bi}_attentions_{ai}",
+                                 f"transformer_blocks_{d}", "attn2"])
+    for d in range(10):                           # mid last
+        expected.append(["mid", "mid_block_attentions_0",
+                         f"transformer_blocks_{d}", "attn2"])
+    assert len(expected) == 70
+    assert paths == expected, (len(paths), paths[:3], expected[:3])
+
+
 def test_image_proj_manifest_applies():
     from theatergen_tpu.models.ip_adapter import ImageProjModel
 
