@@ -358,3 +358,90 @@ def test_apply_lora_unet():
     merged2 = LR.apply_lora_unet(params, sd2, scale=0.5)
     np.testing.assert_allclose(
         np.asarray(flatten(merged2)[changed[0]]), expect, rtol=1e-5)
+
+
+def test_kohya_module_name_conversion():
+    from theatergen_tpu.models.lora import kohya_module_to_diffusers as f
+
+    cases = {
+        "down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q":
+            "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q",
+        "down_blocks_1_attentions_0_transformer_blocks_0_ff_net_0_proj":
+            "down_blocks.1.attentions.0.transformer_blocks.0.ff.net.0.proj",
+        "mid_block_attentions_0_transformer_blocks_0_attn2_to_out_0":
+            "mid_block.attentions.0.transformer_blocks.0.attn2.to_out.0",
+        "up_blocks_1_resnets_2_time_emb_proj":
+            "up_blocks.1.resnets.2.time_emb_proj",
+        "down_blocks_0_downsamplers_0_conv":
+            "down_blocks.0.downsamplers.0.conv",
+        "up_blocks_0_upsamplers_0_conv": "up_blocks.0.upsamplers.0.conv",
+        "down_blocks_0_resnets_1_conv_shortcut":
+            "down_blocks.0.resnets.1.conv_shortcut",
+        "mid_block_resnets_0_conv1": "mid_block.resnets.0.conv1",
+        "down_blocks_2_attentions_1_proj_in":
+            "down_blocks.2.attentions.1.proj_in",
+    }
+    for src, want in cases.items():
+        assert f(src) == want, (src, f(src), want)
+
+
+def test_apply_lora_kohya_alpha_and_conv():
+    """Real kohya/webui files: lora_unet_ underscore names, per-module
+    .alpha (effective scale alpha/rank), conv-layer 4-D factors (which
+    LCM-LoRA trains), and lora_te_* entries that must be ignored."""
+    from theatergen_tpu.models import lora as LR
+    from theatergen_tpu.models.unet import UNet2DCondition
+
+    unet = UNet2DCondition(CFG.unet)
+    params = unet.init(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, CFG.text.max_length, CFG.unet.cross_attention_dim)),
+    )["params"]
+    rng = np.random.RandomState(1)
+
+    q = params["encoder"]["down_blocks_0_attentions_0"][
+        "transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+    in_f, out_f = q.shape
+    A = rng.randn(4, in_f).astype(np.float32)
+    B = rng.randn(out_f, 4).astype(np.float32)
+
+    conv = params["encoder"]["down_blocks_0_resnets_0"]["conv1"]["kernel"]
+    kh, kw, cin, cout = conv.shape
+    Ac = rng.randn(4, cin, kh, kw).astype(np.float32)
+    Bc = rng.randn(cout, 4, 1, 1).astype(np.float32)
+
+    base = "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q"
+    cbase = "lora_unet_down_blocks_0_resnets_0_conv1"
+    sd = {
+        f"{base}.lora_down.weight": A,
+        f"{base}.lora_up.weight": B,
+        f"{base}.alpha": np.float32(2.0),      # alpha/rank = 0.5
+        f"{cbase}.lora_down.weight": Ac,
+        f"{cbase}.lora_up.weight": Bc,
+        # text-encoder entries must not reach the UNet merge
+        "lora_te_text_model_encoder_layers_0_self_attn_q_proj"
+        ".lora_down.weight": rng.randn(4, 8).astype(np.float32),
+        "lora_te_text_model_encoder_layers_0_self_attn_q_proj"
+        ".lora_up.weight": rng.randn(8, 4).astype(np.float32),
+    }
+    merged = LR.apply_lora_unet(params, sd, scale=1.0)
+
+    got_q = merged["encoder"]["down_blocks_0_attentions_0"][
+        "transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(got_q), np.asarray(q) + 0.5 * (B @ A).T, rtol=1e-5)
+
+    got_c = merged["encoder"]["down_blocks_0_resnets_0"]["conv1"]["kernel"]
+    delta_torch = np.tensordot(Bc[:, :, 0, 0], Ac, axes=(1, 0))
+    np.testing.assert_allclose(
+        np.asarray(got_c),
+        np.asarray(conv) + np.transpose(delta_torch, (2, 3, 1, 0)),
+        rtol=1e-5)
+
+    changed = [k for k, v in flatten(params).items()
+               if not np.array_equal(v, flatten(merged)[k])]
+    assert sorted(changed) == [
+        "encoder/down_blocks_0_attentions_0/transformer_blocks_0/attn1/"
+        "to_q/kernel",
+        "encoder/down_blocks_0_resnets_0/conv1/kernel",
+    ]
