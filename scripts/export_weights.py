@@ -18,7 +18,9 @@ Produces, in --out:
   gdino_vocab.txt             BERT wordpiece vocab for the detector
   ip-adapter_sd15.bin         h94/IP-Adapter (+ plus / full-face variants)
   merges.txt, vocab.json      CLIP tokenizer assets
-  (optionally, with --xl)     SDXL unet/text_encoder_2/t2i adapter
+  (optionally, with --xl)     SDXL unet/text_encoder_2/ip-adapter_sdxl
+                              (no t2i adapter: the reference's t2i_ckpt is
+                              undefined, generate.py:123 — nothing to pin)
 
 These are exactly the models the reference loads (generate.py:55-147,
 SURVEY.md §2.12).

@@ -8,6 +8,15 @@ conv stem and per-level residual stages (downsampling between levels)
 emitting one feature map per UNet down level; the UNet adds each map to its
 hidden state at the end of the matching level
 (``UNet2DCondition(..., level_residuals=...)``).
+
+Checkpoint provenance note: the reference never pins an adapter
+checkpoint — its XL branch references an **undefined** ``t2i_ckpt``
+(``generate.py:123`` raises NameError as shipped), so there is no
+ground-truth file to port.  This module is therefore a TPU-native
+functional equivalent sized to OUR UNet's levels (trained/persisted via
+the orbax snapshot path), not a diffusers ``FullAdapterXL`` layout clone;
+a TencentARC-weights converter would additionally need diffusers'
+intra-block injection semantics, which the reference does not exercise.
 """
 
 from __future__ import annotations
