@@ -405,3 +405,85 @@ def test_http_facade(bundle, tmp_path):
     finally:
         httpd.shutdown()
         srv.close()
+
+
+# ---- arrival-aware wave policy (VERDICT r3 next-#3) ---------------------
+
+def test_wave_policy_decision_table(bundle, tmp_path):
+    """_wait_for_peers encodes the chip-measured SLO regimes directly."""
+    srv = TheaterServer(bundle, str(tmp_path / "db"), num_steps=3,
+                        batch_window_s=0.2)
+    try:
+        assert srv.wave_policy == "auto"
+        assert srv._wait_for_peers()          # no arrival history yet
+        srv._gap_ema = 5.0
+        assert not srv._wait_for_peers()      # sparse: gaps >> window
+        srv._gap_ema = 0.05
+        assert srv._wait_for_peers()          # bursty: peer imminent
+        srv.wave_policy = "always"
+        srv._gap_ema = 5.0
+        assert srv._wait_for_peers()          # forced window
+        srv.wave_policy = "never"
+        srv._gap_ema = 0.0
+        assert not srv._wait_for_peers()      # forced serial
+    finally:
+        srv.close()
+
+
+def test_wave_policy_auto_sparse_dispatches_solo(bundle, tmp_path):
+    """With a hostile window and sparse observed arrivals, auto must NOT
+    hold the lone request hostage (the r3 Poisson-0.05/s failure mode)."""
+    import time as _time
+
+    srv = TheaterServer(bundle, str(tmp_path / "db"), num_steps=3,
+                        batch_window_s=30.0)
+    try:
+        srv.open_session("s0")
+        srv._gap_ema = 60.0       # pre-observed sparse regime
+        t0 = _time.monotonic()
+        res = srv.run_turn("s0", SPEC_A, seed=0, timeout=600)
+        took = _time.monotonic() - t0
+        assert np.isfinite(res.image).all()
+        assert took < 25.0, f"window was not skipped ({took:.1f}s)"
+        assert srv.stats()["waves"] == 0
+    finally:
+        srv.close()
+
+
+def test_wave_policy_auto_saturated_still_batches(bundle, tmp_path):
+    """Sparse EMA must not defeat batching when peers are ALREADY queued
+    at dispatch (saturated regime: queue non-empty wins)."""
+    srv = TheaterServer(bundle, str(tmp_path / "db"), num_steps=3,
+                        batch_window_s=0.5)
+    try:
+        for sid in ("a", "b", "c"):
+            srv.open_session(sid)
+        f0 = srv.submit("a", SPEC_A, seed=0)     # occupies the worker
+        f1 = srv.submit("b", SPEC_B, seed=1)     # queue behind it
+        f2 = srv.submit("c", SPEC_A, seed=2)
+        srv._gap_ema = 999.0                     # pretend sparse history
+        for f in (f0, f1, f2):
+            assert np.isfinite(f.result(timeout=900).image).all()
+        assert srv.stats()["waves"] >= 1
+    finally:
+        srv.close()
+
+
+def test_wave_policy_never_is_serial(bundle, tmp_path):
+    srv = TheaterServer(bundle, str(tmp_path / "db"), num_steps=3,
+                        batch_window_s=0.5, wave_policy="never")
+    try:
+        srv.open_session("a")
+        srv.open_session("b")
+        f1 = srv.submit("a", SPEC_A, seed=0)
+        f2 = srv.submit("b", SPEC_B, seed=1)
+        f1.result(timeout=900), f2.result(timeout=900)
+        assert srv.stats()["waves"] == 0
+        assert srv.stats()["turns"] == 2
+    finally:
+        srv.close()
+
+
+def test_wave_policy_validation():
+    with pytest.raises(ValueError, match="wave_policy"):
+        TheaterServer(None, "/tmp/nonexistent", wave_policy="sometimes")

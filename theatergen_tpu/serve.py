@@ -111,12 +111,27 @@ class TheaterServer:
 
     def __init__(self, bundle, db_root: str, *, mesh=None,
                  max_wave: int = 8, batch_window_s: float = 0.05,
+                 wave_policy: str = "auto",
                  max_queue: int = 64, **theater_kwargs):
         self.bundle = bundle
         self.db_root = db_root
         self.mesh = mesh
         self.max_wave = max(1, int(max_wave))
         self.batch_window_s = float(batch_window_s)
+        if wave_policy not in ("auto", "always", "never"):
+            raise ValueError(f"wave_policy must be auto/always/never, "
+                             f"got {wave_policy!r}")
+        self.wave_policy = wave_policy
+        # arrival-rate tracking for the "auto" policy: EMA of inter-submit
+        # gaps.  Chip-measured motivation (BENCH_NOTES, r3e/r3f SLO runs):
+        # wave batching wins the saturated/closed-loop regime (DDIM 1.12x,
+        # LCM-4 1.686x) but LOSES sparse open-loop traffic (Poisson 0.05/s:
+        # DDIM 0.933x, LCM 0.766x with ~4x worse p95) because the window
+        # holds an early arrival hostage.  "auto" keeps the window only
+        # when arrivals are at least window-dense or peers are already
+        # queued at dispatch.
+        self._gap_ema: Optional[float] = None
+        self._last_arrival: Optional[float] = None
         self.max_queue = int(max_queue)
         self.theater_kwargs = theater_kwargs
         self.sessions: Dict[str, Session] = {}
@@ -240,6 +255,12 @@ class TheaterServer:
             if self._pending >= self.max_queue:
                 raise ServerBusy(f"{self._pending} turns pending")
             self._pending += 1
+            now = time.monotonic()
+            if self._last_arrival is not None:
+                gap = now - self._last_arrival
+                self._gap_ema = (gap if self._gap_ema is None
+                                 else 0.5 * self._gap_ema + 0.5 * gap)
+            self._last_arrival = now
             if seed is None:
                 # the reference derives per-turn seeds from the dialogue
                 # index + turn index (generate.py:236-243); sessions do
@@ -310,17 +331,44 @@ class TheaterServer:
 
     def stats(self) -> dict:
         return dict(sessions=len(self.sessions), pending=self._pending,
-                    waves=self.waves_run, turns=self.turns_done)
+                    waves=self.waves_run, turns=self.turns_done,
+                    wave_policy=self.wave_policy, gap_ema_s=self._gap_ema)
 
     # ---- worker ---------------------------------------------------------
+    def _wait_for_peers(self) -> bool:
+        """Arrival-aware batching decision, taken once per dispatch with
+        one request in hand:
+
+        - ``always``: wait the batch window (round-2 behavior).
+        - ``never``: dispatch solo immediately.
+        - ``auto`` (default): wait only if peers are ALREADY queued
+          (saturated regime — batching them is free and chip-measured to
+          win), or if the observed inter-arrival EMA is within the batch
+          window (burst regime — a peer is statistically imminent).
+          Sparse traffic (gaps > window) dispatches solo: the r3
+          Poisson-0.05/s chip runs showed the window there only trades
+          p95 for nothing (serial 0.766-0.933x BETTER than wave).
+        """
+        if self.wave_policy == "never":
+            return False
+        if self.wave_policy == "always":
+            return True
+        if not self._queue.empty():
+            return True                       # saturated: peers waiting now
+        gap = self._gap_ema
+        return gap is None or gap <= self.batch_window_s
+
     def _take_wave(self) -> List[_Request]:
         """Block for one request, then gather the ones arriving inside the
-        batch window.  submit() guarantees at most one queued request per
-        session, so every take is wave-compatible."""
+        batch window (policy permitting — see :meth:`_wait_for_peers`).
+        submit() guarantees at most one queued request per session, so
+        every take is wave-compatible."""
         first = self._queue.get()
         if first is None:
             return []
         wave = [first]
+        if not self._wait_for_peers():
+            return wave
         deadline = time.monotonic() + self.batch_window_s
         while len(wave) < self.max_wave:
             rest = deadline - time.monotonic()
@@ -532,6 +580,11 @@ def main(argv=None) -> None:
     ap.add_argument("--num_steps", type=int, default=None)
     ap.add_argument("--max_wave", type=int, default=8)
     ap.add_argument("--batch_window_s", type=float, default=0.05)
+    ap.add_argument("--wave_policy", default="auto",
+                    choices=["auto", "always", "never"],
+                    help="auto: batch when saturated/bursty, solo when "
+                         "sparse (chip-measured SLO data, BENCH_NOTES); "
+                         "always: always wait the window; never: serial")
     ap.add_argument("--max_queue", type=int, default=64)
     ap.add_argument("--scheduler", default=None,
                     choices=["ddim", "euler_ancestral", "lcm"])
@@ -545,7 +598,8 @@ def main(argv=None) -> None:
     mesh = gen_cli.parse_mesh_arg(args.mesh)
     server = TheaterServer(
         bundle, args.db_root, mesh=mesh, max_wave=args.max_wave,
-        batch_window_s=args.batch_window_s, max_queue=args.max_queue,
+        batch_window_s=args.batch_window_s, wave_policy=args.wave_policy,
+        max_queue=args.max_queue,
         num_steps=args.num_steps, guided=not args.no_guidance,
     )
     httpd = serve_http(server, args.out_dir, args.port)
