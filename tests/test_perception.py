@@ -228,3 +228,39 @@ def test_owl_detector_shapes_and_backend():
     assert box.shape == (4,) and isinstance(conf, float)
     count = backend.count_instances(np.zeros((64, 64, 3), np.float32), "a cat")
     assert count >= 0
+
+
+def test_segment_with_box_legacy_single_wrapper():
+    """sam_refine_box parity surface (ref models/sam.py:176-182): one
+    image + one box -> (mask, conf), via the batched legacy variant."""
+    from theatergen_tpu.config import tiny_config
+
+    scfg = tiny_config().sam
+    sam = SM.SAMLite(scfg)
+    s = scfg.image_size
+    img = jax.random.uniform(jax.random.key(0), (s, s, 3))
+    box = jnp.array([0.2, 0.2, 0.7, 0.7])
+    params = sam.init(jax.random.key(1), img[None], box[None, None])["params"]
+    mask, conf = SM.segment_with_box_legacy(sam, params, img, box,
+                                            out_size=16)
+    assert mask.shape == (16, 16)
+    assert conf.shape == ()
+    assert np.isfinite(np.asarray(mask)).all()
+
+
+def test_legacy_selection_uses_box_as_coarse_mask():
+    """The legacy rule is largest_over_conf gated by IoU against the
+    RASTERIZED INPUT BOX (ref models/sam.py:184-209): a huge candidate
+    that covers the box but sprawls far outside it must lose to a
+    candidate matching the box."""
+    from theatergen_tpu.ops import geometry as G
+
+    h = w = 16
+    box = jnp.array([0.25, 0.25, 0.75, 0.75])
+    cm = G.box_mask(box, h, w)
+    sprawl = jnp.ones((h, w))                  # IoU with box mask = 0.25
+    snug = cm                                   # IoU = 1.0
+    masks = jnp.stack([sprawl, snug])
+    idx = SM.select_mask(masks, jnp.array([0.9, 0.9]), cm,
+                         min_coarse_iou=0.5)
+    assert int(idx) == 1

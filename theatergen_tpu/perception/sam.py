@@ -278,28 +278,42 @@ def segment_with_box_batch(
 def segment_with_boxes(
     sam: SAMLite, params, image: jnp.ndarray, boxes: jnp.ndarray,
     out_size: int = 64,
+    *,
+    min_confidence: float = 0.85,
+    min_coarse_iou: float = 0.25,
 ):
-    """Batched multi-box variant selecting by box-IoU (the reference's
-    legacy ``sam_refine_box/sam_refine_boxes``, ``models/sam.py:176-215``):
-    each prompt box gets the candidate whose mask-bbox best matches it."""
+    """Batched multi-box variant with box-coarse selection (the
+    reference's legacy ``sam_refine_box/sam_refine_boxes``,
+    ``models/sam.py:176-215``): each prompt box rasterizes to a binary
+    mask whose IoU with the candidates gates the 'largest_over_conf'
+    rule — the exact selection the reference applies there (coarse mask
+    = the *input box* instead of the attention mask used by
+    ``sam_refine_attn``)."""
     logits, iou = _apply_sam(sam, params, image[None], boxes[None])
     logits, iou = logits[0], iou[0]            # [Nb, M, h, w], [Nb, M]
     probs = jax.nn.sigmoid(logits)
     masks_bin = (probs > 0.5).astype(jnp.float32)
 
-    def per_box(mb, box):
+    def per_box(mb, io, box):
         h, w = mb.shape[-2:]
+        cm = G.box_mask(box, h, w)             # ref: proportion_to_mask
+        return select_mask(mb, io, cm, min_confidence=min_confidence,
+                           min_coarse_iou=min_coarse_iou)
 
-        def mask_box(m):
-            b = G.mask_to_box(m, enlarge_by_one=False).astype(jnp.float32)
-            return b / jnp.array([w, h, w, h], jnp.float32)
-
-        cand = jax.vmap(mask_box)(mb)
-        ious = jax.vmap(lambda c: G.box_iou(c, box))(cand)
-        return jnp.argmax(ious)
-
-    idx = jax.vmap(per_box)(masks_bin, boxes)
+    idx = jax.vmap(per_box)(masks_bin, iou, boxes)
     chosen = jax.vmap(lambda p, i: p[i])(probs, idx)
     out = jax.vmap(lambda m: refine_mask(
         G.resize_bilinear(m, out_size, out_size)))(chosen)
     return out, jax.vmap(lambda s, i: s[i])(iou, idx)
+
+
+def segment_with_box_legacy(
+    sam: SAMLite, params, image: jnp.ndarray, box: jnp.ndarray,
+    out_size: int = 64, **select_kwargs,
+):
+    """One image + one box → (mask, confidence): the reference's
+    ``sam_refine_box`` (``models/sam.py:176-182``), a thin single-box
+    wrapper over the batched variant."""
+    masks, confs = segment_with_boxes(sam, params, image, box[None],
+                                      out_size=out_size, **select_kwargs)
+    return masks[0], confs[0]
