@@ -78,4 +78,32 @@ if rows:
     print("wrote", out)
 EOF
 
-echo "=== done: $OUT/scores.json is the quality gate ==="
+# ---- latent-level golden parity (VERDICT r3 next-#2) --------------------
+# If a goldens bundle sits next to the weights (exported once by
+# scripts/export_reference_goldens.py on the weights machine), compare
+# our denoise loop latent-for-latent against the reference trajectories.
+GOLDENS=${GOLDENS_DIR:-"$WEIGHTS/../goldens"}
+if [ "${PARITY_TINY:-0}" = "1" ]; then
+  echo "=== goldens: self-test (tiny, validates plumbing only) ==="
+  python scripts/golden_parity.py --self --out_json "$OUT/goldens.json"
+elif [ -d "$GOLDENS" ]; then
+  echo "=== goldens: latent-for-latent parity vs reference trajectories ==="
+  python scripts/golden_parity.py --goldens "$GOLDENS" \
+    --weights "$WEIGHTS" --out_json "$OUT/goldens.json"
+else
+  echo "=== goldens: SKIPPED (no bundle at $GOLDENS — run"
+  echo "    scripts/export_reference_goldens.py on the weights machine) ==="
+fi
+
+# ---- independent-judge detector agreement (VERDICT r3 next-#2c) ---------
+# With ported GDINO weights the detect-regen loop stops grading its own
+# homework; measure the attention-detect vs independent-detector gap.
+echo "=== detector agreement (independent judge) ==="
+if [ "${PARITY_TINY:-0}" = "1" ]; then
+  python scripts/detect_agreement.py --n 4 | tee "$OUT/detect_agreement.txt"
+else
+  python scripts/detect_agreement.py --n 16 --weights_dir "$WEIGHTS" \
+    | tee "$OUT/detect_agreement.txt"
+fi
+
+echo "=== done: $OUT/scores.json (quality) + $OUT/goldens.json (latent parity) ==="

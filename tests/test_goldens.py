@@ -1,0 +1,152 @@
+"""Golden-parity kit: format round-trip, injection hooks, verdicts.
+
+The kit (VERDICT r3 next-#2) makes day-1-with-weights a parity verdict:
+``export_reference_goldens.py`` (torch side, not runnable here) dumps
+noise/embeddings/trajectories; ``eval/goldens.py`` injects them through
+our denoise loop.  These tests prove the no-torch half: the on-disk
+format round-trips, injected inputs reproduce a recorded run exactly,
+and a semantically wrong run fails the verdict loudly.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from theatergen_tpu.config import tiny_config
+from theatergen_tpu.eval import goldens as GD
+from theatergen_tpu.ops import latents as L
+from theatergen_tpu.ops import scheduler as sched_ops
+from theatergen_tpu.pipelines import sd
+from theatergen_tpu.pipelines.bundle import init_bundle
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return init_bundle(tiny_config(), jax.random.key(0))
+
+
+def _export_self_case(bundle, tmp, steps=3, seed=11):
+    cfg = bundle.cfg
+    context = np.asarray(sd.encode_prompts(bundle, "a red knight", ""))
+    h, w = cfg.pipeline.latent_height, cfg.pipeline.latent_width
+    lat0 = np.asarray(sd.seeded_latents(jax.random.key(seed), 1, h, w),
+                      np.float32)
+    sched = sched_ops.make_schedule(cfg.scheduler, steps)
+
+    def unet_apply(x, t, c):
+        return bundle.unet.apply(
+            {"params": bundle.unet_params}, x,
+            jnp.broadcast_to(t[None], (x.shape[0],)), c)
+
+    final, traj = sd.denoise(unet_apply, sched, jnp.asarray(lat0),
+                             jnp.asarray(context), 7.5,
+                             collect_trajectory=True)
+    img = np.asarray(sd.decode_latents(bundle, final))[0]
+    GD.save_case(str(tmp), "case_a", prompt="a red knight", negative="",
+                 num_steps=steps, guidance_scale=7.5, seed=seed,
+                 init_latents=lat0, context=context,
+                 trajectory=np.asarray(traj, np.float32), image=img)
+    return lat0, context, np.asarray(traj, np.float32)
+
+
+def test_format_round_trip(bundle, tmp_path):
+    lat0, context, traj = _export_self_case(bundle, tmp_path)
+    assert GD.list_cases(str(tmp_path)) == ["case_a"]
+    case = GD.load_case(str(tmp_path), "case_a")
+    # NHWC → NCHW on disk → NHWC back must be exact
+    np.testing.assert_array_equal(case.init_latents, lat0)
+    np.testing.assert_array_equal(case.context, context)
+    np.testing.assert_array_equal(case.trajectory, traj)
+    assert case.image.shape[-1] == 3
+    # on-disk layout is torch NCHW (what the exporter writes)
+    raw = np.load(os.path.join(tmp_path, "case_a", "init_latents.npy"))
+    assert raw.shape == (1, 4) + lat0.shape[1:3]
+    meta = json.load(open(os.path.join(tmp_path, "case_a", "meta.json")))
+    assert meta["num_steps"] == 3 and meta["guidance_scale"] == 7.5
+
+
+def test_injection_reproduces_recorded_run(bundle, tmp_path):
+    _export_self_case(bundle, tmp_path)
+    case = GD.load_case(str(tmp_path), "case_a")
+    res = GD.run_case(bundle, case)
+    assert res["context"] == "injected"
+    assert res["final_mse"] < 1e-9           # same program, same inputs
+    assert max(res["step_mse"]) < 1e-9
+    assert res["image_psnr_db"] > 50.0       # PNG uint8 round-trip bound
+    assert GD.verdict(res)
+
+
+def test_own_text_encoder_mode_matches_here(bundle, tmp_path):
+    # our exported context came from our own encoder, so re-encoding must
+    # agree; with real reference goldens this row isolates text-stack bugs
+    _export_self_case(bundle, tmp_path)
+    case = GD.load_case(str(tmp_path), "case_a")
+    res = GD.run_case(bundle, case, use_own_text_encoder=True)
+    assert res["context"] == "own-encoder"
+    assert res["final_mse"] < 1e-6
+    assert GD.verdict(res)
+
+
+def test_semantic_bug_fails_verdict(bundle, tmp_path):
+    """A wrong guidance scale (the kind of bug parity exists to catch)
+    must fail by orders of magnitude, not hide inside the tolerance."""
+    _export_self_case(bundle, tmp_path)
+    case = GD.load_case(str(tmp_path), "case_a")
+    case.guidance_scale = 1.0                # exported run used 7.5
+    res = GD.run_case(bundle, case)
+    assert res["final_rel_mse"] > 0.05
+    assert not GD.verdict(res)
+
+
+def test_input_latents_noise_injection():
+    """input_latents_for_boxes accepts external unit-normal noise in place
+    of its seeded draws (the orchestrator-path injection hook)."""
+    boxes = jnp.array([[0.1, 0.1, 0.5, 0.5], [0.4, 0.4, 0.9, 0.9]])
+    h = w = 8
+    rng_bg, rng_fg = jax.random.key(1), jax.random.key(2)
+    per_obj, bg = L.input_latents_for_boxes(rng_bg, rng_fg, boxes, h, w)
+    # injecting the SAME noise the seeded path drew reproduces it exactly
+    bg_noise = np.asarray(L.unscaled_latents(rng_bg, (1, h, w, 4)))
+    fg_noise = np.asarray(L.unscaled_latents(rng_fg, (2, 1, h, w, 4)))
+    per2, bg2 = L.input_latents_for_boxes(
+        rng_bg, rng_fg, boxes, h, w, bg_noise=bg_noise, fg_noise=fg_noise)
+    np.testing.assert_array_equal(np.asarray(per_obj), np.asarray(per2))
+    np.testing.assert_array_equal(np.asarray(bg), np.asarray(bg2))
+    # and DIFFERENT noise changes the result (the hook is actually live)
+    per3, _ = L.input_latents_for_boxes(
+        rng_bg, rng_fg, boxes, h, w, bg_noise=bg_noise * 0.0,
+        fg_noise=fg_noise)
+    assert np.abs(np.asarray(per_obj) - np.asarray(per3)).max() > 1e-3
+
+
+def test_sampler_step_noise_injection():
+    """Sampler.step(noise=...) overrides the ancestral/consistency draw."""
+    cfg = tiny_config().scheduler
+    for kind in ("euler_ancestral", "lcm"):
+        s = sched_ops.make_sampler(cfg, 4, kind=kind)
+        x = jax.random.normal(jax.random.key(3), (1, 8, 8, 4))
+        eps = jax.random.normal(jax.random.key(4), (1, 8, 8, 4))
+        rng = jax.random.key(5)
+        # injecting the same noise the rng path folds in → identical step
+        ref_noise = jax.random.normal(jax.random.fold_in(rng, 1), x.shape,
+                                      jnp.float32)
+        a = s.step(eps, 1, x, rng=rng)
+        b = s.step(eps, 1, x, noise=ref_noise)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        # a different injected noise changes the step
+        c = s.step(eps, 1, x, noise=ref_noise * 0.0)
+        assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
+
+
+def test_psnr_and_verdict_edges():
+    a = np.zeros((4, 4, 3)); b = np.zeros((4, 4, 3))
+    assert GD.psnr(a, b) == float("inf")
+    b[0, 0, 0] = 1.0
+    assert 0 < GD.psnr(a, b) < 60
+    assert GD.verdict({"final_rel_mse": 0.01})
+    assert not GD.verdict({"final_rel_mse": 0.2})
+    assert not GD.verdict({"final_rel_mse": 0.01, "image_psnr_db": 10.0})

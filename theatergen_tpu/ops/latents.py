@@ -49,16 +49,26 @@ def input_latents_for_boxes(
     fg_blending_ratio: float = 0.1,
     init_noise_sigma: float = 1.0,
     channels: int = 4,
+    bg_noise: Optional[jnp.ndarray] = None,
+    fg_noise: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shared bg noise + per-box fg-blended noise for all K objects at once
     (reference ``get_input_latents_list``, ``utils/latents.py:257-295``:
     same bg generator, one fg generator per object).
 
+    ``bg_noise [1, h, w, C]`` / ``fg_noise [K, 1, h, w, C]`` override the
+    seeded draws with externally supplied unit-normal noise — the
+    reference-noise injection hook for golden parity against the torch
+    reference, whose ``torch.manual_seed`` streams jax can't reproduce
+    (SURVEY §7 "RNG parity"; see ``theatergen_tpu/eval/goldens.py``).
+
     Returns ``(per_object [K, 1, h, w, C], bg [1, h, w, C])``.
     """
-    bg = unscaled_latents(rng_bg, (1, h, w, channels))
+    bg = (unscaled_latents(rng_bg, (1, h, w, channels))
+          if bg_noise is None else jnp.asarray(bg_noise, jnp.float32))
     k = boxes.shape[0]
-    fg = unscaled_latents(rng_fg, (k, 1, h, w, channels))
+    fg = (unscaled_latents(rng_fg, (k, 1, h, w, channels))
+          if fg_noise is None else jnp.asarray(fg_noise, jnp.float32))
     masks = jax.vmap(lambda b: G.box_mask(b, h, w))(boxes)  # [K, h, w]
 
     def blend_one(fg_i, mask_i):

@@ -458,14 +458,22 @@ class Sampler:
             return ea_scale_model_input(self.ea, sample, i)
         return sample
 
-    def step(self, model_output, i, sample, rng=None):
+    def step(self, model_output, i, sample, rng=None, noise=None):
+        """``noise`` (optional ``[h, w, ...]``-shaped array) overrides the
+        per-step ancestral/consistency noise draw — the reference-noise
+        injection hook for latent-level golden parity against torch
+        schedulers whose RNG streams jax can't reproduce (SURVEY §7 "RNG
+        parity"; see ``theatergen_tpu/eval/goldens.py``)."""
         if self.kind in ("euler_ancestral", "lcm"):
-            assert rng is not None, f"{self.kind} sampler needs rng"
-            import jax
+            if noise is None:
+                assert rng is not None, f"{self.kind} sampler needs rng"
+                import jax
 
-            noise = jax.random.normal(
-                jax.random.fold_in(rng, i), sample.shape, jnp.float32
-            ).astype(sample.dtype)
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng, i), sample.shape, jnp.float32
+                ).astype(sample.dtype)
+            else:
+                noise = noise.astype(sample.dtype)
             if self.kind == "lcm":
                 return lcm_step(self.lcm, model_output, i, sample, noise)
             return ea_step(self.ea, model_output, i, sample, noise)

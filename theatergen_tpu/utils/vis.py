@@ -48,6 +48,26 @@ def display(image: np.ndarray, save_prefix: str = "",
     return path
 
 
+def save_image_rgb(path: str, image: np.ndarray) -> None:
+    """[H, W, 3] float [0,1] (or uint8) → PNG."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """PNG/JPEG → [H, W, 3] float32 in [0, 1]."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"), np.float32)
+    return arr / 255.0
+
+
 def colorize(gray: np.ndarray) -> np.ndarray:
     """[H, W] scalar map → viridis-like RGB [H, W, 3] in [0,1]."""
     g = np.asarray(gray, np.float32)
