@@ -9,10 +9,17 @@ reference's own latency metric is wall-clock per 4-turn dialogue
 Weights are random (identical FLOP/byte profile to trained weights),
 materialized host-side to avoid a giant on-device init compile; the
 persistent compilation cache makes repeat runs start fast.
+
+The default run also emits two live sub-metrics in the same JSON line:
+``ip_hot_loop`` (the reference's actual per-character op — 81-token
+IP-attention context, VERDICT r3 next-#5) and ``sdxl_1024`` (the
+BASELINE config-5 editing shape, VERDICT r3 next-#1), each best-effort
+under a time budget so a cold compile cache can't starve the headline.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -36,18 +43,23 @@ DP = int(os.environ.get("THEATERGEN_BENCH_DP", "1"))
 # THEATERGEN_BENCH_STEPS=30 THEATERGEN_BENCH_BATCH=1 for the reference's
 # editing-task shape)
 MODEL = os.environ.get("THEATERGEN_BENCH_MODEL", "sd15")
-# also measure the IP-Adapter hot loop (81-token context + decoupled
-# image attention in every cross layer — the reference's actual
-# per-character op, models/pipelines.py:246-247,406-453) and emit it as
-# a second number in the same JSON line, so the headline can't be read
-# as flattering (VERDICT r3 next-#5).  Default ON for the default sd15
-# DDIM config only.
+# sub-metrics on the default sd15 DDIM config (each skippable):
+#   ip_hot_loop — 81-token context + decoupled image attention in every
+#     cross layer (ref models/pipelines.py:246-247,406-453)
+#   sdxl_1024   — SDXL 1024px 30-step batch-1 CFG (ref
+#     models/pipelines.py:635-696, the BASELINE config-5 editing path)
 MEASURE_IP = os.environ.get("THEATERGEN_BENCH_IP", "1") == "1"
+MEASURE_SDXL = os.environ.get("THEATERGEN_BENCH_SDXL", "1") == "1"
 TARGET = 4.0  # images/sec/chip, BASELINE.json
 
 
 LAST_MEASURED = 1.4283  # img/s, 2026-08-19 packed-ON (see BENCH_NOTES.md)
 INIT_TIMEOUT_S = int(os.environ.get("THEATERGEN_BENCH_TIMEOUT", "2400"))
+# start a sub-metric only while elapsed wall-clock is under this (leaves
+# headroom before INIT_TIMEOUT_S for a cold-cache SDXL compile)
+SUBMETRIC_BUDGET_S = int(os.environ.get("THEATERGEN_BENCH_SUB_BUDGET",
+                                        "1200"))
+_T0 = time.perf_counter()
 
 
 def _arm_timeout() -> None:
@@ -86,65 +98,51 @@ def _arm_timeout() -> None:
     t.start()
 
 
-def main() -> None:
-    from theatergen_tpu.utils.fastinit import materialize_params, setup_compile_cache
-
-    _arm_timeout()
-    setup_compile_cache()
-
+def _build_case(model: str, batch: int, steps: int, *, sampler: str = "ddim",
+                ip_tokens: int = 0, use_flash: bool = True,
+                use_int8: bool = False, cfg_cutoff=None, deepcache=None):
+    """Build one measurement case: the jitted full denoise loop plus its
+    inputs.  Returns ``(run, params, lat0, ctx)``."""
     import jax
     import jax.numpy as jnp
 
-    from theatergen_tpu.config import sd15_config
+    from theatergen_tpu.config import sd15_config, sdxl_config
     from theatergen_tpu.models.unet import UNet2DCondition
     from theatergen_tpu.ops import scheduler as sched_ops
     from theatergen_tpu.pipelines import sd
+    from theatergen_tpu.utils.fastinit import materialize_params
 
-    import dataclasses
-
-    if MODEL == "sdxl":
-        from theatergen_tpu.config import sdxl_config
-
-        cfg = sdxl_config()
-    else:
-        cfg = sd15_config()
-    ucfg = dataclasses.replace(cfg.unet, flash_attention=USE_FLASH,
-                               quantized=USE_INT8)
+    cfg = sdxl_config() if model == "sdxl" else sd15_config()
+    ucfg = dataclasses.replace(cfg.unet, flash_attention=use_flash,
+                               quantized=use_int8, ip_num_tokens=ip_tokens)
     unet = UNet2DCondition(ucfg)
     hw = ucfg.sample_size
     lat0 = jax.device_put(
-        jax.random.normal(jax.random.key(0), (BATCH, hw, hw, 4))
-    )
+        jax.random.normal(jax.random.key(0), (batch, hw, hw, 4)))
     t0 = jnp.zeros((1,), jnp.int32)
     ctx = jax.random.normal(
         jax.random.key(1),
-        (2 * BATCH, cfg.text.max_length, cfg.unet.cross_attention_dim),
-        jnp.bfloat16,
-    )
+        (2 * batch, cfg.text.max_length + ip_tokens,
+         cfg.unet.cross_attention_dim),
+        jnp.bfloat16)
     xl_kwargs = {}
     if ucfg.addition_embed_type == "text_time":
         pooled_dim = (ucfg.projection_class_embeddings_input_dim
                       - 6 * ucfg.addition_time_embed_dim)
         xl_kwargs = dict(
-            pooled_text=jnp.zeros((2 * BATCH, pooled_dim), jnp.bfloat16),
+            pooled_text=jnp.zeros((2 * batch, pooled_dim), jnp.bfloat16),
             time_ids=jnp.tile(
                 jnp.array([[1024, 1024, 0, 0, 1024, 1024]], jnp.bfloat16),
-                (2 * BATCH, 1)),
-        )
+                (2 * batch, 1)))
     params = materialize_params(
         lambda: unet.init(
             jax.random.key(2), jnp.zeros((1, hw, hw, 4)), t0, ctx[:1],
-            **{k: v[:1] for k, v in xl_kwargs.items()}
-        )["params"],
-        dtype=jnp.bfloat16,
-    )
-    if SAMPLER == "lcm":
-        if CFG_CUTOFF or DEEPCACHE:
-            raise SystemExit(
-                "THEATERGEN_BENCH_CFG_CUTOFF/DEEPCACHE do not apply to the "
-                "guidance-free LCM loop — unset them so the emitted metric "
-                "line stays honest")
-        sampler = sched_ops.make_sampler(cfg.scheduler, STEPS, kind="lcm")
+            **{k: v[:1] for k, v in xl_kwargs.items()})["params"],
+        dtype=jnp.bfloat16)
+    ip_scale = jnp.bfloat16(0.4) if ip_tokens else None   # ref DB-hit scale
+
+    if sampler == "lcm":
+        lcm = sched_ops.make_sampler(cfg.scheduler, steps, kind="lcm")
 
         @jax.jit
         def run(p, lat, context):
@@ -154,24 +152,53 @@ def main() -> None:
                                   jnp.broadcast_to(t[None], (x.shape[0],)),
                                   c, **kw)
 
-            return sd.lcm_denoise(unet_apply, sampler, lat,
-                                  context[BATCH:], jax.random.key(3))
+            return sd.lcm_denoise(unet_apply, lcm, lat,
+                                  context[batch:], jax.random.key(3))
     else:
-        sched = sched_ops.make_schedule(cfg.scheduler, STEPS)
+        sched = sched_ops.make_schedule(cfg.scheduler, steps)
 
         @jax.jit
         def run(p, lat, context):
             def unet_apply(x, t, c, **kw):
                 kw.update({k: v[-x.shape[0]:] for k, v in xl_kwargs.items()})
+                if ip_scale is not None:
+                    kw["ip_scale"] = ip_scale
                 return unet.apply({"params": p}, x,
                                   jnp.broadcast_to(t[None], (x.shape[0],)),
                                   c, **kw)
 
             final, _ = sd.denoise(unet_apply, sched, lat, context,
                                   cfg.pipeline.guidance_scale,
-                                  cfg_cutoff_steps=CFG_CUTOFF,
-                                  deepcache_interval=DEEPCACHE)
+                                  cfg_cutoff_steps=cfg_cutoff,
+                                  deepcache_interval=deepcache)
             return final
+
+    return run, params, lat0, ctx
+
+
+def _time_case(run, params, lat0, ctx, batch: int, trials: int = 5):
+    """Compile, then time ``trials`` back-to-back full loops."""
+    run(params, lat0, ctx).block_until_ready()
+    times = []
+    for _ in range(trials):
+        t_start = time.perf_counter()
+        run(params, lat0, ctx).block_until_ready()
+        times.append(time.perf_counter() - t_start)
+    best = min(times)
+    return batch / best, times
+
+
+def main() -> None:
+    from theatergen_tpu.utils.fastinit import setup_compile_cache
+
+    _arm_timeout()
+    setup_compile_cache()
+
+    import jax
+
+    run, params, lat0, ctx = _build_case(
+        MODEL, BATCH, STEPS, sampler=SAMPLER, use_flash=USE_FLASH,
+        use_int8=USE_INT8, cfg_cutoff=CFG_CUTOFF, deepcache=DEEPCACHE)
 
     if DP > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -185,15 +212,9 @@ def main() -> None:
         ctx = jax.device_put(ctx, data)
         params = jax.device_put(params, NamedSharding(mesh, P()))
 
-    run(params, lat0, ctx).block_until_ready()  # compile
-
-    times = []
-    for _ in range(5):
-        t_start = time.perf_counter()
-        run(params, lat0, ctx).block_until_ready()
-        times.append(time.perf_counter() - t_start)
-    best = min(times)
-    ips = BATCH / best / DP     # per-chip
+    ips, times = _time_case(run, params, lat0, ctx, BATCH)
+    ips /= DP   # per-chip
+    del run, params, lat0, ctx
 
     tag = " int8-W8A8" if USE_INT8 else ""
     if DP > 1:
@@ -221,64 +242,57 @@ def main() -> None:
         "kernels": {
             "flash": USE_FLASH, "flat": fa.FLAT, "packed": fa.PACKED,
             "flat16k": fa.FLAT_ONLINE, "bq": fa.DEFAULT_Q_BLOCK,
-            "bk": fa.DEFAULT_K_BLOCK, "fused_gn": gn.FUSED,
+            "bk": fa.DEFAULT_K_BLOCK, "flat_bq": fa.FLAT_BQ,
+            "fused_gn": gn.FUSED,
             "device": str(jax.devices()[0]),
         },
     }
 
-    # ---- IP-Adapter hot loop (reference's per-character op) -------------
-    ip_default_cfg = (MODEL == "sd15" and SAMPLER == "ddim"
-                      and not USE_INT8 and not CFG_CUTOFF
-                      and not DEEPCACHE and DP == 1)
-    if MEASURE_IP and ip_default_cfg:
-        ip_tokens = 4
-        unet_ip = UNet2DCondition(
-            dataclasses.replace(ucfg, ip_num_tokens=ip_tokens))
-        ctx_ip = jax.random.normal(
-            jax.random.key(4),
-            (2 * BATCH, cfg.text.max_length + ip_tokens,
-             cfg.unet.cross_attention_dim),
-            jnp.bfloat16,
-        )
-        params_ip = materialize_params(
-            lambda: unet_ip.init(
-                jax.random.key(2), jnp.zeros((1, hw, hw, 4)), t0,
-                ctx_ip[:1])["params"],
-            dtype=jnp.bfloat16,
-        )
-        ip_scale = jnp.bfloat16(0.4)    # reference DB-hit scale
+    # ---- sub-metrics (default sd15 DDIM config only) --------------------
+    default_cfg = (MODEL == "sd15" and SAMPLER == "ddim" and not USE_INT8
+                   and not CFG_CUTOFF and not DEEPCACHE and DP == 1
+                   and STEPS == 50 and BATCH == 4)
 
-        @jax.jit
-        def run_ip(p, lat, context):
-            def unet_apply(x, t, c, **kw):
-                return unet_ip.apply(
-                    {"params": p}, x,
-                    jnp.broadcast_to(t[None], (x.shape[0],)), c,
-                    ip_scale=ip_scale, **kw)
+    def _within_budget() -> bool:
+        return time.perf_counter() - _T0 < SUBMETRIC_BUDGET_S
 
-            final, _ = sd.denoise(unet_apply, sched, lat, context,
-                                  cfg.pipeline.guidance_scale)
-            return final
+    if MEASURE_IP and default_cfg:
+        if _within_budget():
+            case = _build_case("sd15", BATCH, STEPS, ip_tokens=4,
+                               use_flash=USE_FLASH)
+            ip_ips, ip_times = _time_case(*case, BATCH)
+            del case
+            out["ip_hot_loop"] = {
+                "metric": f"{label} {STEPS}-step {kind} denoise throughput, "
+                          f"batch {BATCH}, 81-token IP-attention context "
+                          f"(decoupled image attention, scale 0.4)",
+                "value": round(ip_ips, 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ip_ips / TARGET, 4),
+                "trial_s": [round(t, 4) for t in ip_times],
+                "spread_pct": round(
+                    100 * (max(ip_times) - min(ip_times)) / min(ip_times), 1),
+            }
+        else:
+            out["ip_hot_loop"] = {"skipped": "time budget exhausted"}
 
-        run_ip(params_ip, lat0, ctx_ip).block_until_ready()   # compile
-        ip_times = []
-        for _ in range(5):
-            t_start = time.perf_counter()
-            run_ip(params_ip, lat0, ctx_ip).block_until_ready()
-            ip_times.append(time.perf_counter() - t_start)
-        ip_best = min(ip_times)
-        ip_ips = BATCH / ip_best
-        out["ip_hot_loop"] = {
-            "metric": f"{label} {STEPS}-step {kind} denoise throughput, "
-                      f"batch {BATCH}, 81-token IP-attention context "
-                      f"(decoupled image attention, scale 0.4)",
-            "value": round(ip_ips, 4),
-            "unit": "images/sec/chip",
-            "vs_baseline": round(ip_ips / TARGET, 4),
-            "trial_s": [round(t, 4) for t in ip_times],
-            "spread_pct": round(
-                100 * (max(ip_times) - min(ip_times)) / min(ip_times), 1),
-        }
+    if MEASURE_SDXL and default_cfg:
+        if _within_budget():
+            case = _build_case("sdxl", 1, 30, use_flash=USE_FLASH)
+            xl_ips, xl_times = _time_case(*case, 1)
+            del case
+            out["sdxl_1024"] = {
+                "metric": "SDXL 1024px 30-step DDIM (CFG) denoise "
+                          "throughput, batch 1",
+                "value": round(xl_ips, 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(xl_ips / TARGET, 4),
+                "trial_s": [round(t, 4) for t in xl_times],
+                "spread_pct": round(
+                    100 * (max(xl_times) - min(xl_times)) / min(xl_times), 1),
+            }
+        else:
+            out["sdxl_1024"] = {"skipped": "time budget exhausted"}
 
     print(json.dumps(out))
 

@@ -44,10 +44,17 @@ def main() -> None:
         reps = 1
         shapes = [("smoke (h2 d64)", 1, 1024, 2, 64)]
 
+    import numpy as np
+
     for label, b, s, h, d in shapes:
         dp = fa._pad_head_dim(d)
         f = h * dp
-        qf = jax.random.normal(jax.random.key(0), (b, s, f), jnp.bfloat16)
+        # pre-scaled q per the packed contract (d^-0.5·log2e folded in);
+        # without it the softmax is pathologically sharp and bf16
+        # correctness comparison is meaningless (r4b lesson)
+        qf = jax.random.normal(
+            jax.random.key(0), (b, s, f), jnp.bfloat16
+        ) * jnp.bfloat16(d ** -0.5 * fa.LOG2E)
         kf = jax.random.normal(jax.random.key(1), (b, s, f), jnp.bfloat16)
         vf = jax.random.normal(jax.random.key(2), (b, s, f), jnp.bfloat16)
         auto_bq = fa._flat_q_block(s, s, f, 2)
@@ -65,14 +72,15 @@ def main() -> None:
 
             try:
                 r = many(qf, kf, vf)
-                jax.block_until_ready(r)
+                np.asarray(r[0])   # forced host fetch — the only honest
+                # sync through the axon tunnel (BENCH_NOTES round 1)
             except Exception as e:
                 print(f"  {tag:>16}: FAILED {type(e).__name__}: {e}")
                 return None
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(many(qf, kf, vf))
+                np.asarray(many(qf, kf, vf)[0])
                 best = min(best, (time.perf_counter() - t0) / reps)
             print(f"  {tag:>16}: {best * 1e3:8.3f} ms/call")
             return r[1]

@@ -96,6 +96,10 @@ PACKED = os.environ.get("THEATERGEN_FLASH_PACKED", "1") == "1"
 # 8k — ~8% at every shape; the auto (bq=256, bk=4096) picker matched
 # the measured-best block pair everywhere).  BENCH_NOTES round 3c.
 FLAT_ONLINE = os.environ.get("THEATERGEN_FLASH_FLAT16K", "1") == "1"
+# Preferred q block for the flat kernels (0 = auto ladder).  The r4b
+# isolated sweep at SDXL's 32×32 shape (b2 s1024 h20 d64) ordered
+# bq1024 < bq512 < bq256; end-to-end A/B through the SDXL bench decides.
+FLAT_BQ = int(os.environ.get("THEATERGEN_FLAT_BQ", "0"))
 # The compiler's default scoped-vmem reservation is 16M, far below the
 # 128M physical VMEM; the flat kernel raises its own limit and budgets
 # against that (whole-K blocks are what buy the copy-free layout).
@@ -218,8 +222,12 @@ def _flat_q_block(sq: int, sk: int, f: int, itemsize: int = 2) -> int:
     kv = 2 * sk * f * itemsize
     # 256 first: the probe3 chip sweep measured bq256 fastest at every
     # supported shape (L0 4.42 vs 5.11@512, L1 1.43, sdxl-4k 2.25 ms) —
-    # bq512's larger logits buffer starves the double-buffered pipeline
-    for bq in (256, 512, 128):
+    # bq512's larger logits buffer starves the double-buffered pipeline.
+    # FLAT_BQ (THEATERGEN_FLAT_BQ) forces a preferred block for
+    # end-to-end A/Bs (falls back to the default ladder if it doesn't
+    # fit the shape or the VMEM budget).
+    prefs = ((FLAT_BQ, 256, 512, 128) if FLAT_BQ else (256, 512, 128))
+    for bq in prefs:
         if bq > sq or sq % bq != 0:
             continue
         est = (kv + 2 * bq * sk * 4 + bq * sk * itemsize
