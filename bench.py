@@ -50,6 +50,11 @@ MODEL = os.environ.get("THEATERGEN_BENCH_MODEL", "sd15")
 #     models/pipelines.py:635-696, the BASELINE config-5 editing path)
 MEASURE_IP = os.environ.get("THEATERGEN_BENCH_IP", "1") == "1"
 MEASURE_SDXL = os.environ.get("THEATERGEN_BENCH_SDXL", "1") == "1"
+# raise XLA:TPU's scoped-VMEM reservation (default 16M) for the main
+# program via per-compile compiler_options — the r4c itemization traced
+# the FF net_2 dots (activation tile > 16M) running at ~60 TF/s, the
+# single biggest per-op gap in both models' conv/dot bands
+SCOPED_VMEM_KIB = int(os.environ.get("THEATERGEN_SCOPED_VMEM_KIB", "0"))
 TARGET = 4.0  # images/sec/chip, BASELINE.json
 
 
@@ -172,6 +177,10 @@ def _build_case(model: str, batch: int, steps: int, *, sampler: str = "ddim",
                                   cfg_cutoff_steps=cfg_cutoff,
                                   deepcache_interval=deepcache)
             return final
+
+    if SCOPED_VMEM_KIB:
+        run = jax.jit(run.__wrapped__).lower(params, lat0, ctx).compile(
+            {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_KIB})
 
     return run, params, lat0, ctx
 

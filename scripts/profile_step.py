@@ -55,6 +55,7 @@ _NAME = re.compile(r"^\s*(?:ROOT\s+)?%?([^\s=]+)\s*=\s*(.*)$")
 _COMP_HDR = re.compile(r"^(?:ENTRY\s+)?%?([\w\.\-]+)\s+\([^)]*\)\s*->")
 _CALLS = re.compile(r"calls=%?([\w\.\-]+)")
 _WINDOW = re.compile(r"window=\{size=([0-9x]+)")
+_LHS_DILATE = re.compile(r"lhs_dilate=([0-9x]+)")
 _DIM_LABELS = re.compile(r"dim_labels=([a-z0-9]+)_([a-z0-9]+)->")
 _LHS_CONTRACT = re.compile(r"lhs_contracting_dims=\{([0-9,]+)\}")
 
@@ -133,22 +134,34 @@ class HloInfo:
             self.instr[name] = d
 
     def _conv_flops(self, rest, out_tokens, operands) -> float:
+        """2 · |out| · Cin · effective-window.
+
+        effective-window uses ceil(size/lhs_dilate) per dim: XLA:TPU
+        rewrites batched attention einsums as base-dilated convolutions
+        (window=8x8 lhs_dilate=8x8), where only the non-inserted-zero
+        taps execute — counting the full window overstates flops ~60×
+        on those ops (measured: "3226 TF/s" phantoms in r4c)."""
         if not out_tokens or len(operands) < 2:
             return 0.0
         rhs = self.shape.get(operands[1])
         dl = _DIM_LABELS.search(rest)
-        if not rhs or not dl:
+        win = _WINDOW.search(rest)
+        if not rhs or not dl or not win:
             return 0.0
         rhs_labels = dl.group(2)
         rhs_dims = [int(d) for d in rhs[1].split(",") if d]
-        if "o" not in rhs_labels or len(rhs_dims) != len(rhs_labels):
+        if "i" not in rhs_labels or len(rhs_dims) != len(rhs_labels):
             return 0.0
-        out_ch = rhs_dims[rhs_labels.index("o")]
+        in_ch = rhs_dims[rhs_labels.index("i")]
+        sizes = [int(x) for x in win.group(1).split("x")]
+        dil = _LHS_DILATE.search(rest)
+        dils = ([int(x) for x in dil.group(1).split("x")]
+                if dil else [1] * len(sizes))
+        eff_window = 1
+        for s, dd in zip(sizes, dils):
+            eff_window *= -(-s // dd)   # ceil
         out_elems = _prod(out_tokens[0][1])
-        rhs_elems = 1
-        for d in rhs_dims:
-            rhs_elems *= d
-        return 2.0 * out_elems * rhs_elems / max(out_ch, 1)
+        return 2.0 * out_elems * in_ch * eff_window
 
     def _dot_flops(self, rest, out_tokens, operands) -> float:
         if not out_tokens or not operands:
@@ -175,6 +188,10 @@ class HloInfo:
             # nominal ops: no real execution, their "bytes" would inflate
             # the HBM floor (e.g. every weight parameter counted once)
             return "nominal", 0.0, 0.0
+        if d["opcode"] in ("async-start", "async-done"):
+            # overlapped DMA (weight-slice prefetches etc.) — the
+            # consuming op's operand bytes already count this traffic
+            return "async-dma", 0.0, 0.0
         flops = d["flops"]
         ops = {d["opcode"]}
         if "calls" in d and d["calls"] in self.comp:
