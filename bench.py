@@ -186,12 +186,19 @@ def _build_case(model: str, batch: int, steps: int, *, sampler: str = "ddim",
 
 
 def _time_case(run, params, lat0, ctx, batch: int, trials: int = 5):
-    """Compile, then time ``trials`` back-to-back full loops."""
-    run(params, lat0, ctx).block_until_ready()
+    """Compile, then time ``trials`` back-to-back full loops.
+
+    Timing syncs on a one-element host fetch of the result, not
+    ``block_until_ready`` — through the axon tunnel the latter can
+    return before the remote execution finishes (BENCH_NOTES round 1;
+    bit again by the r4c LIBTPU run: 0.0014 s "trials")."""
+    import numpy as np
+
+    np.asarray(run(params, lat0, ctx)[0, 0, 0, 0])   # compile + warm
     times = []
     for _ in range(trials):
         t_start = time.perf_counter()
-        run(params, lat0, ctx).block_until_ready()
+        np.asarray(run(params, lat0, ctx)[0, 0, 0, 0])
         times.append(time.perf_counter() - t_start)
     best = min(times)
     return batch / best, times
