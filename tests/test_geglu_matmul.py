@@ -1,0 +1,81 @@
+"""Fused GEGLU→net_2 kernel (ops/geglu_matmul.py): interpreter-mode
+correctness vs the XLA reference, FeedForward branch equivalence with an
+identical param tree, and the guidance grad path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from theatergen_tpu.ops import geglu_matmul as gg
+from theatergen_tpu.models import layers
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(gg, "INTERPRET", True)
+
+
+def _inputs(m=256, k=128, n=128, dtype=jnp.bfloat16):
+    kq, kw = jax.random.split(jax.random.key(0))
+    hg = jax.random.normal(kq, (m, 2 * k), dtype)
+    w = jax.random.normal(kw, (k, n), dtype) * 0.05
+    return hg, w
+
+
+def test_matches_reference():
+    hg, w = _inputs()
+    out = gg.geglu_matmul(hg, w)
+    ref = gg._reference(hg, w)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.15, rtol=0.05)
+
+
+def test_batched_leading_dims():
+    hg, w = _inputs(m=256)
+    out = gg.geglu_matmul(hg.reshape(2, 128, -1), w)
+    assert out.shape == (2, 128, w.shape[1])
+    np.testing.assert_allclose(
+        np.asarray(out.reshape(256, -1), np.float32),
+        np.asarray(gg.geglu_matmul(hg, w), np.float32))
+
+
+def test_grad_matches_reference():
+    hg, w = _inputs(m=128)
+    hgf = hg.astype(jnp.float32)
+
+    def loss_k(h, ww):
+        return jnp.sum(gg.geglu_matmul(h.astype(jnp.bfloat16), ww) ** 2)
+
+    def loss_r(h, ww):
+        return jnp.sum(gg._reference(h.astype(jnp.bfloat16), ww) ** 2)
+
+    gk = jax.grad(loss_k)(hgf, w)
+    gr = jax.grad(loss_r)(hgf, w)
+    np.testing.assert_allclose(np.asarray(gk, np.float32),
+                               np.asarray(gr, np.float32),
+                               atol=0.3, rtol=0.1)
+
+
+def test_feedforward_branches_identical_tree(monkeypatch):
+    x = jax.random.normal(jax.random.key(1), (1, 128, 128), jnp.bfloat16)
+    ff = layers.FeedForward(dtype=jnp.bfloat16)
+    params_off = ff.init(jax.random.key(2), x)["params"]
+
+    monkeypatch.setattr(gg, "FUSED", True)
+    monkeypatch.setattr(gg, "supported", lambda *a: True)
+    params_on = ff.init(jax.random.key(2), x)["params"]
+    flat_off = jax.tree_util.tree_leaves_with_path(params_off)
+    flat_on = jax.tree_util.tree_leaves_with_path(params_on)
+    assert [p for p, _ in flat_off] == [p for p, _ in flat_on]
+    for (_, a), (_, b) in zip(flat_off, flat_on):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_on = ff.apply({"params": params_off}, x)
+    monkeypatch.setattr(gg, "FUSED", False)
+    out_off = ff.apply({"params": params_off}, x)
+    np.testing.assert_allclose(np.asarray(out_on, np.float32),
+                               np.asarray(out_off, np.float32),
+                               atol=0.1, rtol=0.05)

@@ -10,14 +10,20 @@ safetensors checkpoints by path mapping.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# split the transformer-block output from the next consumer's fused
+# stats reduce (see BasicTransformerBlock) — chip A/B knob, default off
+FF_BARRIER = os.environ.get("THEATERGEN_FF_BARRIER", "0") == "1"
+
 from ..ops import attention as attn_ops
 from ..ops import flash_attention as fa_ops
+from ..ops import geglu_matmul as gg_ops
 from ..ops import groupnorm as gn_ops
 from ..ops.quant import QuantDense
 
@@ -190,16 +196,28 @@ class GEGLU(nn.Module):
     dim_out: int
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
+    # return the raw [.., 2·dim_out] projection (value‖gate) so the fused
+    # GEGLU→net_2 kernel can consume it — same "proj" param path either way
+    proj_only: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = make_dense(self.quantized, self.dim_out * 2, dtype=self.dtype,
                        name="proj")(x)
+        if self.proj_only:
+            return h
         h, gate = jnp.split(h, 2, axis=-1)
         return h * nn.gelu(approximate=False, x=gate)
 
 
 class FeedForward(nn.Module):
+    """GEGLU → down projection.  With ``THEATERGEN_FUSED_GEGLU=1`` and a
+    Mosaic-tileable shape, the gelu-gate multiply and the ``net_2`` dot
+    run as one Pallas kernel (ops/geglu_matmul.py) — the r4c itemization
+    found XLA's version of that fusion at ~30% of either peak, the
+    biggest per-op gap in both models.  Param tree identical on both
+    branches (``_DenseParams`` owns net_2's kernel/bias)."""
+
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
@@ -207,6 +225,16 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
+        m = math.prod(x.shape[:-1])
+        if (gg_ops.FUSED and not self.quantized
+                and x.dtype == self.dtype
+                and gg_ops.supported(m, dim * self.mult, dim, x.dtype)):
+            hg = GEGLU(dim * self.mult, dtype=self.dtype, proj_only=True,
+                       name="net_0")(x)
+            kernel, bias = _DenseParams(dim * self.mult, dim,
+                                        use_bias=True, name="net_2")()
+            out = gg_ops.geglu_matmul(hg, kernel.astype(hg.dtype))
+            return out + bias.astype(out.dtype)
         h = GEGLU(dim * self.mult, dtype=self.dtype,
                   quantized=self.quantized, name="net_0")(x)
         return make_dense(self.quantized, dim, dtype=self.dtype,
@@ -424,6 +452,14 @@ class BasicTransformerBlock(nn.Module):
                             name="ff")(
             nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         )
+        if FF_BARRIER:
+            # Keep the next norm's stats reduce OUT of the ff/net_2 dot
+            # fusion: XLA's reduce-rooted multi-output fusion constrains
+            # the dot's tiling (r4c itemization: those dots run at
+            # ~60 TF/s, the single biggest per-op gap in both models).
+            # Costs one extra HBM pass of x; A/B'd on chip via
+            # THEATERGEN_FF_BARRIER.
+            x = jax.lax.optimization_barrier(x)
         return x
 
 
