@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-4e chip session: the fused GEGLU->net_2 kernel A/B (the r4c
+# itemization's biggest per-op lever) on both models, plus the
+# FF_BARRIER fusion-split control.
+#
+#   nohup bash scripts/chip_session_r4e.sh > /tmp/chip_r4e.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+stamp() { echo "=== $1 [$(date -u +%H:%M:%S)] ==="; }
+
+stamp "bench sdxl FUSED_GEGLU"
+THEATERGEN_FUSED_GEGLU=1 \
+  THEATERGEN_BENCH_MODEL=sdxl THEATERGEN_BENCH_BATCH=1 \
+  THEATERGEN_BENCH_STEPS=30 \
+  timeout 2400 python bench.py 2>&1 | tee /tmp/r4e_sdxl_geglu.log | tail -3
+
+stamp "bench sd15 FUSED_GEGLU (headline program)"
+THEATERGEN_FUSED_GEGLU=1 \
+  THEATERGEN_BENCH_IP=0 THEATERGEN_BENCH_SDXL=0 \
+  timeout 2400 python bench.py 2>&1 | tee /tmp/r4e_sd15_geglu.log | tail -3
+
+stamp "bench sdxl FF_BARRIER (fusion-split control)"
+THEATERGEN_FF_BARRIER=1 \
+  THEATERGEN_BENCH_MODEL=sdxl THEATERGEN_BENCH_BATCH=1 \
+  THEATERGEN_BENCH_STEPS=30 \
+  timeout 2400 python bench.py 2>&1 | tee /tmp/r4e_sdxl_barrier.log | tail -3
+
+stamp "profile sdxl FUSED_GEGLU (itemization under the kernel)"
+THEATERGEN_FUSED_GEGLU=1 THEATERGEN_TRACE_DIR=/tmp/tg_prof_sdxl_geglu \
+  THEATERGEN_BENCH_MODEL=sdxl THEATERGEN_BENCH_BATCH=1 \
+  timeout 2400 python scripts/profile_step.py 2>&1 \
+  | tee /tmp/r4e_sdxl_geglu_profile.log | tail -25
+
+stamp "done"

@@ -32,6 +32,17 @@ def test_matches_reference():
                                atol=0.15, rtol=0.05)
 
 
+def test_full_dim_n320():
+    # SD1.5's net_2 has N=320 (not a 128-multiple): full-dim trailing
+    # block (Mosaic pads internally; chip compile validated in r4e)
+    hg, w = _inputs(m=256, k=1280, n=320)
+    out = gg.geglu_matmul(hg, w)
+    ref = gg._reference(hg, w)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.5, rtol=0.05)
+
+
 def test_batched_leading_dims():
     hg, w = _inputs(m=256)
     out = gg.geglu_matmul(hg.reshape(2, 128, -1), w)

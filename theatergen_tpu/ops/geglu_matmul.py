@@ -45,13 +45,16 @@ _LANE = 128
 _SUBLANE = 8
 
 
-def _pick_block(dim: int, prefs: tuple[int, ...], multiple: int) -> int:
+def _pick_block(dim: int, prefs: tuple[int, ...], multiple: int,
+                allow_full: bool = False) -> int:
     """Largest preferred block that divides ``dim`` and is a multiple of
-    ``multiple`` (0 if none)."""
+    ``multiple`` (0 if none).  ``allow_full`` falls back to the whole
+    dim — Mosaic pads a full-dim trailing block internally (SD1.5's
+    net_2 has N=320, not a 128-multiple)."""
     for b in prefs:
         if b <= dim and dim % b == 0 and b % multiple == 0:
             return b
-    return 0
+    return dim if allow_full else 0
 
 
 def _on_tpu() -> bool:
@@ -70,7 +73,8 @@ def supported(m: int, k: int, n: int, dtype) -> bool:
         return False
     return (_pick_block(m, (512, 256, 1024, 128), _SUBLANE) > 0
             and _pick_block(k, (1024, 512, 2560, 1280, 640, 128), _LANE) > 0
-            and _pick_block(n, (640, 512, 1280, 320, 256, 128), _LANE) > 0)
+            and _pick_block(n, (640, 512, 1280, 256, 128), _LANE,
+                            allow_full=True) > 0)
 
 
 def _kernel(v_ref, g_ref, w_ref, o_ref, acc_ref, *, nk: int):
@@ -97,7 +101,8 @@ def _geglu_matmul_2d(hg: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     assert k2 == 2 * k, (hg.shape, w.shape)
     bm = _pick_block(m, (512, 256, 1024, 128), _SUBLANE)
     bk = _pick_block(k, (1024, 512, 2560, 1280, 640, 128), _LANE)
-    bn = _pick_block(n, (640, 512, 1280, 320, 256, 128), _LANE)
+    bn = _pick_block(n, (640, 512, 1280, 256, 128), _LANE,
+                     allow_full=True)
     assert bm and bk and bn, (m, k, n)
     nk = k // bk
     grid = (m // bm, n // bn, nk)
