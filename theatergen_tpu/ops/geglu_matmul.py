@@ -77,14 +77,27 @@ def supported(m: int, k: int, n: int, dtype) -> bool:
                             allow_full=True) > 0)
 
 
+def _erf(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 erf for the kernel body — Mosaic has no erf primitive
+    (NotImplementedError on lowering, r4e).  Abramowitz & Stegun 7.1.26:
+    max abs error 1.5e-7, two decades below bf16 resolution, so outputs
+    match the XLA exact-gelu path after bf16 rounding."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _kernel(v_ref, g_ref, w_ref, o_ref, acc_ref, *, nk: int):
     @pl.when(pl.program_id(2) == 0)
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     gate = g_ref[...].astype(jnp.float32)
-    # exact (erf) gelu — matches nn.gelu(approximate=False) in the XLA path
-    act = 0.5 * gate * (1.0 + jax.lax.erf(gate * (2.0 ** -0.5)))
+    # exact-erf gelu — matches nn.gelu(approximate=False) in the XLA path
+    act = 0.5 * gate * (1.0 + _erf(gate * (2.0 ** -0.5)))
     h = (v_ref[...].astype(jnp.float32) * act).astype(v_ref.dtype)
     acc_ref[...] += jax.lax.dot(h, w_ref[...],
                                 preferred_element_type=jnp.float32)
