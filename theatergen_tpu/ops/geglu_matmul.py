@@ -43,18 +43,34 @@ INTERPRET = False
 
 _LANE = 128
 _SUBLANE = 8
+# same raised scoped-VMEM budget as the flash kernels: big blocks are
+# what buy the one-pass traffic (physical VMEM is 128M)
+_VMEM_LIMIT = 96 * 1024 * 1024
+_VMEM_BUDGET = 80 * 1024 * 1024
 
 
-def _pick_block(dim: int, prefs: tuple[int, ...], multiple: int,
-                allow_full: bool = False) -> int:
-    """Largest preferred block that divides ``dim`` and is a multiple of
-    ``multiple`` (0 if none).  ``allow_full`` falls back to the whole
-    dim — Mosaic pads a full-dim trailing block internally (SD1.5's
-    net_2 has N=320, not a 128-multiple)."""
-    for b in prefs:
-        if b <= dim and dim % b == 0 and b % multiple == 0:
-            return b
-    return dim if allow_full else 0
+def _plan(m: int, k: int, n: int) -> tuple[int, int, int]:
+    """(bm, bk, bn) minimizing HBM traffic under the VMEM budget.
+
+    bn = N always (single n step → the GEGLU halves stream exactly
+    once); bm as large as fits (weights re-read once per m block); bk
+    sized so the double-buffered half tiles stay modest.  Returns
+    (0, 0, 0) if nothing fits."""
+    if n > 2048:
+        return 0, 0, 0
+    for bm in (8192, 4096, 2048, 1024, 512, 256, 128):
+        if bm > m or m % bm:
+            continue
+        for bk in (1024, 512, 256, 128):
+            if bk > k or k % bk:
+                continue
+            vmem = (2 * (bm * bk * 2) * 2      # v,g tiles, double-buffered
+                    + (bk * n * 2) * 2         # w tile, double-buffered
+                    + bm * n * 4               # f32 accumulator scratch
+                    + bm * n * 2 * 2)          # out tile (+headroom)
+            if vmem <= _VMEM_BUDGET:
+                return bm, bk, n
+    return 0, 0, 0
 
 
 def _on_tpu() -> bool:
@@ -71,10 +87,7 @@ def supported(m: int, k: int, n: int, dtype) -> bool:
         return False
     if not (_on_tpu() or INTERPRET):
         return False
-    return (_pick_block(m, (512, 256, 1024, 128), _SUBLANE) > 0
-            and _pick_block(k, (1024, 512, 2560, 1280, 640, 128), _LANE) > 0
-            and _pick_block(n, (640, 512, 1280, 256, 128), _LANE,
-                            allow_full=True) > 0)
+    return _plan(m, k, n)[0] > 0
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
@@ -112,10 +125,7 @@ def _geglu_matmul_2d(hg: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     m, k2 = hg.shape
     k, n = w.shape
     assert k2 == 2 * k, (hg.shape, w.shape)
-    bm = _pick_block(m, (512, 256, 1024, 128), _SUBLANE)
-    bk = _pick_block(k, (1024, 512, 2560, 1280, 640, 128), _LANE)
-    bn = _pick_block(n, (640, 512, 1280, 256, 128), _LANE,
-                     allow_full=True)
+    bm, bk, bn = _plan(m, k, n)
     assert bm and bk and bn, (m, k, n)
     nk = k // bk
     grid = (m // bm, n // bn, nk)
@@ -138,6 +148,7 @@ def _geglu_matmul_2d(hg: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         interpret=INTERPRET,
         compiler_params=None if INTERPRET else pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * n,
