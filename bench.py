@@ -246,6 +246,7 @@ def main() -> None:
     # a wide spread means tunnel/pool contention, a uniform slowdown with
     # a different kernel config means a default flipped.
     from theatergen_tpu.ops import flash_attention as fa
+    from theatergen_tpu.ops import geglu_matmul as gg
     from theatergen_tpu.ops import groupnorm as gn
     out = {
         "metric": f"{label} {STEPS}-step {kind} denoise throughput,"
@@ -259,7 +260,7 @@ def main() -> None:
             "flash": USE_FLASH, "flat": fa.FLAT, "packed": fa.PACKED,
             "flat16k": fa.FLAT_ONLINE, "bq": fa.DEFAULT_Q_BLOCK,
             "bk": fa.DEFAULT_K_BLOCK, "flat_bq": fa.FLAT_BQ,
-            "fused_gn": gn.FUSED,
+            "fused_gn": gn.FUSED, "fused_geglu": gg.FUSED,
             "device": str(jax.devices()[0]),
         },
     }

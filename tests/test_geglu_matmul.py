@@ -90,3 +90,85 @@ def test_feedforward_branches_identical_tree(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_on, np.float32),
                                np.asarray(out_off, np.float32),
                                atol=0.1, rtol=0.05)
+
+
+# --- full-FF fusion (ff_matmul): up-proj + gate + down-proj in one kernel ---
+
+
+def _ff_inputs(m=256, d=128, k=256, dtype=jnp.bfloat16):
+    k1, k2, k3, k4 = jax.random.split(jax.random.key(3), 4)
+    x = jax.random.normal(k1, (m, d), dtype)
+    w1 = jax.random.normal(k2, (d, 2 * k), dtype) * 0.05
+    b1 = jax.random.normal(k3, (2 * k,), jnp.float32) * 0.1
+    w2 = jax.random.normal(k4, (k, d), dtype) * 0.05
+    return x, w1, b1, w2
+
+
+def test_ff_matches_reference():
+    x, w1, b1, w2 = _ff_inputs()
+    out = gg.ff_matmul(x, w1, b1, w2)
+    ref = gg._ff_reference(x, w1, b1, w2)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.15, rtol=0.05)
+
+
+def test_ff_d320_multi_kblock():
+    # SD1.5 64^2-level shape family: d=320 (not a 128-multiple), inner
+    # 1280 split over multiple k blocks
+    x, w1, b1, w2 = _ff_inputs(m=256, d=320, k=1280)
+    out = gg.ff_matmul(x, w1, b1, w2)
+    ref = gg._ff_reference(x, w1, b1, w2)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.3, rtol=0.05)
+
+
+def test_ff_batched_leading_dims():
+    x, w1, b1, w2 = _ff_inputs(m=256)
+    out = gg.ff_matmul(x.reshape(2, 128, -1), w1, b1, w2)
+    assert out.shape == (2, 128, x.shape[-1])
+    np.testing.assert_allclose(
+        np.asarray(out.reshape(256, -1), np.float32),
+        np.asarray(gg.ff_matmul(x, w1, b1, w2), np.float32))
+
+
+def test_ff_grad_matches_reference():
+    x, w1, b1, w2 = _ff_inputs(m=128)
+    xf = x.astype(jnp.float32)
+
+    def loss_k(xx):
+        return jnp.sum(gg.ff_matmul(xx.astype(jnp.bfloat16), w1, b1, w2) ** 2)
+
+    def loss_r(xx):
+        return jnp.sum(gg._ff_reference(xx.astype(jnp.bfloat16), w1, b1, w2) ** 2)
+
+    gk = jax.grad(loss_k)(xf)
+    gr = jax.grad(loss_r)(xf)
+    np.testing.assert_allclose(np.asarray(gk, np.float32),
+                               np.asarray(gr, np.float32),
+                               atol=0.3, rtol=0.1)
+
+
+def test_feedforward_full_branch_identical_tree(monkeypatch):
+    x = jax.random.normal(jax.random.key(1), (1, 128, 128), jnp.bfloat16)
+    ff = layers.FeedForward(dtype=jnp.bfloat16)
+    params_off = ff.init(jax.random.key(2), x)["params"]
+
+    monkeypatch.setattr(gg, "FUSED_FULL", True)
+    monkeypatch.setattr(gg, "ff_supported", lambda *a: True)
+    params_on = ff.init(jax.random.key(2), x)["params"]
+    flat_off = jax.tree_util.tree_leaves_with_path(params_off)
+    flat_on = jax.tree_util.tree_leaves_with_path(params_on)
+    assert [p for p, _ in flat_off] == [p for p, _ in flat_on]
+    for (_, a), (_, b) in zip(flat_off, flat_on):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_on = ff.apply({"params": params_off}, x)
+    monkeypatch.setattr(gg, "FUSED_FULL", False)
+    monkeypatch.setattr(gg, "FUSED", False)
+    out_off = ff.apply({"params": params_off}, x)
+    np.testing.assert_allclose(np.asarray(out_on, np.float32),
+                               np.asarray(out_off, np.float32),
+                               atol=0.1, rtol=0.05)

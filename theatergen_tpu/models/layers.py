@@ -226,6 +226,16 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
         m = math.prod(x.shape[:-1])
+        if (gg_ops.FUSED_FULL and not self.quantized
+                and x.dtype == self.dtype
+                and gg_ops.ff_supported(m, dim, dim * self.mult, x.dtype)):
+            k1, b1 = _GegluParams(dim, dim * self.mult * 2,
+                                  name="net_0")()
+            k2, b2 = _DenseParams(dim * self.mult, dim,
+                                  use_bias=True, name="net_2")()
+            out = gg_ops.ff_matmul(x, k1.astype(x.dtype), b1,
+                                   k2.astype(x.dtype))
+            return out + b2.astype(out.dtype)
         if (gg_ops.FUSED and not self.quantized
                 and x.dtype == self.dtype
                 and gg_ops.supported(m, dim * self.mult, dim, x.dtype)):
@@ -239,6 +249,20 @@ class FeedForward(nn.Module):
                   quantized=self.quantized, name="net_0")(x)
         return make_dense(self.quantized, dim, dtype=self.dtype,
                           name="net_2")(h)
+
+
+class _GegluParams(nn.Module):
+    """Owns the GEGLU projection's kernel/bias under the same
+    ``net_0/proj`` path as the ``GEGLU`` module, so the full-FF fused
+    branch is param-tree-identical to the standard branches."""
+
+    din: int
+    dout2: int
+
+    @nn.compact
+    def __call__(self):
+        return _DenseParams(self.din, self.dout2, use_bias=True,
+                            name="proj")()
 
 
 class _DenseParams(nn.Module):

@@ -35,9 +35,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# default OFF until chip-validated (fused-GN lesson: opaque kernels must
-# win END-TO-END, not in isolation)
-FUSED = os.environ.get("THEATERGEN_FUSED_GEGLU", "0") == "1"
+# default ON: chip-validated end-to-end r4f (v2 traffic-minimizing
+# planner) — SDXL-1024 0.2978 vs 0.2882 control (+3.3%), SD1.5-512
+# headline 1.4615 vs 1.4254 (+2.5%), both 0.1% spread
+FUSED = os.environ.get("THEATERGEN_FUSED_GEGLU", "1") == "1"
 
 INTERPRET = False
 
@@ -156,6 +157,270 @@ def _geglu_matmul_2d(hg: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
             transcendentals=m * k,
         ),
     )(hg, hg, w)
+
+
+# ---------------------------------------------------------------------------
+# Full-FF fusion (r4g): up-projection + GEGLU gate + down-projection in
+# ONE kernel.  The r4f profile showed the band split ~evenly between the
+# up-proj XLA fusions (70 ops, 21.3 ms, 176 TF/s — fast but writing the
+# [M, 8d] proj output to HBM, 167.8 MB at SDXL's 64² level) and the v2
+# down kernel (18.7 ms, HBM-bound re-reading it).  Streaming the inner
+# dimension in k blocks keeps the intermediate entirely in VMEM: per-
+# instance floors become 0.41 ms MXU / ≤0.09 ms HBM — purely MXU-bound.
+# Gated separately (THEATERGEN_FUSED_FF) until chip-validated.
+
+FUSED_FULL = os.environ.get("THEATERGEN_FUSED_FF", "0") == "1"
+
+# The full-FF kernel's VMEM appetite is a *system* tradeoff, not just a
+# kernel one: the r4g profile showed 70 big-VMEM pallas calls starve
+# XLA's prefetch scheduler around them (conv band +15 ms/step on SDXL,
+# async-dma 0.39→0.09 ms) even though the kernel band itself was fine.
+# Tunable so the chip A/B can find the end-to-end optimum.
+FF_VMEM_MB = int(os.environ.get("THEATERGEN_FF_VMEM_MB", "96"))
+
+
+def _ff_budget() -> tuple[int, int]:
+    limit = FF_VMEM_MB * 1024 * 1024
+    return limit, int(limit * 5 / 6)
+
+
+def _plan_full(m: int, d: int, k: int) -> tuple[int, int]:
+    """(bm, bk) for the full-FF kernel: bm maximal (weights re-read once
+    per m block), then bk maximal (fewer k steps) under the VMEM budget.
+    ``k`` is the inner (GEGLU half) width.  Returns (0, 0) if no fit."""
+    _, budget = _ff_budget()
+    for bm in (4096, 2048, 1024, 512, 256, 128):
+        if bm > m or m % bm:
+            continue
+        # bk is the LAST dim of the w1 tiles → must be a 128-multiple
+        # (Mosaic lane constraint; bk=320 was rejected at lowering, r4h)
+        for bk in (2048, 1280, 1024, 640, 512, 256, 128):
+            if bk > k or k % bk:
+                continue
+            vmem = (bm * d * 2                 # x tile (constant over k)
+                    + 2 * (d * bk * 2) * 2     # w1 value/gate tiles, dbl-buf
+                    + (bk * d * 2) * 2         # w2 tile, double-buffered
+                    + 2 * 2 * (bm * bk * 4)    # u, g pipeline scratch pairs
+                    + bm * bk * 2              # h (bf16 product)
+                    + bm * d * 4               # f32 accumulator scratch
+                    + bm * d * 2 * 2)          # out tile (+headroom)
+            if vmem <= budget:
+                return bm, bk
+    return 0, 0
+
+
+def ff_supported(m: int, d: int, k: int, dtype) -> bool:
+    if dtype != jnp.bfloat16 and not INTERPRET:
+        return False
+    if not (_on_tpu() or INTERPRET):
+        return False
+    return _plan_full(m, d, k)[0] > 0
+
+
+def _erf_fast(x: jnp.ndarray) -> jnp.ndarray:
+    """A&S 7.1.25 3-term erf (max abs err 2.5e-5 ≪ bf16 rounding) with a
+    base-2 exponential — ~25% fewer VPU ops than the 7.1.26 5-term used
+    by the down-only kernel.  The FF band is MXU/VPU-serialization
+    bound, so VPU op count is on the critical path."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.47047 * ax)
+    poly = t * (0.3480242 + t * (-0.0958798 + t * 0.7478556))
+    return s * (1.0 - poly * jnp.exp2(ax * ax * -1.4426950408889634))
+
+
+# pipeline A/B: 1 = two-stage software pipeline (drain step, double-
+# buffered scratch), 0 = naive serial body (r4g's version)
+PIPELINE = os.environ.get("THEATERGEN_FF_PIPELINE", "1") == "1"
+
+
+def _ff_kernel(x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref,
+               o_ref, acc_ref, u0, g0, u1, g1, *, nk: int):
+    """Software-pipelined over the k grid dim (nk+1 steps): step k issues
+    the u/g up-projection dots for chunk k (async on the MXU), then the
+    VPU computes bias+gelu+gate on chunk k-1's dots (even/odd scratch
+    pairs — STATIC parity branches; dynamic ``u_s[k % 2]`` indexing
+    lowered to something catastrophic, 1.886 ms vs the 0.60 ms naive at
+    SDXL's 64² shape) while the MXU crunches, and the down-dot for chunk
+    k-1 accumulates.  The naive 1-stage version measured 0.2755 on SDXL
+    (vs 0.2978 v2-geglu): the serial dot→gelu→dot chain leaves the MXU
+    idle for the whole VPU band."""
+    k = pl.program_id(1)
+    even = k % 2 == 0
+
+    def produce(u_s, g_s):
+        x = x_ref[...]
+        u_s[...] = jax.lax.dot(x, w1v_ref[...],
+                               preferred_element_type=jnp.float32)
+        g_s[...] = jax.lax.dot(x, w1g_ref[...],
+                               preferred_element_type=jnp.float32)
+
+    def consume(u_s, g_s):
+        g = g_s[...] + b1g_ref[...]
+        u = u_s[...] + b1v_ref[...]
+        act = 0.5 * g * (1.0 + _erf_fast(g * (2.0 ** -0.5)))
+        h = (u * act).astype(o_ref.dtype)
+        acc_ref[...] += jax.lax.dot(h, w2_ref[...],
+                                    preferred_element_type=jnp.float32)
+
+    # stage A: issue this chunk's up-projection dots (MXU, async)
+    @pl.when((k < nk) & even)
+    def _produce_even():
+        produce(u0, g0)
+
+    @pl.when((k < nk) & ~even)
+    def _produce_odd():
+        produce(u1, g1)
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # stage B: consume the previous chunk (VPU gelu overlaps stage A);
+    # k odd consumes the even pair and vice versa
+    @pl.when((k > 0) & ~even)
+    def _consume_even():
+        consume(u0, g0)
+
+    @pl.when((k > 0) & even)
+    def _consume_odd():
+        consume(u1, g1)
+
+    @pl.when(k == nk)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _ff_kernel_naive(x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref,
+                     o_ref, acc_ref, *, nk: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    u = jax.lax.dot(x, w1v_ref[...],
+                    preferred_element_type=jnp.float32) + b1v_ref[...]
+    g = jax.lax.dot(x, w1g_ref[...],
+                    preferred_element_type=jnp.float32) + b1g_ref[...]
+    act = 0.5 * g * (1.0 + _erf_fast(g * (2.0 ** -0.5)))
+    h = (u * act).astype(x_ref.dtype)
+    acc_ref[...] += jax.lax.dot(h, w2_ref[...],
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == nk - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _ff_matmul_2d(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+                  w2: jnp.ndarray) -> jnp.ndarray:
+    """[M, D] → GEGLU(x@w1 + b1) @ w2, inner dim streamed in VMEM."""
+    m, d = x.shape
+    k = w2.shape[0]
+    assert w1.shape == (d, 2 * k) and b1.shape == (2 * k,) \
+        and w2.shape == (k, d), (x.shape, w1.shape, b1.shape, w2.shape)
+    bm, bk = _plan_full(m, d, k)
+    assert bm and bk, (m, d, k)
+    nk = k // bk
+    b1r = b1.reshape(1, 2 * k).astype(jnp.float32)
+
+    if PIPELINE:
+        grid = (m // bm, nk + 1)
+        kernel = functools.partial(_ff_kernel, nk=nk)
+        scratch = [pltpu.VMEM((bm, d), jnp.float32),
+                   pltpu.VMEM((bm, bk), jnp.float32),
+                   pltpu.VMEM((bm, bk), jnp.float32),
+                   pltpu.VMEM((bm, bk), jnp.float32),
+                   pltpu.VMEM((bm, bk), jnp.float32)]
+
+        def _a(kk):  # stage-A chunk (clamped at the drain step)
+            return jnp.minimum(kk, nk - 1)
+
+        def _b(kk):  # stage-B chunk (clamped at step 0)
+            return jnp.maximum(kk - 1, 0)
+    else:
+        grid = (m // bm, nk)
+        kernel = functools.partial(_ff_kernel_naive, nk=nk)
+        scratch = [pltpu.VMEM((bm, d), jnp.float32)]
+
+        def _a(kk):
+            return kk
+
+        def _b(kk):
+            return kk
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # stage-A tiles: value/gate column blocks of w1
+            pl.BlockSpec((d, bk), lambda i, kk: (0, _a(kk)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, bk), lambda i, kk, NK=nk: (0, NK + _a(kk)),
+                         memory_space=pltpu.VMEM),
+            # stage-B tiles: biases + w2
+            pl.BlockSpec((1, bk), lambda i, kk: (0, _b(kk)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk), lambda i, kk, NK=nk: (0, NK + _b(kk)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, d), lambda i, kk: (_b(kk), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i, kk: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        interpret=INTERPRET,
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_ff_budget()[0],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * m * d * k,
+            bytes_accessed=(m * d * 2 * 2 + d * 2 * k * 2 + k * d * 2),
+            transcendentals=m * k,
+        ),
+    )(x, w1, w1, b1r, b1r, w2)
+
+
+def _ff_reference(x, w1, b1, w2):
+    """XLA path with identical semantics (backward + fallback)."""
+    hg = (jnp.einsum("...d,dk->...k", x, w1).astype(jnp.float32)
+          + b1.astype(jnp.float32))
+    k = w2.shape[0]
+    value, gate = hg[..., :k], hg[..., k:]
+    h = (value * jax.nn.gelu(gate, approximate=False)).astype(x.dtype)
+    return jnp.einsum("...k,kn->...n", h, w2)
+
+
+@jax.custom_vjp
+def ff_matmul(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+              w2: jnp.ndarray) -> jnp.ndarray:
+    """Full transformer-FF fusion: ``GEGLU(x @ w1 + b1) @ w2`` with the
+    ``[M, 2K]`` intermediate never leaving VMEM.  Leading dims of ``x``
+    flatten into M.  The net_2 bias is NOT fused (caller adds it)."""
+    lead = x.shape[:-2]
+    m = 1
+    for s in lead:
+        m *= s
+    x2 = x.reshape(m * x.shape[-2], x.shape[-1])
+    out = _ff_matmul_2d(x2, w1, b1, w2)
+    return out.reshape(*lead, x.shape[-2], x.shape[-1])
+
+
+def _ff_fwd(x, w1, b1, w2):
+    return ff_matmul(x, w1, b1, w2), (x, w1, b1, w2)
+
+
+def _ff_bwd(res, g):
+    x, w1, b1, w2 = res
+    _, vjp = jax.vjp(_ff_reference, x, w1, b1, w2)
+    return vjp(g)
+
+
+ff_matmul.defvjp(_ff_fwd, _ff_bwd)
 
 
 def _reference(hg: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
