@@ -261,6 +261,9 @@ def main() -> None:
             "flat16k": fa.FLAT_ONLINE, "bq": fa.DEFAULT_Q_BLOCK,
             "bk": fa.DEFAULT_K_BLOCK, "flat_bq": fa.FLAT_BQ,
             "fused_gn": gn.FUSED, "fused_geglu": gg.FUSED,
+            "geglu_plan": gg.GEGLU_PLAN,
+            "fused_ff": gg._FF_ENV,
+            "ff_pipeline": gg.PIPELINE, "ff_vmem_mb": gg.FF_VMEM_MB,
             "device": str(jax.devices()[0]),
         },
     }

@@ -172,3 +172,70 @@ def test_feedforward_full_branch_identical_tree(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_on, np.float32),
                                np.asarray(out_off, np.float32),
                                atol=0.1, rtol=0.05)
+
+
+def test_geglu_plan_v3_matches_reference(monkeypatch):
+    # pipeline-depth planner (r4k A/B): different blocks, same math
+    monkeypatch.setattr(gg, "GEGLU_PLAN", "v3")
+    m, k, n = 512, 1280, 320
+    key1, key2 = jax.random.split(jax.random.key(7))
+    hg = jax.random.normal(key1, (m, 2 * k), jnp.bfloat16)
+    w = jax.random.normal(key2, (k, n), jnp.bfloat16) * 0.05
+    bm, bk, bn = gg._plan(m, k, n)
+    assert (m // bm) * (k // bk) >= 4  # deeper grid than whole-M v2
+    out = gg.geglu_matmul(hg, w)
+    value, gate = hg[:, :k].astype(jnp.float32), hg[:, k:].astype(jnp.float32)
+    ref = (value * jax.nn.gelu(gate, approximate=False)).astype(
+        jnp.bfloat16) @ w
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.3, rtol=0.05)
+
+
+def test_ff_model_family_gate():
+    # auto mode (default): full-FF fusion is a per-MODEL flag — SD1.5's
+    # config turns it on (chip A/B r4i: +4.6%), SDXL's leaves the
+    # v2-geglu split (full-FF measured −3.5% there, r4i/r4j)
+    from theatergen_tpu.config import sd15_config, sdxl_config
+    assert sd15_config().unet.fused_ff
+    assert not sdxl_config().unet.fused_ff
+
+
+def test_ff_force_env_overrides_model_flag(monkeypatch):
+    # THEATERGEN_FUSED_FF=1 forces fusion even where the model flag is
+    # off; =0 disables everywhere; "auto" defers to the flag
+    captured = []
+
+    def fake_ff_matmul(x, w1, b1, w2):
+        captured.append(x.shape)
+        return gg._ff_reference(x, w1, b1, w2)
+
+    monkeypatch.setattr(gg, "_on_tpu", lambda: True)
+    monkeypatch.setattr(gg, "_plan_full", lambda m, d, k: (128, 128))
+    monkeypatch.setattr(gg, "ff_matmul", fake_ff_matmul)
+    monkeypatch.setattr(layers.gg_ops, "ff_matmul", fake_ff_matmul)
+    monkeypatch.setattr(gg, "FUSED", False)
+
+    x = jax.random.normal(jax.random.key(1), (1, 128, 128), jnp.bfloat16)
+    ff_off = layers.FeedForward(dtype=jnp.bfloat16, fused_ff=False)
+    params = ff_off.init(jax.random.key(2), x)["params"]
+
+    monkeypatch.setattr(gg, "FUSED_FULL", True)
+    monkeypatch.setattr(gg, "FF_FORCE", False)
+    ff_off.apply({"params": params}, x)
+    assert not captured  # model flag off, auto → unfused
+
+    ff_on = layers.FeedForward(dtype=jnp.bfloat16, fused_ff=True)
+    ff_on.apply({"params": params}, x)
+    assert captured      # model flag on, auto → fused
+
+    captured.clear()
+    monkeypatch.setattr(gg, "FF_FORCE", True)
+    ff_off.apply({"params": params}, x)
+    assert captured      # forced on despite model flag
+
+    captured.clear()
+    monkeypatch.setattr(gg, "FUSED_FULL", False)
+    monkeypatch.setattr(gg, "FF_FORCE", False)
+    ff_on.apply({"params": params}, x)
+    assert not captured  # env "0" disables everywhere

@@ -53,6 +53,13 @@ class UNetConfig:
     # compute GroupNorms in the model dtype (bf16) instead of fp32 —
     # matches the reference's fp16 norms and saves activation passes
     fast_norm: bool = True
+    # full transformer-FF fusion (up-proj + GEGLU gate + down-proj in
+    # one Pallas kernel, ops/geglu_matmul.py).  Per-MODEL default from
+    # chip A/Bs (BENCH_NOTES r4i/r4j): ON wins SD1.5's batch-4 program
+    # (+4.6%), loses SDXL's batch-1 program (−3.5%) — the same FF
+    # shapes flip sign with the surrounding program, so this is a model
+    # flag, not a shape rule.  THEATERGEN_FUSED_FF=1/0 overrides.
+    fused_ff: bool = True
     remat: bool = False
     dtype: str = "bfloat16"
 
@@ -383,6 +390,9 @@ def sdxl_config() -> TheaterConfig:
         cross_attention_dim=2048,
         addition_embed_type="text_time",
         projection_class_embeddings_input_dim=2816,
+        # chip A/B r4i: the full-FF kernel loses inside SDXL's batch-1
+        # program (0.2873 vs 0.2978) — keep the v2-geglu split here
+        fused_ff=False,
     )
     # text encoder 2 (OpenCLIP bigG): hidden 1280, 32 layers, gelu — the
     # framework's CLIPTextConfig covers it via act="gelu"

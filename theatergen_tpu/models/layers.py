@@ -221,12 +221,19 @@ class FeedForward(nn.Module):
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
+    # full-FF fusion (up-proj + gate + down-proj in one kernel) — a
+    # per-MODEL default (``UNetConfig.fused_ff``: SD1.5 True, SDXL
+    # False; chip A/Bs r4i/r4j show the same shapes win in one
+    # program and lose in the other).  THEATERGEN_FUSED_FF=1/0
+    # overrides globally.
+    fused_ff: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
         m = math.prod(x.shape[:-1])
-        if (gg_ops.FUSED_FULL and not self.quantized
+        if (gg_ops.FUSED_FULL and (gg_ops.FF_FORCE or self.fused_ff)
+                and not self.quantized
                 and x.dtype == self.dtype
                 and gg_ops.ff_supported(m, dim, dim * self.mult, x.dtype)):
             k1, b1 = _GegluParams(dim, dim * self.mult * 2,
@@ -438,6 +445,7 @@ class BasicTransformerBlock(nn.Module):
     use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
+    fused_ff: bool = False
 
     @nn.compact
     def __call__(
@@ -473,7 +481,7 @@ class BasicTransformerBlock(nn.Module):
                      init_fn=lambda: probs, reduce_fn=lambda _, p: p)
         x = x + h
         x = x + FeedForward(dtype=self.dtype, quantized=self.quantized,
-                            name="ff")(
+                            fused_ff=self.fused_ff, name="ff")(
             nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         )
         if FF_BARRIER:
@@ -503,6 +511,7 @@ class Transformer2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fast_norm: bool = False
     quantized: bool = False
+    fused_ff: bool = False
 
     @nn.compact
     def __call__(
@@ -525,7 +534,7 @@ class Transformer2D(nn.Module):
             x = BasicTransformerBlock(
                 self.num_heads, self.head_dim, ip_tokens=self.ip_tokens,
                 use_flash=self.use_flash, dtype=self.dtype,
-                quantized=self.quantized,
+                quantized=self.quantized, fused_ff=self.fused_ff,
                 name=f"transformer_blocks_{i}",
             )(x, context, ip_scale=ip_scale,
               capture_probs=i in capture_layers, objs=objs)

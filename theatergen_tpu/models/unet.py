@@ -93,7 +93,7 @@ class UNetEncoder(nn.Module):
                         depth=cfg.depth_at(i),
                         ip_tokens=cfg.ip_num_tokens,
                         groups=cfg.norm_num_groups, fast_norm=cfg.fast_norm,
-                        quantized=cfg.quantized,
+                        quantized=cfg.quantized, fused_ff=cfg.fused_ff,
                         use_flash=cfg.flash_attention, dtype=dtype,
                         name=f"down_blocks_{i}_attentions_{j}",
                     )(h, context, ip_scale=ip_scale, objs=objs,
@@ -131,6 +131,7 @@ class UNetMid(nn.Module):
             depth=cfg.depth_at(last),
             ip_tokens=cfg.ip_num_tokens, groups=cfg.norm_num_groups,
             fast_norm=cfg.fast_norm, quantized=cfg.quantized,
+            fused_ff=cfg.fused_ff,
             use_flash=cfg.flash_attention, dtype=dtype,
             name="mid_block_attentions_0",
         )(h, context, ip_scale=ip_scale, objs=objs,
@@ -237,7 +238,7 @@ class UNet2DCondition(nn.Module):
                         depth=cfg.depth_at(i),
                         ip_tokens=cfg.ip_num_tokens,
                         groups=cfg.norm_num_groups, fast_norm=cfg.fast_norm,
-                        quantized=cfg.quantized,
+                        quantized=cfg.quantized, fused_ff=cfg.fused_ff,
                         use_flash=cfg.flash_attention, dtype=dtype,
                         name=f"up_blocks_{idx}_attentions_{j}",
                     )(h, context, ip_scale=ip_scale, objs=objs,

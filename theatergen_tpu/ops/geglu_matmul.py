@@ -50,6 +50,42 @@ _VMEM_LIMIT = 96 * 1024 * 1024
 _VMEM_BUDGET = 80 * 1024 * 1024
 
 
+# planner A/B (r4k): "v2" = traffic-minimizing whole-N/max-M blocks (the
+# r4f-validated default), "v3" = pipeline-depth planner.  v2 puts the
+# whole M in one block at the big shapes (e.g. SDXL 64²: bm=8192, bk=512
+# → a 5-cell grid), leaving Mosaic's DMA/compute pipeline almost no
+# steps to overlap across — the same failure mode the r4h2 full-FF
+# sweep measured (small-bk/lean budgets beat big blocks at every shape).
+# v3 instead requires ≥16 grid cells (while keeping the halves' per-row
+# DMA segments ≥ 512 B via bk ≥ 256 when possible) so warmup/cooldown
+# amortize; weight re-reads this costs are negligible (the w matrices
+# are ~3-13 MB vs 84 MB of activation halves).
+GEGLU_PLAN = os.environ.get("THEATERGEN_GEGLU_PLAN", "v2")
+
+_MIN_CELLS = 16
+
+
+def _plan_v3(m: int, k: int, n: int) -> tuple[int, int, int]:
+    best = (0, 0, 0)
+    for bk in (1024, 512, 256, 128):
+        if bk > k or k % bk:
+            continue
+        for bm in (2048, 1024, 512, 256, 128):
+            if bm > m or m % bm:
+                continue
+            vmem = (2 * (bm * bk * 2) * 2
+                    + (bk * n * 2) * 2
+                    + bm * n * 4
+                    + bm * n * 2 * 2)
+            if vmem > _VMEM_BUDGET // 2:
+                continue
+            if not best[0]:
+                best = (bm, bk, n)
+            if (m // bm) * (k // bk) >= _MIN_CELLS:
+                return bm, bk, n
+    return best
+
+
 def _plan(m: int, k: int, n: int) -> tuple[int, int, int]:
     """(bm, bk, bn) minimizing HBM traffic under the VMEM budget.
 
@@ -59,6 +95,10 @@ def _plan(m: int, k: int, n: int) -> tuple[int, int, int]:
     (0, 0, 0) if nothing fits."""
     if n > 2048:
         return 0, 0, 0
+    if GEGLU_PLAN == "v3":
+        plan = _plan_v3(m, k, n)
+        if plan[0]:
+            return plan
     for bm in (8192, 4096, 2048, 1024, 512, 256, 128):
         if bm > m or m % bm:
             continue
@@ -167,16 +207,29 @@ def _geglu_matmul_2d(hg: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 # down kernel (18.7 ms, HBM-bound re-reading it).  Streaming the inner
 # dimension in k blocks keeps the intermediate entirely in VMEM: per-
 # instance floors become 0.41 ms MXU / ≤0.09 ms HBM — purely MXU-bound.
-# Gated separately (THEATERGEN_FUSED_FF) until chip-validated.
+# THEATERGEN_FUSED_FF: "1" = every supported shape, "0" = never,
+# "auto" (default) = per model family via ``UNetConfig.fused_ff``
+# (SD1.5 True, SDXL False).  Chip A/Bs r4i/r4j: fusing every instance
+# wins SD1.5 (1.5292 vs 1.4615 headline, +4.6%) but loses SDXL
+# (0.2873/0.2845 vs the 0.2978 v2-geglu split) — and the preference is
+# monotonic per model, not per shape: a min-M row gate at 16384/8192
+# gave SD1.5 only 1.4828/1.5098, i.e. even the (8192,640) and
+# (2048,1280) instances that LOSE inside the SDXL program (and lose
+# 6-15% isolated, r4h2) win inside SD1.5's.  The discriminator is the
+# surrounding program, so the gate is the model config, not the shape.
 
-FUSED_FULL = os.environ.get("THEATERGEN_FUSED_FF", "0") == "1"
+_FF_ENV = os.environ.get("THEATERGEN_FUSED_FF", "auto")
+FUSED_FULL = _FF_ENV != "0"
+FF_FORCE = _FF_ENV == "1"
 
 # The full-FF kernel's VMEM appetite is a *system* tradeoff, not just a
 # kernel one: the r4g profile showed 70 big-VMEM pallas calls starve
 # XLA's prefetch scheduler around them (conv band +15 ms/step on SDXL,
 # async-dma 0.39→0.09 ms) even though the kernel band itself was fine.
-# Tunable so the chip A/B can find the end-to-end optimum.
-FF_VMEM_MB = int(os.environ.get("THEATERGEN_FF_VMEM_MB", "96"))
+# Default 48: the r4h2 isolated sweep had lean-budget/small-bk fastest
+# at every shape (finer DMA/compute pipelining), and the r4i end-to-end
+# SD1.5 win (1.5292) was measured at 48M.
+FF_VMEM_MB = int(os.environ.get("THEATERGEN_FF_VMEM_MB", "48"))
 
 
 def _ff_budget() -> tuple[int, int]:
@@ -230,8 +283,12 @@ def _erf_fast(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # pipeline A/B: 1 = two-stage software pipeline (drain step, double-
-# buffered scratch), 0 = naive serial body (r4g's version)
-PIPELINE = os.environ.get("THEATERGEN_FF_PIPELINE", "1") == "1"
+# buffered scratch), 0 = naive serial body.  Default 0: the r4h2
+# isolated sweep shows the pipeline LOSES at every shape (the u/g
+# scratch round-trips through VMEM cost more than the VPU band they
+# hide) — Mosaic's own DMA pipelining across small-bk grid steps does
+# the overlap better.
+PIPELINE = os.environ.get("THEATERGEN_FF_PIPELINE", "0") == "1"
 
 
 def _ff_kernel(x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref,
