@@ -179,6 +179,14 @@ def _build_case(model: str, batch: int, steps: int, *, sampler: str = "ddim",
             return final
 
     if SCOPED_VMEM_KIB:
+        # AOT-compiled Compiled objects pin their input shardings; main()
+        # re-device_puts args under a dp mesh when DP > 1, which would
+        # raise a sharding mismatch instead of benchmarking (ADVICE r4).
+        if DP > 1:
+            raise SystemExit(
+                "THEATERGEN_SCOPED_VMEM_KIB cannot be combined with "
+                "THEATERGEN_BENCH_DP>1 (AOT compile pins single-device "
+                "shardings); unset one of the two")
         run = jax.jit(run.__wrapped__).lower(params, lat0, ctx).compile(
             {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_KIB})
 

@@ -46,6 +46,11 @@ def main():
                     help="iterate the dialogue set N times (fresh character "
                          "DB per pass, bundle jit caches retained) — later "
                          "passes are fully compile-free steady state")
+    ap.add_argument("--snapshot", default=None, metavar="DIR",
+                    help="bundle snapshot dir (models/snapshot.py): load "
+                         "params from it when present, else save after "
+                         "materializing — the cold-start fast-load half "
+                         "(VERDICT r4 next-#6)")
     args = ap.parse_args()
 
     from theatergen_tpu.cli.generate import build_spec
@@ -63,8 +68,21 @@ def main():
     t0 = time.time()
     from theatergen_tpu.utils.fastinit import fast_bundle
 
-    bundle = fast_bundle(cfg)
-    print(f"params ready in {time.time()-t0:.0f}s", flush=True)
+    snap = args.snapshot
+    if snap and os.path.exists(os.path.join(snap, "bundle_meta.json")):
+        from theatergen_tpu.models.snapshot import load_bundle_snapshot
+
+        print(f"loading bundle snapshot: {snap}", flush=True)
+        bundle = load_bundle_snapshot(cfg, snap)
+    else:
+        bundle = fast_bundle(cfg)
+        if snap:
+            from theatergen_tpu.models.snapshot import save_bundle_snapshot
+
+            save_bundle_snapshot(bundle, snap)
+            print(f"bundle snapshot saved: {snap}", flush=True)
+    t_params = time.time() - t0
+    print(f"params ready in {t_params:.0f}s", flush=True)
 
     dataset = json.load(open(os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -110,6 +128,8 @@ def main():
                   f" incl. first-turn compile)",
         "value": round(float(np.median(times)), 2),
         "unit": "seconds",
+        "params_ready_s": round(t_params, 1),
+        "snapshot": bool(snap),
     }))
 
 

@@ -25,7 +25,6 @@ from __future__ import annotations
 import argparse
 import math
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -36,23 +35,6 @@ PEAK_HBM_GBPS = 819.0
 # ring axis -> ring all-reduce moves 2*(tp-1)/tp * bytes over ~90 GB/s
 # aggregate per chip (scaling-book numbers for a v5e slice axis).
 ICI_AXIS_GBPS = 90.0
-
-_DTYPE_BYTES = {"bf16": 2, "f32": 4, "f16": 2, "s32": 4, "u32": 4, "s8": 1}
-_AR_SHAPE = re.compile(r"(bf16|f32|f16|s32|u32|s8)\[([\d,]*)\]")
-
-
-def ar_bytes(line: str) -> int:
-    """Payload bytes of one all-reduce line in optimized HLO: the result
-    type(s) sit between ``=`` and ``all-reduce(`` (tuples list all)."""
-    if "all-reduce(" not in line or " = " not in line:
-        return 0
-    head = line.split(" = ", 1)[1].split("all-reduce(", 1)[0]
-    total = 0
-    for dt, dims in _AR_SHAPE.findall(head):
-        n = math.prod(int(d) for d in dims.split(",") if d) if dims else 1
-        total += n * _DTYPE_BYTES[dt]
-    return total
-
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -128,10 +110,9 @@ def main() -> None:
         ca = compiled.cost_analysis()
         flops = float(ca.get("flops", float("nan")))
         by = float(ca.get("bytes accessed", float("nan")))
-        hlo = compiled.as_text()
-        ars = [bb for bb in (ar_bytes(l) for l in hlo.splitlines()
-                             if "all-reduce(" in l) if bb]
-        ar_total = sum(ars)
+        stats = mesh_lib.collective_stats(compiled.as_text())
+        n_ars = stats["all-reduce"]["count"]
+        ar_total = stats["all-reduce"]["bytes"]
         mxu_ms = flops / PEAK_BF16_TFLOPS / 1e9
         hbm_ms = by / PEAK_HBM_GBPS / 1e6
         if tp == 1:
@@ -140,10 +121,10 @@ def main() -> None:
         # crosses each chip's ICI at the axis bandwidth
         ici_ms = (2 * (tp - 1) / tp * ar_total / ICI_AXIS_GBPS / 1e6
                   if tp > 1 else 0.0)
-        rows.append((tp, flops, by, mxu_ms, hbm_ms, len(ars), ar_total,
+        rows.append((tp, flops, by, mxu_ms, hbm_ms, n_ars, ar_total,
                      ici_ms, cov["fraction"]))
         print(f"tp={tp}: per-device flops={flops/1e12:.3f} TFLOP, "
-              f"bytes={by/1e9:.2f} GB, all-reduces={len(ars)} "
+              f"bytes={by/1e9:.2f} GB, all-reduces={n_ars} "
               f"({ar_total/1e9:.3f} GB payload), "
               f"param shard coverage={100*cov['fraction']:.1f}%")
 

@@ -248,3 +248,63 @@ def test_tp_sharding_coverage_report():
         assert lo < cov["fraction"] < hi, (name, cov["fraction"])
         # every matched param actually shards
         assert cov["matched_fraction"] == cov["fraction"]
+
+
+def test_sdxl_tp_collective_budget_pinned():
+    """Pin the partitioner's collective budget at the SDXL tp=2 CFG-step
+    config (VERDICT r4 next-#7).
+
+    The dp-only SDXL serving verdict (BENCH_NOTES r4 tp section) rests on
+    this exact measurement: 210 all-reduces moving 2.517 GB per step →
+    28/42 ms of ICI at tp=2/4 against 26/38 ms of compute savings.  A
+    sharding-rule edit that changes the collective budget must fail here
+    loudly instead of silently invalidating the recorded decision.  The
+    payload is tp-invariant (Megatron row/col pairs all-reduce the
+    replicated activations), so tp=2 pins the tp=4 figure too.
+
+    ~35 s: one SDXL UNet compile on the virtual mesh (no execution).
+    """
+    from theatergen_tpu.config import sdxl_config
+    from jax.sharding import NamedSharding
+
+    cfg = sdxl_config()
+    ucfg = cfg.unet
+    unet = UNet2DCondition(ucfg)
+    b, hw = 2, ucfg.sample_size
+    lat = jnp.zeros((b, hw, hw, 4), jnp.bfloat16)
+    t = jnp.zeros((b,), jnp.int32)
+    ctx = jnp.zeros((b, cfg.text.max_length, ucfg.cross_attention_dim),
+                    jnp.bfloat16)
+    pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                  - 6 * ucfg.addition_time_embed_dim)
+    pooled = jnp.zeros((b, pooled_dim), jnp.bfloat16)
+    tids = jnp.zeros((b, 6), jnp.bfloat16)
+
+    pshapes = jax.eval_shape(
+        lambda: unet.init(jax.random.key(0), lat[:1], t[:1], ctx[:1],
+                          pooled_text=pooled[:1],
+                          time_ids=tids[:1])["params"])
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.bfloat16),
+                          pshapes)
+    mesh = mesh_lib.make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    pshard = mesh_lib.param_shardings(mesh, params)
+    rep = NamedSharding(mesh, P())
+
+    def fwd(p, x, tt, c, pt, tid):
+        return unet.apply({"params": p}, x, tt, c,
+                          pooled_text=pt, time_ids=tid)
+
+    compiled = jax.jit(
+        fwd, in_shardings=(pshard, rep, rep, rep, rep, rep),
+        out_shardings=rep,
+    ).lower(params, lat, t, ctx, pooled, tids).compile()
+    stats = mesh_lib.collective_stats(compiled.as_text())
+
+    # the recorded inputs of the dp-only decision (tp_cost_model.py run,
+    # BENCH_NOTES r4): change these ONLY together with a re-run of the
+    # cost model and an updated serving verdict.
+    assert stats["all-reduce"]["count"] == 210, stats
+    assert stats["all-reduce"]["bytes"] == 2_516_582_400, stats
+    # coverage input of the same verdict (85.1% matched at tp=2)
+    cov = mesh_lib.sharding_coverage(mesh, params)
+    assert 0.84 < cov["matched_fraction"] < 0.87, cov["matched_fraction"]

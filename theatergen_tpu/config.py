@@ -54,12 +54,14 @@ class UNetConfig:
     # matches the reference's fp16 norms and saves activation passes
     fast_norm: bool = True
     # full transformer-FF fusion (up-proj + GEGLU gate + down-proj in
-    # one Pallas kernel, ops/geglu_matmul.py).  Per-MODEL default from
+    # one Pallas kernel, ops/geglu_matmul.py).  Per-MODEL setting from
     # chip A/Bs (BENCH_NOTES r4i/r4j): ON wins SD1.5's batch-4 program
     # (+4.6%), loses SDXL's batch-1 program (−3.5%) — the same FF
     # shapes flip sign with the surrounding program, so this is a model
-    # flag, not a shape rule.  THEATERGEN_FUSED_FF=1/0 overrides.
-    fused_ff: bool = True
+    # flag, not a shape rule.  Default False so a new config only turns
+    # it on behind an actual measurement (sd15_config sets True
+    # explicitly).  THEATERGEN_FUSED_FF=1/0 overrides.
+    fused_ff: bool = False
     remat: bool = False
     dtype: str = "bfloat16"
 
@@ -373,7 +375,16 @@ def tiny_xl_config(latent_size: int = 8) -> TheaterConfig:
 
 def sd15_config() -> TheaterConfig:
     """Full-size SD1.5 stack (the reference's main path)."""
-    return TheaterConfig()
+    # chip A/B r4i/r4j: the full-FF kernel wins SD1.5 at every instance
+    # (1.5292 vs 1.4615 headline) — explicit True here so the perf-
+    # sensitive flag records a measurement (the dataclass default is
+    # False; ADVICE r4).  The ControlNet encoder shares the flag: it
+    # runs the same SD1.5 FF shapes inside the same batch-4/512 program.
+    base = TheaterConfig()
+    unet = dataclasses.replace(base.unet, fused_ff=True)
+    return dataclasses.replace(
+        base, unet=unet,
+        controlnet=dataclasses.replace(base.controlnet, unet=unet))
 
 
 def sdxl_config() -> TheaterConfig:

@@ -226,7 +226,12 @@ def _flat_q_block(sq: int, sk: int, f: int, itemsize: int = 2) -> int:
     # FLAT_BQ (THEATERGEN_FLAT_BQ) forces a preferred block for
     # end-to-end A/Bs (falls back to the default ladder if it doesn't
     # fit the shape or the VMEM budget).
-    prefs = ((FLAT_BQ, 256, 512, 128) if FLAT_BQ else (256, 512, 128))
+    # only honor FLAT_BQ when it is a positive multiple of the TPU
+    # sublane count — a 12 or 100 that happens to divide sq would pass
+    # here and die later at Mosaic lowering instead of falling back
+    # (ADVICE r4)
+    prefs = ((FLAT_BQ, 256, 512, 128)
+             if FLAT_BQ > 0 and FLAT_BQ % 8 == 0 else (256, 512, 128))
     for bq in prefs:
         if bq > sq or sq % bq != 0:
             continue

@@ -50,19 +50,44 @@ _VMEM_LIMIT = 96 * 1024 * 1024
 _VMEM_BUDGET = 80 * 1024 * 1024
 
 
-# planner A/B (r4k): "v2" = traffic-minimizing whole-N/max-M blocks (the
-# r4f-validated default), "v3" = pipeline-depth planner.  v2 puts the
-# whole M in one block at the big shapes (e.g. SDXL 64²: bm=8192, bk=512
-# → a 5-cell grid), leaving Mosaic's DMA/compute pipeline almost no
-# steps to overlap across — the same failure mode the r4h2 full-FF
-# sweep measured (small-bk/lean budgets beat big blocks at every shape).
-# v3 instead requires ≥16 grid cells (while keeping the halves' per-row
-# DMA segments ≥ 512 B via bk ≥ 256 when possible) so warmup/cooldown
-# amortize; weight re-reads this costs are negligible (the w matrices
-# are ~3-13 MB vs 84 MB of activation halves).
-GEGLU_PLAN = os.environ.get("THEATERGEN_GEGLU_PLAN", "v2")
+# planner A/B (r4k, confirmed r5a): "v2" = traffic-minimizing
+# whole-N/max-M blocks (the r4f default), "v3" = pipeline-depth planner.
+# v2 puts the whole M in one block at the big shapes (e.g. SDXL 64²:
+# bm=8192, bk=512 → a 5-cell grid), leaving Mosaic's DMA/compute
+# pipeline almost no steps to overlap across — the same failure mode
+# the r4h2 full-FF sweep measured (small-bk/lean budgets beat big
+# blocks at every shape).  v3 instead requires ≥16 grid cells (while
+# keeping the halves' per-row DMA segments ≥ 512 B via bk ≥ 256 when
+# possible) so warmup/cooldown amortize; the weight re-reads this costs
+# are negligible (the w matrices are ~3-13 MB vs 84 MB of activation
+# halves).  Chip A/B (r4k logs, data/bench_logs/): SDXL 0.3031 (v3) vs
+# 0.2976 (v2) img/s, SD1.5 tie (1.5305 vs 1.5299) → default v3.
+GEGLU_PLAN = os.environ.get("THEATERGEN_GEGLU_PLAN", "v3")
+
+# explicit block override for sweeps: "bm,bk" forces that block at every
+# shape it legally fits (divides M/K, multiple of 8, inside the VMEM
+# budget) — shapes it doesn't fit fall back to the active planner.
+_BLOCK_ENV = os.environ.get("THEATERGEN_GEGLU_BLOCK", "")
 
 _MIN_CELLS = 16
+
+
+def _forced_block(m: int, k: int, n: int):
+    if not _BLOCK_ENV:
+        return None
+    try:
+        bm, bk = (int(v) for v in _BLOCK_ENV.split(","))
+    except ValueError:
+        raise ValueError(
+            f"THEATERGEN_GEGLU_BLOCK={_BLOCK_ENV!r}: expected 'bm,bk'")
+    if (bm <= 0 or bk <= 0 or bm % 8 or bk % 128
+            or bm > m or m % bm or bk > k or k % bk):
+        return None
+    vmem = (2 * (bm * bk * 2) * 2 + (bk * n * 2) * 2
+            + bm * n * 4 + bm * n * 2 * 2)
+    if vmem > _VMEM_BUDGET:
+        return None
+    return bm, bk, n
 
 
 def _plan_v3(m: int, k: int, n: int) -> tuple[int, int, int]:
@@ -95,6 +120,9 @@ def _plan(m: int, k: int, n: int) -> tuple[int, int, int]:
     (0, 0, 0) if nothing fits."""
     if n > 2048:
         return 0, 0, 0
+    forced = _forced_block(m, k, n)
+    if forced is not None:
+        return forced
     if GEGLU_PLAN == "v3":
         plan = _plan_v3(m, k, n)
         if plan[0]:
@@ -219,6 +247,11 @@ def _geglu_matmul_2d(hg: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 # surrounding program, so the gate is the model config, not the shape.
 
 _FF_ENV = os.environ.get("THEATERGEN_FUSED_FF", "auto")
+if _FF_ENV not in ("0", "1", "auto"):
+    # a typo like 'true'/'on' must not silently run as the auto control
+    # arm of an A/B (ADVICE r4)
+    raise ValueError(
+        f"THEATERGEN_FUSED_FF={_FF_ENV!r}: expected '0', '1', or 'auto'")
 FUSED_FULL = _FF_ENV != "0"
 FF_FORCE = _FF_ENV == "1"
 
@@ -371,7 +404,15 @@ def _ff_kernel_naive(x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref,
 
 def _ff_matmul_2d(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
                   w2: jnp.ndarray) -> jnp.ndarray:
-    """[M, D] → GEGLU(x@w1 + b1) @ w2, inner dim streamed in VMEM."""
+    """[M, D] → GEGLU(x@w1 + b1) @ w2, inner dim streamed in VMEM.
+
+    Numerics note (ADVICE r4): the fused kernel keeps the GEGLU
+    intermediate (bias add + gate multiply) in f32, while the unfused /
+    v2-geglu paths round the up-projection to bf16 before the gate.
+    Fused-on vs fused-off outputs are therefore tolerance-equal, NOT
+    bit-equal (fused is the more precise side); tests bound the drift.
+    Relevant for reproducibility triage across SD1.5 (fused) vs
+    THEATERGEN_FUSED_FF=0 reruns."""
     m, d = x.shape
     k = w2.shape[0]
     assert w1.shape == (d, 2 * k) and b1.shape == (2 * k,) \

@@ -144,6 +144,48 @@ def sharding_coverage(mesh: Mesh, params: Any) -> dict:
     }
 
 
+_DTYPE_BYTES = {"bf16": 2, "f32": 4, "f16": 2, "s32": 4, "u32": 4, "s8": 1}
+_COLL_SHAPE = re.compile(r"(bf16|f32|f16|s32|u32|s8)\[([\d,]*)\]")
+
+
+def _payload_bytes(line: str, op: str) -> int:
+    """Payload bytes of one collective line in optimized HLO: the result
+    type(s) sit between ``=`` and ``<op>(`` (tuples list all)."""
+    if f"{op}(" not in line or " = " not in line:
+        return 0
+    head = line.split(" = ", 1)[1].split(f"{op}(", 1)[0]
+    total = 0
+    for dt, dims in _COLL_SHAPE.findall(head):
+        n = (int(np.prod([int(d) for d in dims.split(",") if d]))
+             if dims else 1)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def collective_stats(hlo_text: str) -> dict:
+    """Count + payload bytes of the collectives in an optimized-HLO dump.
+
+    This is the measured input behind recorded tp-vs-dp serving verdicts
+    (BENCH_NOTES r4 tp section: 210 all-reduces / 2.517 GB per SDXL CFG
+    step → dp-only).  ``tests/test_parallel.py`` pins these numbers so a
+    sharding-rule edit that changes the collective budget fails loudly
+    instead of silently invalidating the recorded decision
+    (VERDICT r4 next-#7).
+
+    Returns ``{op: {"count": n, "bytes": total_payload}}`` for each of
+    all-reduce / all-gather / reduce-scatter / collective-permute."""
+    ops = ("all-reduce", "all-gather", "reduce-scatter",
+           "collective-permute")
+    out = {op: {"count": 0, "bytes": 0} for op in ops}
+    for line in hlo_text.splitlines():
+        for op in ops:
+            b = _payload_bytes(line, op)
+            if b:
+                out[op]["count"] += 1
+                out[op]["bytes"] += b
+    return out
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading batch dim over dp."""
     return NamedSharding(mesh, P("dp"))

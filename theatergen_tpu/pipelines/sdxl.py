@@ -117,15 +117,29 @@ class Text2ImgXL:
             num_steps_run = max(1, int(round(num_steps * denoising_end)))
         else:
             num_steps_run = num_steps
-        full = sched_ops.make_euler_ancestral_schedule(
-            cfg.scheduler, num_steps)
-        import dataclasses as _dc
+        # "lcm": guidance-free few-step consistency sampling for
+        # LCM-LoRA-XL-merged weights (models/lora.py merges
+        # latent-consistency/lcm-lora-sdxl through the same port
+        # mapping) — the SDXL serving route past the CFG structural
+        # ceiling, mirroring sd.Text2Img's LCM leg.
+        self.is_lcm = cfg.pipeline.scheduler_type == "lcm"
+        if self.is_lcm:
+            if denoising_end is not None:
+                raise ValueError("denoising_end is a base/refiner split "
+                                 "of the CFG schedule; not defined for "
+                                 "the LCM sampler")
+            self.sched = sched_ops.make_sampler(cfg.scheduler, num_steps,
+                                                kind="lcm")
+        else:
+            full = sched_ops.make_euler_ancestral_schedule(
+                cfg.scheduler, num_steps)
+            import dataclasses as _dc
 
-        self.sched = _dc.replace(
-            full,
-            timesteps=full.timesteps[:num_steps_run],
-            sigmas=full.sigmas[: num_steps_run + 1],
-        )
+            self.sched = _dc.replace(
+                full,
+                timesteps=full.timesteps[:num_steps_run],
+                sigmas=full.sigmas[: num_steps_run + 1],
+            )
         self.gs = (cfg.pipeline.guidance_scale if guidance_scale is None
                    else guidance_scale)
         self._run = jax.jit(self._run_impl)
@@ -146,15 +160,25 @@ class Text2ImgXL:
         def unet_apply(x, t, ctx, pool, tids):
             kwargs = {}
             if adapter_feats is not None:
+                reps = x.shape[0] // adapter_feats[0].shape[0]
                 kwargs["level_residuals"] = tuple(
-                    jnp.concatenate([f, f], axis=0) for f in adapter_feats)
+                    jnp.concatenate([f] * reps, axis=0) if reps > 1 else f
+                    for f in adapter_feats)
             return b.unet.apply(
                 {"params": unet_params}, x,
                 jnp.broadcast_to(t[None], (x.shape[0],)), ctx,
                 pooled_text=pool, time_ids=tids, **kwargs)
 
-        final, _ = denoise_xl(unet_apply, self.sched, anc_rng, lat, context,
-                              pooled, time_ids, self.gs)
+        if self.is_lcm:
+            # CFG is distilled into LCM(-LoRA) weights: cond rows only,
+            # one UNet eval per step (sd.lcm_denoise semantics)
+            pooled_c, tids_c = pooled[batch:], time_ids[batch:]
+            final = sd.lcm_denoise(
+                lambda x, t, c: unet_apply(x, t, c, pooled_c, tids_c),
+                self.sched, lat, context[batch:], anc_rng)
+        else:
+            final, _ = denoise_xl(unet_apply, self.sched, anc_rng, lat,
+                                  context, pooled, time_ids, self.gs)
         img = sd.decode_with(b.vae, vae_params, cfg.vae.scaling_factor, final)
         return img, final
 
