@@ -369,11 +369,15 @@ def test_attn_transfer_per_step_default_and_differs(theater, tmp_path):
     # models/pipelines.py:833-834) bitwise-erases every guided latent —
     # correct semantics, but it would hide the ref-map difference this
     # test exists to observe.
+    # guided=True explicitly: the ref-map semantics only reach the image
+    # through the guided final pass (the default is now guided=False,
+    # matching the reference's released behavior — BENCH_NOTES r5b)
     db_a = CharacterDB(str(tmp_path / "agg"))
-    th_agg = Theater(bundle, db_a, num_steps=3, attn_transfer="aggregate")
+    th_agg = Theater(bundle, db_a, num_steps=3, attn_transfer="aggregate",
+                     guided=True)
     r_agg = th_agg.run_turn(SPEC_T1, seed=0, frozen_step_ratio=0.0)
     db_p = CharacterDB(str(tmp_path / "ps"))
-    th_ps = Theater(bundle, db_p, num_steps=3)
+    th_ps = Theater(bundle, db_p, num_steps=3, guided=True)
     r_ps = th_ps.run_turn(SPEC_T1, seed=0, frozen_step_ratio=0.0)
     # identical seeds/weights — only the ref-map semantics differ
     assert np.abs(r_ps.image - r_agg.image).max() > 1e-7

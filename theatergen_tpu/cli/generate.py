@@ -96,7 +96,13 @@ def make_parser() -> argparse.ArgumentParser:
                     help="bundle snapshot dir (models/snapshot.py): load "
                          "from it when present, else save one after the "
                          "bundle is built — later runs cold-start fast")
-    ap.add_argument("--no_guidance", action="store_true")
+    ap.add_argument("--guidance", action="store_true",
+                    help="enable the latent-guidance energy loop (the "
+                         "reference ships it dormant; costs ~2.8x per "
+                         "dialogue on chip — BENCH_NOTES r5b)")
+    ap.add_argument("--no_guidance", action="store_true",
+                    help="(deprecated: guidance is off by default; kept "
+                         "so round-4 command lines keep working)")
     ap.add_argument("--cfg_cutoff", type=float, default=None,
                     help="CFG truncation fraction: full CFG for the first "
                          "frac of steps, cond-only after (~2x faster tail)")
@@ -272,7 +278,7 @@ def _run_wave_mode(args, bundle, mesh, dataset, dialogues, save_dir,
                     args.database_path_base, args.task, str(dialogue)))
                 theaters.append(Theater(
                     bundle, db, task=args.task, num_steps=args.num_steps,
-                    guided=not args.no_guidance, mesh=mesh,
+                    guided=args.guidance and not args.no_guidance, mesh=mesh,
                     batch_characters=True))
             t0 = time.time()
             for t_idx in range(4):
@@ -407,7 +413,7 @@ def main(argv: Optional[list] = None) -> None:
                 args.database_path_base, args.task, str(dialogue)))
             theater = Theater(
                 bundle, db, task=args.task, num_steps=args.num_steps,
-                guided=not args.no_guidance, mesh=mesh,
+                guided=args.guidance and not args.no_guidance, mesh=mesh,
                 batch_characters=args.batch_chars,
             )
             base = (args.freeze_dialogue_seed

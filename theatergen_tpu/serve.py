@@ -591,7 +591,11 @@ def main(argv=None) -> None:
     ap.add_argument("--cfg_cutoff", type=float, default=None)
     ap.add_argument("--deepcache", type=int, default=None)
     ap.add_argument("--cn_interval", type=int, default=None)
-    ap.add_argument("--no_guidance", action="store_true")
+    ap.add_argument("--guidance", action="store_true",
+                    help="enable the latent-guidance energy loop "
+                         "(~2.8x per dialogue — BENCH_NOTES r5b)")
+    ap.add_argument("--no_guidance", action="store_true",
+                    help="(deprecated: guidance is off by default)")
     args = ap.parse_args(argv)
 
     bundle = gen_cli.build_theater(args)
@@ -600,7 +604,8 @@ def main(argv=None) -> None:
         bundle, args.db_root, mesh=mesh, max_wave=args.max_wave,
         batch_window_s=args.batch_window_s, wave_policy=args.wave_policy,
         max_queue=args.max_queue,
-        num_steps=args.num_steps, guided=not args.no_guidance,
+        num_steps=args.num_steps,
+        guided=args.guidance and not args.no_guidance,
     )
     httpd = serve_http(server, args.out_dir, args.port)
     print(f"theatergen serving on http://127.0.0.1:"

@@ -115,7 +115,14 @@ class Theater:
         *,
         task: str = "story",
         num_steps: Optional[int] = None,
-        guided: bool = True,
+        # guided=False matches the reference's RELEASED behavior: it
+        # defines latent_backward_guidance but its benchmark path never
+        # invokes it (models/pipelines.py:62-128 dormant), and its
+        # CMIGBench results are produced without it.  Chip data (r5b,
+        # BENCH_NOTES): guided costs 2.8x per dialogue (47.0 s vs
+        # 17.0 s steady state; char pass p50 4.2 s vs 1.3 s).  The
+        # feature stays first-class — guided=True / --guidance opts in.
+        guided: bool = False,
         use_controlnet: bool = True,
         attn_transfer: str = "per_step",
         mesh=None,
