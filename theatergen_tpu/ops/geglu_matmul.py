@@ -71,6 +71,17 @@ _BLOCK_ENV = os.environ.get("THEATERGEN_GEGLU_BLOCK", "")
 
 _MIN_CELLS = 16
 
+# chip-validated block picks that beat the planners at specific shapes
+# (r5c sweep + end-to-end A/B, data/bench_logs/r5c_geglu_sweep.log /
+# r5c_sdxl_block2048x256.log): at SDXL's d=1280 shape the finer-k
+# (2048, 256) block pipelines better than v3's (512, 1024) — 0.346 vs
+# 0.354 ms isolated, +0.8% SDXL end-to-end (0.3054 vs 0.3031).  v3's
+# pick at the d=640 shape was tied-optimal (0.449 ms) and stays.
+# THEATERGEN_GEGLU_BLOCK / GEGLU_PLAN=v2 still override.
+_MEASURED_BLOCKS = {
+    (2048, 5120, 1280): (2048, 256),
+}
+
 
 def _forced_block(m: int, k: int, n: int):
     if not _BLOCK_ENV:
@@ -123,6 +134,9 @@ def _plan(m: int, k: int, n: int) -> tuple[int, int, int]:
     forced = _forced_block(m, k, n)
     if forced is not None:
         return forced
+    if GEGLU_PLAN == "v3" and (m, k, n) in _MEASURED_BLOCKS:
+        bm, bk = _MEASURED_BLOCKS[(m, k, n)]
+        return bm, bk, n
     if GEGLU_PLAN == "v3":
         plan = _plan_v3(m, k, n)
         if plan[0]:

@@ -107,6 +107,13 @@ class TheaterServer:
         then just share one program on one chip).
     theater_kwargs : forwarded to every session's Theater (num_steps,
         guided, use_controlnet, ...).
+
+    Throughput note (chip, BENCH_NOTES r5c): SDXL denoise throughput is
+    flat from batch 1→2 but +19.5% at batch 4 (0.3621 vs 0.3031
+    img/s/chip), so under saturated SDXL traffic keep ``max_wave >= 4``
+    (the default 8 qualifies) so wave batching reaches the paying batch;
+    latency-sensitive sparse traffic dispatches solo via
+    ``wave_policy="auto"`` regardless.
     """
 
     def __init__(self, bundle, db_root: str, *, mesh=None,
