@@ -322,6 +322,38 @@ def main() -> None:
         else:
             out["sdxl_1024"] = {"skipped": "time budget exhausted"}
 
+    # serving-route sub-metrics (r5c): the throughput-optimal SDXL batch
+    # and the few-step LCM routes on both model families — best-effort
+    # under the same budget, compile-cache-warm after their r5c sessions
+    if MEASURE_SDXL and default_cfg:
+        for key, model, b, steps, smp, met in (
+            ("sdxl_1024_b4", "sdxl", 4, 30, "ddim",
+             "SDXL 1024px 30-step DDIM (CFG) denoise throughput, batch 4 "
+             "(throughput-serving point, BENCH_NOTES r5c)"),
+            ("sdxl_lcm4", "sdxl", 1, 4, "lcm",
+             "SDXL 1024px 4-step LCM (guidance-free) denoise throughput, "
+             "batch 1"),
+            ("sd15_lcm4", "sd15", 4, 4, "lcm",
+             "SD1.5 512px 4-step LCM (guidance-free) denoise throughput, "
+             "batch 4"),
+        ):
+            if not _within_budget():
+                out[key] = {"skipped": "time budget exhausted"}
+                continue
+            case = _build_case(model, b, steps, sampler=smp,
+                               use_flash=USE_FLASH)
+            s_ips, s_times = _time_case(*case, b)
+            del case
+            out[key] = {
+                "metric": met,
+                "value": round(s_ips, 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(s_ips / TARGET, 4),
+                "trial_s": [round(t, 4) for t in s_times],
+                "spread_pct": round(
+                    100 * (max(s_times) - min(s_times)) / min(s_times), 1),
+            }
+
     print(json.dumps(out))
 
 

@@ -85,6 +85,10 @@ def load_bundle_snapshot(cfg, snap_dir: str, *,
         meta = json.load(f)
     fields = set(meta["fields"])
 
+    # abstract skeleton: modules + ShapeDtypeStruct param trees, NO device
+    # init — a concrete init of the full stack is a giant TPU compile AND
+    # a full extra HBM copy next to the restore, which OOMed a 16 GB v5e
+    # (r5d.2, BENCH_NOTES r5d).  Every abstract tree is replaced below.
     bundle = init_bundle(
         cfg, jax.random.key(0),
         with_ip="unet_ip_params" in fields,
@@ -94,6 +98,7 @@ def load_bundle_snapshot(cfg, snap_dir: str, *,
         with_t2i_adapter="t2i_adapter_params" in fields,
         ip_variant=meta.get("ip_variant", "base"),
         tokenizer_assets=tokenizer_assets,
+        abstract=True,
     )
     with ocp.PyTreeCheckpointer() as ckptr:
         tree = ckptr.restore(os.path.join(snap_dir, "params"))
@@ -102,4 +107,13 @@ def load_bundle_snapshot(cfg, snap_dir: str, *,
         raise ValueError(f"snapshot has unknown fields: {sorted(unknown)}")
     for f in meta["fields"]:
         setattr(bundle, f, tree[f])
+    # nothing abstract may survive: a param tree the snapshot didn't
+    # cover (cfg/snapshot mismatch) would crash at first use with an
+    # opaque tracer error — fail loudly here instead
+    for f in PARAM_FIELDS:
+        leaves = jax.tree.leaves(getattr(bundle, f) or {})
+        if any(isinstance(x, jax.ShapeDtypeStruct) for x in leaves):
+            raise ValueError(
+                f"snapshot {snap_dir} does not cover param field {f!r} "
+                f"required by this cfg (saved fields: {sorted(fields)})")
     return bundle

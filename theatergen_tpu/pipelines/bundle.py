@@ -120,10 +120,23 @@ def init_bundle(
     with_t2i_adapter: bool = False,
     ip_variant: str = "base",
     tokenizer_assets: Optional[str] = None,
+    abstract: bool = False,
 ) -> Bundle:
     """Random-init bundle (benchmark / test path — no weights shipped in
-    this environment; see models/weights.py for checkpoint porting)."""
+    this environment; see models/weights.py for checkpoint porting).
+
+    ``abstract=True`` returns the same Bundle but with every param tree
+    made of ``jax.ShapeDtypeStruct`` leaves via ``eval_shape`` — no
+    device compile or allocation.  Callers that replace every tree with
+    real values (``models/snapshot.py::load_bundle_snapshot``) use this:
+    a concrete init of the full SD1.5 stack on the TPU is both a giant
+    compile and a full extra HBM copy alongside the restored params
+    (the r5d.2 cold-start run OOMed exactly there — BENCH_NOTES r5d)."""
     keys = jax.random.split(rng, 8)
+
+    def _init(module, key, *args, **kwargs):
+        fn = lambda: module.init(key, *args, **kwargs)["params"]
+        return jax.eval_shape(fn) if abstract else fn()
     H = W = cfg.unet.sample_size
     img_h, img_w = cfg.pipeline.height, cfg.pipeline.width
 
@@ -134,23 +147,21 @@ def init_bundle(
                       - 6 * cfg.unet.addition_time_embed_dim)
         xl_kwargs = dict(pooled_text=jnp.zeros((1, pooled_dim)),
                          time_ids=jnp.zeros((1, 6)))
-    unet_params = unet.init(
-        keys[0],
+    unet_params = _init(
+        unet, keys[0],
         jnp.zeros((1, H, W, cfg.unet.in_channels)),
         jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim)),
         **xl_kwargs,
-    )["params"]
+    )
 
     vae = AutoencoderKL(cfg.vae)
-    vae_params = vae.init(
-        keys[1], jnp.zeros((1, img_h, img_w, cfg.vae.in_channels))
-    )["params"]
+    vae_params = _init(
+        vae, keys[1], jnp.zeros((1, img_h, img_w, cfg.vae.in_channels)))
 
     text = CLIPTextEncoder(cfg.text)
-    text_params = text.init(
-        keys[2], jnp.zeros((1, cfg.text.max_length), jnp.int32)
-    )["params"]
+    text_params = _init(
+        text, keys[2], jnp.zeros((1, cfg.text.max_length), jnp.int32))
 
     b = Bundle(
         cfg=cfg,
@@ -188,53 +199,50 @@ def init_bundle(
             ip_unet_cfg = dc.replace(cfg.unet, ip_num_tokens=n_tokens)
             b.unet_ip = UNet2DCondition(ip_unet_cfg)
             ctx_len = cfg.text.max_length + n_tokens
-            b.unet_ip_params = b.unet_ip.init(
-                keys[3],
+            b.unet_ip_params = _init(
+                b.unet_ip, keys[3],
                 jnp.zeros((1, H, W, cfg.unet.in_channels)),
                 jnp.zeros((1,), jnp.int32),
                 jnp.zeros((1, ctx_len, cfg.unet.cross_attention_dim)),
                 **xl_kwargs,
-            )["params"]
+            )
             b.image_proj = proj
-            b.image_proj_params = proj.init(keys[4], proj_in)["params"]
+            b.image_proj_params = _init(proj, keys[4], proj_in)
 
         if with_controlnet:
             from ..models.controlnet import ControlNet
 
             cn = ControlNet(cfg.controlnet)
             b.controlnet = cn
-            b.controlnet_params = cn.init(
-                keys[5],
+            b.controlnet_params = _init(
+                cn, keys[5],
                 jnp.zeros((1, H, W, cfg.unet.in_channels)),
                 jnp.zeros((1,), jnp.int32),
                 jnp.zeros((1, cfg.text.max_length, cfg.unet.cross_attention_dim)),
                 jnp.zeros((1, img_h, img_w, cfg.controlnet.conditioning_channels)),
-            )["params"]
+            )
 
     if cfg.text2 is not None:
         text2 = CLIPTextEncoder(cfg.text2)
         b.text2 = text2
-        b.text2_params = text2.init(
-            jax.random.key(17), jnp.zeros((1, cfg.text2.max_length), jnp.int32)
-        )["params"]
+        b.text2_params = _init(
+            text2, jax.random.key(17),
+            jnp.zeros((1, cfg.text2.max_length), jnp.int32))
 
     if with_t2i_adapter:
         from ..models.t2i_adapter import T2IAdapter
 
         ada = T2IAdapter(cfg.unet, downscale=cfg.pipeline.vae_scale)
         b.t2i_adapter = ada
-        b.t2i_adapter_params = ada.init(
-            jax.random.key(18),
-            jnp.zeros((1, img_h, img_w, 3)),
-        )["params"]
+        b.t2i_adapter_params = _init(
+            ada, jax.random.key(18), jnp.zeros((1, img_h, img_w, 3)))
 
     if with_vision:
         vis = CLIPVisionEncoder(cfg.vision)
         b.vision = vis
-        b.vision_params = vis.init(
-            keys[6],
-            jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
-        )["params"]
+        b.vision_params = _init(
+            vis, keys[6],
+            jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)))
 
     if with_sam:
         if getattr(cfg.sam, "backend", "lite") == "hf":
@@ -249,20 +257,20 @@ def init_bundle(
                       else SamHFConfig())
             sam = SamHF(hf_cfg)
             b.sam = sam
-            b.sam_params = sam.init(
-                keys[7],
+            b.sam_params = _init(
+                sam, keys[7],
                 jnp.zeros((1, hf_cfg.image_size, hf_cfg.image_size, 3)),
                 jnp.zeros((1, 1, 4)),
-            )["params"]
+            )
         else:
             from ..perception.sam import SAMLite
 
             sam = SAMLite(cfg.sam)
             b.sam = sam
-            b.sam_params = sam.init(
-                keys[7],
+            b.sam_params = _init(
+                sam, keys[7],
                 jnp.zeros((1, cfg.sam.image_size, cfg.sam.image_size, 3)),
                 jnp.zeros((1, 1, 4)),
-            )["params"]
+            )
 
     return b
