@@ -640,6 +640,11 @@ def main() -> None:
     if args.sdxl:
         try:
             del sd                                # free VRAM for SDXL
+            if torch.cuda.is_available():
+                import gc
+
+                gc.collect()
+                torch.cuda.empty_cache()
             export_sdxl(args.out, args.sdxl, args.device, dtype,
                         steps=args.steps or 30)
         except Exception as e:
