@@ -594,6 +594,83 @@ def export_sdxl(out, sdxl_id, device, dtype, steps=30, seed=5):
     print(f"wrote sdxl_ddim{steps}")
 
 
+def export_sdxl_ea(out, sdxl_id, device, dtype, steps=30, seed=6):
+    """SDXL under its ACTUAL reference sampler (EulerAncestral,
+    generate.py:115-118), recording the per-step ancestral noise so the
+    TPU side replays the torch draws exactly (ea_step takes explicit
+    noise).  The noise is captured by cloning the generator state before
+    each step: diffusers' scheduler.step draws via randn_tensor from the
+    same generator, so the recorded tensor IS the one it consumed."""
+    import numpy as np
+    import torch
+    from diffusers import (
+        EulerAncestralDiscreteScheduler, StableDiffusionXLPipeline,
+    )
+    from diffusers.utils.torch_utils import randn_tensor
+
+    pipe = StableDiffusionXLPipeline.from_pretrained(
+        sdxl_id, torch_dtype=dtype).to(device)
+    pipe.unet.eval()
+    # the reference's exact construction (generate.py:125): the SDXL base
+    # repo's scheduler config — leading spacing, steps_offset=1, the
+    # 0.00085→0.012 scaled_linear betas
+    sched = EulerAncestralDiscreteScheduler.from_pretrained(
+        sdxl_id, subfolder="scheduler")
+    prompt = "a lighthouse in a storm, dramatic oil painting"
+    negative = "lowres, bad anatomy, worst quality"
+    guidance = 7.5
+    with torch.no_grad():
+        pe, ne, pp, np_ = pipe.encode_prompt(
+            prompt, device=device, num_images_per_prompt=1,
+            do_classifier_free_guidance=True, negative_prompt=negative)
+    ctx = torch.cat([ne, pe], dim=0)
+    pooled = torch.cat([np_, pp], dim=0)
+    tid = torch.tensor([[1024, 1024, 0, 0, 1024, 1024]], dtype=dtype,
+                       device=device)
+    time_ids = torch.cat([tid, tid], dim=0)
+
+    sched.set_timesteps(steps, device=device)
+    gen = torch.Generator("cpu").manual_seed(seed)
+    lat = torch.randn((1, 4, 128, 128), generator=gen).to(device, dtype)
+    lat = lat * sched.init_noise_sigma
+    traj = [lat.float().cpu().numpy()]
+    noises = []
+    with torch.no_grad():
+        for t in sched.timesteps:
+            lat_in = sched.scale_model_input(torch.cat([lat, lat]), t)
+            eps = pipe.unet(
+                lat_in, t, encoder_hidden_states=ctx,
+                added_cond_kwargs={"text_embeds": pooled,
+                                   "time_ids": time_ids}).sample
+            eps_u, eps_c = eps.chunk(2)
+            eps = eps_u + guidance * (eps_c - eps_u)
+            # record the exact noise step() will draw: same generator,
+            # state restored after the peek
+            state = gen.get_state()
+            noises.append(randn_tensor(
+                lat.shape, generator=gen, device=lat.device,
+                dtype=lat.dtype).float().cpu().numpy())
+            gen.set_state(state)
+            lat = sched.step(eps, t, lat, generator=gen).prev_sample
+            traj.append(lat.float().cpu().numpy())
+        if hasattr(pipe, "upcast_vae"):
+            pipe.upcast_vae()
+        img = pipe.vae.decode(
+            lat.to(next(pipe.vae.parameters()).dtype)
+            / pipe.vae.config.scaling_factor).sample
+    img = ((img / 2 + 0.5).clamp(0, 1)[0].permute(1, 2, 0)
+           .float().cpu().numpy())
+    _save_common(
+        os.path.join(out, "sdxl_ea%d" % steps), prompt=prompt,
+        negative=negative, steps=steps, guidance=guidance, seed=seed,
+        model="sdxl", kind="sdxl_ea",
+        lat0=traj[0], ctx=ctx.float().cpu().numpy(), traj=traj, img=img,
+        extras={"pooled.npy": pooled.float().cpu().numpy(),
+                "time_ids.npy": time_ids.float().cpu().numpy(),
+                "step_noise.npy": np.stack(noises, axis=0)})
+    print(f"wrote sdxl_ea{steps} (EulerAncestral, recorded step noise)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", required=True)
@@ -647,6 +724,8 @@ def main() -> None:
                 torch.cuda.empty_cache()
             export_sdxl(args.out, args.sdxl, args.device, dtype,
                         steps=args.steps or 30)
+            export_sdxl_ea(args.out, args.sdxl, args.device, dtype,
+                           steps=args.steps or 30)
         except Exception as e:
             print(f"WARNING: sdxl case skipped: {e}")
 

@@ -18,7 +18,10 @@ Two modes:
                        decoupled image attention); run twice — injected
                        ip tokens and own-projector (adds ImageProjModel).
     - ``final_cn``     ControlNet + frozen-mask composed final pass.
-    - ``sdxl``         SDXL base UNet with micro-conditioning.
+    - ``sdxl``         SDXL base UNet with micro-conditioning (DDIM).
+    - ``sdxl_ea``      SDXL under EulerAncestral with the recorded
+                       per-step noise injected (the reference's actual
+                       XL sampler).
 
     Exit code 1 if any row fails.
 
@@ -210,6 +213,59 @@ def _export_self_sdxl(tdir, bundle):
                  trajectory=np.asarray(traj, np.float32), image=img)
 
 
+def _export_self_sdxl_ea(tdir, bundle):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from theatergen_tpu.eval import goldens as GD
+    from theatergen_tpu.ops import scheduler as sched_ops
+    from theatergen_tpu.pipelines import sd
+    from theatergen_tpu.pipelines.sdxl import (
+        default_time_ids, encode_prompts_xl,
+    )
+
+    cfg = bundle.cfg
+    steps = 3
+    prompt, negative = "a harbor at night", ""
+    context, pooled = encode_prompts_xl(bundle, prompt, negative)
+    context, pooled = np.asarray(context), np.asarray(pooled)
+    time_ids = np.asarray(default_time_ids(
+        cfg.pipeline.height, cfg.pipeline.width, 2))
+    h, w = cfg.pipeline.latent_height, cfg.pipeline.latent_width
+    sched = sched_ops.make_euler_ancestral_schedule(cfg.scheduler, steps)
+    lat0 = np.asarray(
+        sd.seeded_latents(jax.random.key(51), 1, h, w)
+        * sched.init_noise_sigma, np.float32)
+    noise = np.asarray(jax.random.normal(
+        jax.random.key(52), (steps, 1, h, w, 4)), np.float32)
+    pooled_j, tids_j = jnp.asarray(pooled), jnp.asarray(time_ids)
+
+    def unet_apply(x, t, c):
+        return bundle.unet.apply(
+            {"params": bundle.unet_params}, x,
+            jnp.broadcast_to(t[None], (x.shape[0],)), c,
+            pooled_text=pooled_j[-x.shape[0]:],
+            time_ids=tids_j[-x.shape[0]:])
+
+    lat = jnp.asarray(lat0)
+    traj = [lat0]
+    for i in range(steps):
+        scaled = sched_ops.ea_scale_model_input(sched, lat, i)
+        eps = unet_apply(jnp.concatenate([scaled, scaled], axis=0),
+                         sched.timesteps[i], jnp.asarray(context))
+        eps = sd.cfg_combine(eps.astype(jnp.float32), 7.5)
+        lat = sched_ops.ea_step(sched, eps, i, lat, jnp.asarray(noise[i]))
+        traj.append(np.asarray(lat, np.float32))
+    img = np.asarray(sd.decode_latents(bundle, lat))[0]
+    GD.save_case(tdir, "self_sdxl_ea", prompt=prompt, negative=negative,
+                 num_steps=steps, guidance_scale=7.5, seed=51,
+                 model="sdxl", kind="sdxl_ea", init_latents=lat0,
+                 context=context, pooled=pooled, time_ids=time_ids,
+                 step_noise=noise,
+                 trajectory=np.stack(traj, axis=0), image=img)
+
+
 def self_test(out_json: str | None = None) -> int:
     import jax
 
@@ -228,9 +284,10 @@ def self_test(out_json: str | None = None) -> int:
         _export_self_character(tdir, bundle)
         _export_self_final(tdir, bundle)
         _export_self_sdxl(tdir, xl_bundle)
+        _export_self_sdxl_ea(tdir, xl_bundle)
         for name in GD.list_cases(tdir):
             case = GD.load_case(tdir, name)
-            b = xl_bundle if case.kind == "sdxl" else bundle
+            b = xl_bundle if case.kind.startswith("sdxl") else bundle
             res = GD.run_case(b, case)
             # latents must be bit-identical (same program, same inputs);
             # the image only survives a PNG uint8 round-trip, which
@@ -259,7 +316,7 @@ def real_run(goldens_dir: str, weights_dir: str,
 
     names = GD.list_cases(goldens_dir)
     kinds = {n: GD.load_case(goldens_dir, n).kind for n in names}
-    need_xl = any(k == "sdxl" for k in kinds.values())
+    need_xl = any(k.startswith("sdxl") for k in kinds.values())
 
     # load_bundle always equips ip+controlnet+vision (weights.py:1185)
     bundle = load_bundle(sd15_config(), weights_dir)
@@ -269,7 +326,7 @@ def real_run(goldens_dir: str, weights_dir: str,
     rows = []
     for name in names:
         case = GD.load_case(goldens_dir, name)
-        b = xl_bundle if case.kind == "sdxl" else bundle
+        b = xl_bundle if case.kind.startswith("sdxl") else bundle
         # isolation ladder per kind: injected first, then add our own
         # upstream stage (text encoder / IP projector) when possible
         modes = [{}]

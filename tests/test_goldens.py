@@ -324,3 +324,63 @@ def test_sdxl_case_round_trip(tmp_path):
     case.pooled = np.zeros_like(case.pooled)
     res2 = GD.run_case(b, case)
     assert res2["final_mse"] > 0
+
+
+def test_sdxl_ea_case_round_trip(tmp_path):
+    """EulerAncestral SDXL case with recorded per-step noise: injection
+    replays the draw exactly (ea_step takes explicit noise), and a
+    shifted noise record must fail — proving the noise actually gates
+    the comparison (the reference's real XL sampler, generate.py:125)."""
+    from theatergen_tpu.config import tiny_xl_config
+    from theatergen_tpu.pipelines.sdxl import (
+        default_time_ids, encode_prompts_xl,
+    )
+
+    b = init_bundle(tiny_xl_config(), jax.random.key(4))
+    cfg = b.cfg
+    steps = 3
+    context, pooled = encode_prompts_xl(b, "a harbor", "")
+    context, pooled = np.asarray(context), np.asarray(pooled)
+    time_ids = np.asarray(default_time_ids(
+        cfg.pipeline.height, cfg.pipeline.width, 2))
+    h, w = cfg.pipeline.latent_height, cfg.pipeline.latent_width
+    sched = sched_ops.make_euler_ancestral_schedule(cfg.scheduler, steps)
+    lat0 = np.asarray(sd.seeded_latents(jax.random.key(5), 1, h, w)
+                      * sched.init_noise_sigma, np.float32)
+    noise = np.asarray(jax.random.normal(
+        jax.random.key(6), (steps, 1, h, w, 4)), np.float32)
+    pooled_j, tids_j = jnp.asarray(pooled), jnp.asarray(time_ids)
+
+    def unet_apply(x, t, c):
+        return b.unet.apply(
+            {"params": b.unet_params}, x,
+            jnp.broadcast_to(t[None], (x.shape[0],)), c,
+            pooled_text=pooled_j[-x.shape[0]:],
+            time_ids=tids_j[-x.shape[0]:])
+
+    lat = jnp.asarray(lat0)
+    traj = [lat0]
+    for i in range(steps):
+        scaled = sched_ops.ea_scale_model_input(sched, lat, i)
+        eps = unet_apply(jnp.concatenate([scaled, scaled], axis=0),
+                         sched.timesteps[i], jnp.asarray(context))
+        eps = sd.cfg_combine(eps.astype(jnp.float32), 7.5)
+        lat = sched_ops.ea_step(sched, eps, i, lat, jnp.asarray(noise[i]))
+        traj.append(np.asarray(lat, np.float32))
+    img = np.asarray(sd.decode_latents(b, lat))[0]
+    GD.save_case(str(tmp_path), "case_ea", prompt="a harbor", negative="",
+                 num_steps=steps, guidance_scale=7.5, seed=5,
+                 model="sdxl", kind="sdxl_ea", init_latents=lat0,
+                 context=context, pooled=pooled, time_ids=time_ids,
+                 step_noise=noise, trajectory=np.stack(traj, axis=0),
+                 image=img)
+    case = GD.load_case(str(tmp_path), "case_ea")
+    assert case.kind == "sdxl_ea" and case.step_noise.shape[0] == steps
+    res = GD.run_case(b, case)
+    assert res["sampler"] == "euler_ancestral"
+    assert res["final_mse"] < 1e-9
+    assert GD.verdict(res)
+    # a rolled noise record must blow up the trajectory comparison
+    case.step_noise = np.roll(case.step_noise, 1, axis=0)
+    res2 = GD.run_case(b, case)
+    assert res2["final_rel_mse"] > 0.05 or res2["final_mse"] > 1e-4

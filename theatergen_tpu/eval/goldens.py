@@ -33,6 +33,13 @@ next-#2):
     the golden isolates UNet/text-stack parity (ancestral *scheduler*
     arithmetic is golden-tested separately against diffusers configs
     in tests/test_scheduler.py).
+``sdxl_ea``
+    the same SDXL stack under the reference's ACTUAL sampler
+    (EulerAncestral, ``generate.py:115-118``) with the per-step
+    ancestral noise RECORDED into the bundle (``step_noise.npy``) and
+    injected on replay — ``ops/scheduler.py::ea_step`` takes explicit
+    noise, so the torch draw is replayed exactly and the comparison
+    covers sampler + UNet together.
 
 Golden bundle layout (one directory per case)::
 
@@ -61,9 +68,12 @@ Golden bundle layout (one directory per case)::
                                       trajectory (slot 0 = fresh noise,
                                       1: = noised composed latents)
     <goldens>/<case>/frozen_mask.npy  [h, w] in {0, 1}
-    -- sdxl extras --
+    -- sdxl / sdxl_ea extras --
     <goldens>/<case>/pooled.npy       [2B, D] pooled text embeds
     <goldens>/<case>/time_ids.npy     [2B, 6] micro-conditioning
+    <goldens>/<case>/step_noise.npy   [S, B, 4, h, w] the ancestral
+                                      noise drawn at each step
+                                      (sdxl_ea only)
 
 Latent-like arrays are torch-layout NCHW on disk so the exporter stays
 a dumb ``save``; this module converts to NHWC at load time.
@@ -78,7 +88,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-KINDS = ("text2img", "character_ip", "final_cn", "sdxl")
+KINDS = ("text2img", "character_ip", "final_cn", "sdxl", "sdxl_ea")
 
 
 @dataclasses.dataclass
@@ -105,6 +115,7 @@ class GoldenCase:
     frozen_mask: Optional[np.ndarray] = None    # [h, w] (final_cn)
     pooled: Optional[np.ndarray] = None         # [2B, D] (sdxl)
     time_ids: Optional[np.ndarray] = None       # [2B, 6] (sdxl)
+    step_noise: Optional[np.ndarray] = None     # [S, B, h, w, 4] (sdxl_ea)
 
 
 def _to_nhwc(a: np.ndarray) -> np.ndarray:
@@ -167,6 +178,7 @@ def load_case(goldens_dir: str, name: str) -> GoldenCase:
         frozen_mask=opt("frozen_mask.npy"),
         pooled=opt("pooled.npy"),
         time_ids=opt("time_ids.npy"),
+        step_noise=opt("step_noise.npy", nhwc=True),
     )
 
 
@@ -195,6 +207,7 @@ def save_case(
     frozen_mask: Optional[np.ndarray] = None,
     pooled: Optional[np.ndarray] = None,
     time_ids: Optional[np.ndarray] = None,
+    step_noise: Optional[np.ndarray] = None,   # NHWC
 ) -> str:
     """Write a case in the exporter's on-disk layout (NCHW for latents).
     Used by the self-test path (``scripts/golden_parity.py --self``) so the
@@ -228,6 +241,7 @@ def save_case(
     put("frozen_mask.npy", frozen_mask)
     put("pooled.npy", pooled)
     put("time_ids.npy", time_ids)
+    put("step_noise.npy", step_noise, nchw=True)
     if image is not None:
         from ..utils.vis import save_image_rgb
 
@@ -422,12 +436,68 @@ def run_sdxl_case(bundle, case: GoldenCase) -> Dict:
     return _compare(traj, img, case, {"context": "injected"})
 
 
+def run_sdxl_ea_case(bundle, case: GoldenCase) -> Dict:
+    """SDXL under EulerAncestral with the recorded per-step noise
+    injected (reference ``generate.py:115-118``): ``ea_step`` takes
+    explicit noise, so the torch generator's draws replay exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import scheduler as sched_ops
+    from ..pipelines import sd
+
+    for field in ("context", "pooled", "step_noise"):
+        assert getattr(case, field) is not None, \
+            f"sdxl_ea case needs {field}.npy"
+    cfg = bundle.cfg
+    sched = sched_ops.make_euler_ancestral_schedule(cfg.scheduler,
+                                                    case.num_steps)
+    pooled = jnp.asarray(case.pooled)
+    if case.time_ids is not None:
+        time_ids = jnp.asarray(case.time_ids)
+    else:
+        from ..pipelines.sdxl import default_time_ids
+
+        time_ids = default_time_ids(cfg.pipeline.height, cfg.pipeline.width,
+                                    pooled.shape[0])
+    noise = jnp.asarray(case.step_noise)
+
+    def unet_apply(x, t, c):
+        return bundle.unet.apply(
+            {"params": bundle.unet_params}, x,
+            jnp.broadcast_to(t[None], (x.shape[0],)), c,
+            pooled_text=pooled[-x.shape[0]:],
+            time_ids=time_ids[-x.shape[0]:])
+
+    @jax.jit
+    def run(lat, c, nz):
+        def step(carry, i):
+            lat = carry
+            scaled = sched_ops.ea_scale_model_input(sched, lat, i)
+            lat_in = jnp.concatenate([scaled, scaled], axis=0)
+            eps = unet_apply(lat_in, sched.timesteps[i], c)
+            eps = sd.cfg_combine(eps.astype(jnp.float32),
+                                 case.guidance_scale)
+            nxt = sched_ops.ea_step(sched, eps, i, lat, nz[i])
+            return nxt, lat
+
+        final, traj = jax.lax.scan(step, lat, jnp.arange(sched.num_steps))
+        return final, jnp.concatenate([traj, final[None]], axis=0)
+
+    final, traj = run(jnp.asarray(case.init_latents),
+                      jnp.asarray(case.context), noise)
+    img = np.asarray(sd.decode_latents(bundle, final))
+    return _compare(traj, img, case, {"context": "injected",
+                                      "sampler": "euler_ancestral"})
+
+
 def run_case(bundle, case: GoldenCase, **kw) -> Dict:
     """Dispatch on ``case.kind`` (kw forwarded to the kind's runner)."""
     fn = {"text2img": run_text2img_case,
           "character_ip": run_character_case,
           "final_cn": run_final_case,
-          "sdxl": run_sdxl_case}[case.kind]
+          "sdxl": run_sdxl_case,
+          "sdxl_ea": run_sdxl_ea_case}[case.kind]
     return fn(bundle, case, **kw)
 
 
