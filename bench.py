@@ -62,8 +62,12 @@ LAST_MEASURED = 1.4283  # img/s, 2026-08-19 packed-ON (see BENCH_NOTES.md)
 INIT_TIMEOUT_S = int(os.environ.get("THEATERGEN_BENCH_TIMEOUT", "2400"))
 # start a sub-metric only while elapsed wall-clock is under this (leaves
 # headroom before INIT_TIMEOUT_S for a cold-cache SDXL compile)
+# 2700 covers all six cache-warm sub-metrics through the tunnel (each
+# costs ~3-6 min of executable load + trials even on a cache hit — the
+# r5 final-check run reached sdxl_lcm4 at ~42 min with 2100); a cold
+# cache still truncates gracefully from the slow end
 SUBMETRIC_BUDGET_S = int(os.environ.get("THEATERGEN_BENCH_SUB_BUDGET",
-                                        "1200"))
+                                        "2700"))
 _T0 = time.perf_counter()
 
 
@@ -325,17 +329,20 @@ def main() -> None:
     # serving-route sub-metrics (r5c): the throughput-optimal SDXL batch
     # and the few-step LCM routes on both model families — best-effort
     # under the same budget, compile-cache-warm after their r5c sessions
+    # ordered cheap-first (the 4-step LCM programs time in seconds once
+    # loaded; the batch-4 SDXL run pays 5x11 s trials) so a tight budget
+    # truncates from the slow end
     if MEASURE_SDXL and default_cfg:
         for key, model, b, steps, smp, met in (
-            ("sdxl_1024_b4", "sdxl", 4, 30, "ddim",
-             "SDXL 1024px 30-step DDIM (CFG) denoise throughput, batch 4 "
-             "(throughput-serving point, BENCH_NOTES r5c)"),
-            ("sdxl_lcm4", "sdxl", 1, 4, "lcm",
-             "SDXL 1024px 4-step LCM (guidance-free) denoise throughput, "
-             "batch 1"),
             ("sd15_lcm4", "sd15", 4, 4, "lcm",
              "SD1.5 512px 4-step LCM (guidance-free) denoise throughput, "
              "batch 4"),
+            ("sdxl_lcm4", "sdxl", 1, 4, "lcm",
+             "SDXL 1024px 4-step LCM (guidance-free) denoise throughput, "
+             "batch 1"),
+            ("sdxl_1024_b4", "sdxl", 4, 30, "ddim",
+             "SDXL 1024px 30-step DDIM (CFG) denoise throughput, batch 4 "
+             "(throughput-serving point, BENCH_NOTES r5c)"),
         ):
             if not _within_budget():
                 out[key] = {"skipped": "time budget exhausted"}

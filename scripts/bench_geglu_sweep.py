@@ -79,6 +79,9 @@ def main():
                 plan if plan != "forced" else "v3")
             os.environ["THEATERGEN_GEGLU_BLOCK"] = (
                 f"{block[0]},{block[1]}" if block else "")
+            # planner rows must time the PLANNER's organic pick, not the
+            # chip-validated override the sweep exists to re-validate
+            os.environ["THEATERGEN_GEGLU_MEASURED"] = "0"
             import theatergen_tpu.ops.geglu_matmul as gg
 
             gg = importlib.reload(gg)

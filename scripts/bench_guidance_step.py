@@ -1,10 +1,10 @@
 """Per-step latent-guidance cost on chip (VERDICT r4 next-#4).
 
-``Theater`` defaults ``guided=True`` (the reference's north-star dormant
-feature, ``models/pipelines.py:62-128``) but every recorded dialogue
-number ran ``guided=False`` — the differentiator's cost was unknown.
-This measures its building blocks at the SD1.5 batch-1 character-pass
-shape so the guided dialogue p50 has a per-step accounting next to it:
+The latent-guidance loop (the reference's dormant
+``latent_backward_guidance``, ``models/pipelines.py:62-128``) is opt-in
+here since r5b (``--guidance``; measured 2.8x per dialogue).  This
+measures its building blocks at the SD1.5 batch-1 character-pass shape
+so the guided dialogue p50 has a per-step accounting next to it:
 
 1. plain CFG denoise step (2x-batch UNet fwd) — the guided=False unit;
 2. one guidance grad iteration (cond-only UNet fwd with attention
@@ -116,13 +116,20 @@ def main():
 
     t_cfg = _time(cfg_step, params, lat, ctx)
 
-    # 2. one grad iteration: value_and_grad of the capture energy
-    energy = make_energy_fn(
-        lambda l, t, c: unet_apply(params, l, t, c, capture=True)[1]["attn"],
-        gcfg, text_len, latent_hw=(h, w))
+    # 2. one grad iteration: value_and_grad of the capture energy.
+    # The energy must bind the TRACED params arg, never the host tree —
+    # a closure would bake the multi-GB tree into the executable as
+    # constants (a second full HBM copy; the repo rule in
+    # pipelines/character.py:118, flagged by the r5 code review).
+    def make_energy(p):
+        return make_energy_fn(
+            lambda l, t, c: unet_apply(p, l, t, c, capture=True)[1]["attn"],
+            gcfg, text_len, latent_hw=(h, w))
 
     @jax.jit
     def grad_iter(p, lat, c):
+        energy = make_energy(p)
+
         def scaled(l):
             return energy(l, sched.timesteps[0], c, gin) * gcfg.loss_scale
         loss, g = jax.value_and_grad(scaled)(lat)
@@ -135,8 +142,8 @@ def main():
     # matching the per-iteration accounting above)
     @jax.jit
     def gupdate(p, lat, c):
-        return guidance_update(energy, sched, gcfg, lat, jnp.int32(0),
-                               c, gin)
+        return guidance_update(make_energy(p), sched, gcfg, lat,
+                               jnp.int32(0), c, gin)
 
     t_upd = _time(gupdate, params, lat, ctx[1:2])
 

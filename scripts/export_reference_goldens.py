@@ -23,10 +23,13 @@ Case kinds exported (layout: ``theatergen_tpu/eval/goldens.py``):
   replacement from the composed ``latents_all`` for the first
   ``frozen_steps`` steps (``:833-834``);
 - one ``sdxl`` base case (reference ``generate.py:103-133``) with
-  dual-tower context + pooled embeds + time_ids.  Exported under the
-  deterministic DDIM schedule — EulerAncestral's per-step torch noise
-  cannot be replayed by jax, and the golden's job is UNet/text-stack
-  parity (ancestral scheduler arithmetic is golden-tested separately).
+  dual-tower context + pooled embeds + time_ids under the deterministic
+  DDIM schedule (isolates UNet/text-stack parity from sampler RNG);
+- one ``sdxl_ea`` case under the reference's ACTUAL sampler
+  (EulerAncestral from the SDXL base scheduler config,
+  ``generate.py:125``) with the per-step ancestral noise recorded by
+  cloning the torch generator state, so the TPU side replays the exact
+  draws (``ea_step`` takes explicit noise).
 
 Every recorded trajectory uses the same semantics: ``trajectory[i]`` is
 the latent ENTERING step i (post frozen replacement for ``final_cn``),
@@ -704,8 +707,11 @@ def main() -> None:
     except Exception as e:
         print(f"WARNING: pipe.__call__ cross-check case skipped: {e}")
     if args.ip_weights:
-        export_character_ip(sd, args.out, args.ip_weights,
-                            steps=args.steps or 50)
+        try:
+            export_character_ip(sd, args.out, args.ip_weights,
+                                steps=args.steps or 50)
+        except Exception as e:  # ip checkpoint missing/incompatible
+            print(f"WARNING: character_ip case skipped: {e}")
         try:
             export_final_cn(sd, args.out, args.ip_weights,
                             args.controlnet, steps=args.steps or 50)

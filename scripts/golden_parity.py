@@ -310,16 +310,27 @@ def self_test(out_json: str | None = None) -> int:
 
 def real_run(goldens_dir: str, weights_dir: str,
              out_json: str | None = None) -> int:
+    import json as _json
+
     from theatergen_tpu.config import sd15_config, sdxl_config
     from theatergen_tpu.eval import goldens as GD
     from theatergen_tpu.models.weights import load_bundle
 
     names = GD.list_cases(goldens_dir)
-    kinds = {n: GD.load_case(goldens_dir, n).kind for n in names}
+    # probe kinds from meta.json alone — load_case would deserialize
+    # every 50-step trajectory twice, and the bundle choice below must
+    # not require reading arrays (r5 code review)
+    kinds = {}
+    for n in names:
+        with open(os.path.join(goldens_dir, n, "meta.json")) as f:
+            kinds[n] = _json.load(f).get("kind", "text2img")
+    need_sd15 = any(not k.startswith("sdxl") for k in kinds.values())
     need_xl = any(k.startswith("sdxl") for k in kinds.values())
 
-    # load_bundle always equips ip+controlnet+vision (weights.py:1185)
-    bundle = load_bundle(sd15_config(), weights_dir)
+    # load only the stacks the cases need: SD1.5 (ip+controlnet+vision,
+    # weights.py:1185) and SDXL co-resident is the 16 GB-v5e OOM pattern
+    # BENCH_NOTES r5d records
+    bundle = load_bundle(sd15_config(), weights_dir) if need_sd15 else None
     xl_bundle = (load_bundle(sdxl_config(), weights_dir)
                  if need_xl else None)
 

@@ -8,7 +8,7 @@ machine, ``scripts/export_reference_goldens.py``), then run our denoise
 loop on the SAME inputs and compare latent-for-latent (SURVEY §7 "RNG
 parity"; VERDICT r3 next-#2).
 
-Four case kinds cover the reference's actual hot paths (VERDICT r4
+Five case kinds cover the reference's actual hot paths (VERDICT r4
 next-#2):
 
 ``text2img``

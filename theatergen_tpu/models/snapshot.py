@@ -58,13 +58,22 @@ def save_bundle_snapshot(bundle, out_dir: str) -> List[str]:
         raise ValueError("bundle has no param trees to snapshot")
     out_dir = os.path.abspath(out_dir)
     path = os.path.join(out_dir, "params")
+    meta_path = os.path.join(out_dir, _META)
     if os.path.exists(path):
-        raise FileExistsError(f"snapshot exists: {path}")
+        if os.path.exists(meta_path):
+            raise FileExistsError(f"snapshot exists: {path}")
+        # params dir without meta = an interrupted earlier save (killed
+        # between the orbax write and the meta write).  meta is written
+        # LAST as the commit marker, so a half-written directory is
+        # reclaimed instead of bricking every retry (r5 code review).
+        import shutil
+
+        shutil.rmtree(path)
     os.makedirs(out_dir, exist_ok=True)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, tree)
     meta = {"fields": sorted(tree), "ip_variant": bundle.ip_variant}
-    with open(os.path.join(out_dir, _META), "w") as f:
+    with open(meta_path, "w") as f:
         json.dump(meta, f, indent=1)
     return sorted(tree)
 

@@ -77,10 +77,16 @@ _MIN_CELLS = 16
 # (2048, 256) block pipelines better than v3's (512, 1024) — 0.346 vs
 # 0.354 ms isolated, +0.8% SDXL end-to-end (0.3054 vs 0.3031).  v3's
 # pick at the d=640 shape was tied-optimal (0.449 ms) and stays.
-# THEATERGEN_GEGLU_BLOCK / GEGLU_PLAN=v2 still override.
+# Shape-key caveat: SD1.5 batch-4 CFG at its 16² level produces the SAME
+# (2048, 5120, 1280) problem (a THEATERGEN_FUSED_FF=0 triage rerun is
+# the only SD1.5 path that reaches this kernel there) — r5f chip A/B of
+# that exact config validates/updates the entry for both programs.
+# THEATERGEN_GEGLU_MEASURED=0 disables the table (pure planner —
+# sweeps and triage); THEATERGEN_GEGLU_BLOCK / GEGLU_PLAN=v2 override.
 _MEASURED_BLOCKS = {
     (2048, 5120, 1280): (2048, 256),
 }
+MEASURED_ENABLE = os.environ.get("THEATERGEN_GEGLU_MEASURED", "1") == "1"
 
 
 def _forced_block(m: int, k: int, n: int):
@@ -134,7 +140,8 @@ def _plan(m: int, k: int, n: int) -> tuple[int, int, int]:
     forced = _forced_block(m, k, n)
     if forced is not None:
         return forced
-    if GEGLU_PLAN == "v3" and (m, k, n) in _MEASURED_BLOCKS:
+    if (MEASURED_ENABLE and GEGLU_PLAN == "v3"
+            and (m, k, n) in _MEASURED_BLOCKS):
         bm, bk = _MEASURED_BLOCKS[(m, k, n)]
         return bm, bk, n
     if GEGLU_PLAN == "v3":

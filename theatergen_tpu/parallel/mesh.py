@@ -179,7 +179,12 @@ def collective_stats(hlo_text: str) -> dict:
     out = {op: {"count": 0, "bytes": 0} for op in ops}
     for line in hlo_text.splitlines():
         for op in ops:
-            b = _payload_bytes(line, op)
+            # async rewrites split an op into start/done pairs — count the
+            # start (it carries the payload shape); a bare "op(" spelling
+            # must not also match its own "-start(" line
+            b = _payload_bytes(line, f"{op}-start")
+            if not b and f"{op}-start(" not in line:
+                b = _payload_bytes(line, op)
             if b:
                 out[op]["count"] += 1
                 out[op]["bytes"] += b
