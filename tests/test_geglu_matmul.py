@@ -239,3 +239,41 @@ def test_ff_force_env_overrides_model_flag(monkeypatch):
     monkeypatch.setattr(gg, "FF_FORCE", False)
     ff_on.apply({"params": params}, x)
     assert not captured  # env "0" disables everywhere
+
+
+def test_measured_blocks_table_legal():
+    """Every chip-validated _MEASURED_BLOCKS entry must be a legal plan
+    for its shape: dims divide, Mosaic tiling respected, VMEM budget
+    honored — a typo'd entry must fail here, not at Mosaic lowering in
+    a chip session."""
+    import theatergen_tpu.ops.geglu_matmul as gg
+
+    for (m, k, n), (bm, bk) in gg._MEASURED_BLOCKS.items():
+        assert m % bm == 0 and k % bk == 0, (m, k, bm, bk)
+        assert bm % 8 == 0 and bk % 128 == 0, (bm, bk)
+        vmem = (2 * (bm * bk * 2) * 2 + (bk * n * 2) * 2
+                + bm * n * 4 + bm * n * 2 * 2)
+        assert vmem <= gg._VMEM_BUDGET, (m, k, n, vmem)
+        # the table is consulted before the planners, so the plan the
+        # kernel actually runs must BE the table entry (plan v3 default)
+        if gg.GEGLU_PLAN == "v3" and gg.MEASURED_ENABLE:
+            assert gg._plan(m, k, n) == (bm, bk, n)
+
+
+def test_measured_blocks_env_disable(monkeypatch):
+    """THEATERGEN_GEGLU_MEASURED=0 must restore the pure planner pick
+    (the sweep/triage contract, BENCH_NOTES r5f)."""
+    import importlib
+
+    import theatergen_tpu.ops.geglu_matmul as gg
+
+    monkeypatch.setenv("THEATERGEN_GEGLU_MEASURED", "0")
+    gg2 = importlib.reload(gg)
+    try:
+        assert not gg2.MEASURED_ENABLE
+        # at the measured shape the planner's organic pick differs from
+        # the table entry (that difference is what r5c measured)
+        assert gg2._plan(2048, 5120, 1280) == (512, 1024, 1280)
+    finally:
+        monkeypatch.delenv("THEATERGEN_GEGLU_MEASURED")
+        importlib.reload(gg)
