@@ -62,12 +62,14 @@ LAST_MEASURED = 1.5299  # img/s, 2026-08-20 r5a defaults (BENCH_NOTES.md)
 INIT_TIMEOUT_S = int(os.environ.get("THEATERGEN_BENCH_TIMEOUT", "2400"))
 # start a sub-metric only while elapsed wall-clock is under this (leaves
 # headroom before INIT_TIMEOUT_S for a cold-cache SDXL compile)
-# 2700 covers all six cache-warm sub-metrics through the tunnel (each
-# costs ~3-6 min of executable load + trials even on a cache hit — the
-# r5 final-check run reached sdxl_lcm4 at ~42 min with 2100); a cold
-# cache still truncates gracefully from the slow end
+# 2100 emits five of the six sub-metrics in ~44 min (validated,
+# r5_bench_final_check3.log); a 2700 attempt to also fit the slow
+# sdxl_1024_b4 row overran 70 min (per-metric tunnel cost varies
+# 3-25 min run-to-run), so the batch-4 row usually truncates — its
+# chip number is recorded in BENCH_NOTES r5c (0.3621, 0.0% spread).
+# A cold cache truncates earlier, always from the slow end.
 SUBMETRIC_BUDGET_S = int(os.environ.get("THEATERGEN_BENCH_SUB_BUDGET",
-                                        "2700"))
+                                        "2100"))
 _T0 = time.perf_counter()
 
 
